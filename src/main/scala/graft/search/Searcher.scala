@@ -1,0 +1,151 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.index.{Codec, IndexMeta, IndexStore}
+import graft.model.EngineConf
+
+/** One decoded posting row (explode target). */
+final case class PostingRow(doc_id: Long, tf: Int, dl: Int)
+
+/** Query execution over the index tables.
+  *
+  * Spark shape (SURVEY.md §3.2): term list (tiny, driver) → dictionary
+  * lookup with letter-partition pruning + parquet min/max file skipping (the
+  * words_f jump-table analog) → postings join → explode/decode → per-term
+  * doc aggregation → boolean evaluation as joins → ranked output.
+  */
+final class Searcher(spark: SparkSession, store: IndexStore,
+    conf: EngineConf = EngineConf.default) {
+  import spark.implicits._
+
+  val meta: IndexMeta = store.currentMeta
+  private val dir = store.currentDir.get
+
+  private def dict: DataFrame = spark.read.parquet(s"$dir/dict")
+  private def postings: DataFrame = spark.read.parquet(s"$dir/postings")
+  private def docs: DataFrame = spark.read.parquet(s"$dir/docs")
+
+  private val decodeUdf = udf { bytes: Array[Byte] =>
+    Codec.decodeAll(bytes).map(p => PostingRow(p.docId, p.tf, p.dl)).toSeq
+  }
+
+  /** Dictionary match predicate for one search word (Q4 semantics including
+    * the wildcard min-length quirk, SURVEY.md §7.1.4). Letter equality makes
+    * Catalyst prune the letter= partitions. */
+  private def matchCond(term: String, isExact: Boolean): Option[Column] = {
+    if (term.isEmpty || term.exists(c => c < 'a' || c > 'z')) return None
+    val letterC = $"letter" === term.substring(0, 1)
+    if (isExact) Some(letterC && $"term" === term)
+    else if (term.length <= conf.minCharForMatch) None // quirk: no match
+    else Some(letterC && $"term".startsWith(term))
+  }
+
+  /** (term_idx, word, df) for every matched dictionary word of every search
+    * word — a single pruned scan of dict for all terms (the reference's
+    * shared dictionary scan, app/Index/Index_Search.cpp:99-104). */
+  def matchedWords(searchWords: Seq[(String, Boolean)]): DataFrame = {
+    // a dictionary word can match several search words (shared prefixes) —
+    // one pruned dict scan per search word, unioned; Catalyst merges the
+    // scans and each branch keeps its partition filter + pushed predicate
+    val branches = searchWords.zipWithIndex.flatMap { case ((t, e), i) =>
+      matchCond(t, e).map(c => dict.filter(c)
+        .select(lit(i).as("term_idx"), $"term".as("word"), $"df"))
+    }
+    if (branches.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0).as("term_idx"), lit("").as("word"), lit(0L).as("df"))
+        .limit(0)
+    else branches.reduce(_ unionByName _)
+  }
+
+  /** Exploded postings of all matched words:
+    * (term_idx, word, df, doc_id, tf, dl). */
+  def matchedPostings(matched: DataFrame): DataFrame = {
+    val p = postings.select($"letter", $"term".as("word"), $"bytes")
+    matched
+      .withColumn("letter", substring($"word", 1, 1))
+      .join(p, Seq("letter", "word"))
+      .select($"term_idx", $"word", $"df",
+        explode(decodeUdf($"bytes")).as("p"))
+      .select($"term_idx", $"word", $"df", $"p.doc_id".as("doc_id"),
+        $"p.tf".as("tf"), $"p.dl".as("dl"))
+  }
+
+  private def emptyDf(fields: (String, org.apache.spark.sql.types.DataType)*)
+      : DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+
+  /** DataFrame boolean-evaluation algebra over (doc_id, v) frames. */
+  private final class DfAlgebra(perTerm: Int => DataFrame)
+      extends ResultAlgebra[DataFrame] {
+    def empty: DataFrame = emptyDf(
+      "doc_id" -> org.apache.spark.sql.types.LongType,
+      "v" -> org.apache.spark.sql.types.DoubleType)
+    def term(i: Int): DataFrame = perTerm(i)
+    def or(acc: DataFrame, x: DataFrame): DataFrame =
+      acc.unionByName(x).groupBy($"doc_id").agg(sum($"v").as("v"))
+    def and(acc: DataFrame, x: DataFrame): DataFrame =
+      acc.join(x.withColumnRenamed("v", "v2"), Seq("doc_id"))
+        .select($"doc_id", ($"v" + $"v2").as("v"))
+    def not(acc: DataFrame, x: DataFrame): DataFrame =
+      acc.join(x, Seq("doc_id"), "left_anti")
+  }
+
+  private def evalQuery(query: String, perTermValue: DataFrame): DataFrame = {
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid || parsed.searchWords.isEmpty)
+      return new DfAlgebra(_ => null).empty
+    val cached = perTermValue.persist(StorageLevel.MEMORY_AND_DISK)
+    val alg = new DfAlgebra(i => cached.filter($"term_idx" === i)
+      .select($"doc_id", $"v"))
+    parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
+  }
+
+  /** Count-parity search: (conv_id, turn_idx, cnt) ranked like the
+    * reference's output with the deterministic tie-break. */
+  def searchCount(query: String): DataFrame = {
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid) return emptyResult("cnt")
+    val mp = matchedPostings(matchedWords(parsed.searchWords))
+    // per search word: docs counted once per matched dictionary word (Q6)
+    val perTerm = mp.groupBy($"term_idx", $"doc_id")
+      .agg(count(lit(1)).cast("double").as("v"))
+    val res = evalQuery(query, perTerm)
+    res.join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"v".cast("long").as("cnt"))
+      .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+  }
+
+  /** BM25 search over the same boolean structure (north-star scoring);
+    * top-k via TakeOrderedAndProject. */
+  def searchBm25(query: String, k: Int): DataFrame = {
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid) return emptyResult("score")
+    val mp = matchedPostings(matchedWords(parsed.searchWords))
+    val n = lit(meta.numDocs.toDouble)
+    val idf = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)
+    val tfNorm = ($"tf" * lit(conf.k1 + 1)) /
+      ($"tf" + lit(conf.k1) * (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
+    val perTerm = mp.withColumn("c", idf * tfNorm)
+      .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
+    val res = evalQuery(query, perTerm)
+    res.join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+      .drop("doc_id")
+  }
+
+  private def emptyResult(valCol: String): DataFrame = emptyDf(
+    "conv_id" -> org.apache.spark.sql.types.StringType,
+    "turn_idx" -> org.apache.spark.sql.types.IntegerType,
+    valCol -> (if (valCol == "cnt") org.apache.spark.sql.types.LongType
+               else org.apache.spark.sql.types.DoubleType))
+}

@@ -1,0 +1,60 @@
+package graft.tokenize
+
+import scala.collection.mutable
+
+/** Tokenization replicating the reference's `indexer::get_words_utf8` word
+  * loop (reference: app/Indexer/Indexer.cpp:59-91):
+  *
+  *   - chars folded via [[CharFold]]; '!' is the separator;
+  *   - interior tokens kept iff `len > 4 && len < 15`  (5..14 chars);
+  *   - the FINAL token of a text kept iff `len > 3 && len < 20` (4..19 chars)
+  *     — the reference applies the looser rule only when scanning reached the
+  *     end of the file (Indexer.cpp:84-88); for transcripts every turn text is
+  *     a complete "file", so the final-token rule always applies to the last
+  *     token.
+  *
+  * The reference inserts tokens into an `unordered_set` (tf discarded,
+  * Indexer.cpp:77); the north star keeps tf for BM25, so [[stats]] returns
+  * both the tf map and the reference-parity distinct count.
+  */
+object Tokenizer {
+
+  /** All kept tokens in order of appearance (with duplicates → tf). */
+  def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String]()
+    if (text == null) return out
+    val sb = new java.lang.StringBuilder(24)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val f = CharFold.fold(text.charAt(i))
+      if (f == CharFold.Sep) {
+        val len = sb.length
+        if (len > 4 && len < 15) out += sb.toString
+        sb.setLength(0)
+      } else sb.append(f)
+      i += 1
+    }
+    val len = sb.length
+    if (len > 3 && len < 20) out += sb.toString // final-token rule
+    out
+  }
+
+  /** Distinct token set (exact reference semantics, Indexer.cpp:60,77,88). */
+  def tokenSet(text: String): Set[String] = tokens(text).toSet
+
+  /** Per-turn stats in one pass: term→tf, dl (total kept tokens) and
+    * word_count (distinct kept terms, the reference's per-doc count,
+    * app/LocalIndex/LocalIndex.cpp:72-73). */
+  final case class TurnTokens(tf: mutable.LinkedHashMap[String, Int], dl: Int) {
+    def wordCount: Int = tf.size
+  }
+
+  def stats(text: String): TurnTokens = {
+    val ts = tokens(text)
+    val m = new mutable.LinkedHashMap[String, Int]()
+    var dl = 0
+    ts.foreach { t => m.update(t, m.getOrElse(t, 0) + 1); dl += 1 }
+    TurnTokens(m, dl)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.fixtures.TranscriptGen
+import graft.index.{IndexBuilder, IndexStore}
+import graft.model.{DocKey, EngineConf}
+import graft.search.Searcher
+import graft.verify.Oracle
+
+/** End-to-end: build index from the synthetic transcript corpus, run the
+  * reference query set (FIXTURES.md) in count-parity and BM25 modes, assert
+  * rank-identity against the brute-force oracle (SURVEY.md §7.4). */
+class EndToEndSpec extends SparkTestBase {
+
+  private val NConvs = 120
+  // small part size + tiny blocks to exercise splitting/coalescing paths
+  private val conf = EngineConf.default.copy(maxPostingsPerPart = 64, blockSize = 16)
+
+  private lazy val corpus = TranscriptGen.local(NConvs)
+  private lazy val oracle = new Oracle(conf).indexAll(corpus)
+
+  private lazy val indexDir: String = {
+    val dir = tmpDir("graft-e2e-idx")
+    val ds = TranscriptGen.dataset(spark, NConvs.toLong, partitions = 4)
+    IndexBuilder.build(spark, ds, dir, conf)
+    dir
+  }
+
+  private lazy val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+
+  // reference query set (FIXTURES.md / tests/run_tests.sh:232-289)
+  private val queries = Seq(
+    "xyzzyqwkplm",
+    "which", "would", "there",
+    "\"people\"",
+    "(which AND would)",
+    "(xyzzy OR which)",
+    "(which NOT xyzzyqwk)",
+    "((which OR would) AND there)",
+    TranscriptGen.UniqueWord,
+    "\"" + TranscriptGen.UniqueWord + "\"")
+
+  private def engineCounts(q: String): Map[DocKey, Long] =
+    searcher.searchCount(q).collect().map {
+      case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+    }.toMap
+
+  test("corpus generators agree (local vs distributed)") {
+    val ds = TranscriptGen.dataset(spark, NConvs.toLong, partitions = 4)
+      .collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val loc = corpus.sortBy(t => (t.conv_id, t.turn_idx))
+    assert(ds.length == loc.length)
+    assert(ds.toSeq == loc)
+  }
+
+  test("index meta matches oracle corpus stats") {
+    val meta = new IndexStore(indexDir).currentMeta
+    assert(meta.numDocs == oracle.numDocs)
+    assert(math.abs(meta.avgdl - oracle.avgdl) < 1e-9)
+    assert(meta.numTerms == oracle.postings.size)
+  }
+
+  test("count-parity on the reference query set") {
+    for (q <- queries) {
+      val expected = oracle.searchCount(q).toMap
+      val got = engineCounts(q)
+      assert(got == expected, s"query: $q")
+    }
+  }
+
+  test("unique word is found in exactly the known turn") {
+    val r = oracle.searchCount(TranscriptGen.UniqueWord)
+    assert(r.map(_._1) == Seq(DocKey(TranscriptGen.convId(0), 1)))
+    assert(engineCounts(TranscriptGen.UniqueWord).keySet ==
+      Set(DocKey(TranscriptGen.convId(0), 1)))
+  }
+
+  test("wildcard prefix expands to multiple dictionary words") {
+    // 'which' is a prefix of 'whichever' → docs containing both get count 2
+    val r = oracle.searchCount("which")
+    assert(r.exists(_._2 >= 2L), "fixture should contain a doc with which+whichever")
+    assert(engineCounts("which") == r.toMap)
+  }
+
+  test("BM25 top-10 rank-identity vs oracle") {
+    for (q <- queries) {
+      val expected = oracle.searchBm25(q, 10)
+      val got = searcher.searchBm25(q, 10).collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s)
+      }.toSeq
+      assert(got.length == expected.length, s"query: $q size")
+      got.zip(expected).zipWithIndex.foreach { case (((gd, gs), (ed, es)), i) =>
+        assert(math.abs(gs - es) <= 1e-9 * math.max(1.0, math.abs(es)),
+          s"query: $q rank $i score $gs vs $es")
+        if (math.abs(gs - es) > 0) {
+          // near-tie: allow doc swap only between equal-score ranks
+          assert(gd == ed || math.abs(gs - es) < 1e-9, s"query: $q rank $i doc")
+        } else assert(gd == ed, s"query: $q rank $i doc")
+      }
+    }
+  }
+
+  test("posting parts are split for hot terms and doc-sorted") {
+    val store = new IndexStore(indexDir)
+    val parts = store.postings(spark)
+      .select("term", "part", "first_doc", "last_doc", "df")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // hot fixture terms must have been split into >1 part
+    val hotParts = parts.filter(_._1 == "assistant")
+    assert(hotParts.length > 1, "hot term 'assistant' should be split")
+    // parts of a term are doc-range ordered and non-overlapping
+    parts.groupBy(_._1).foreach { case (term, ps) =>
+      val sorted = ps.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3, s"term $term parts overlap")
+        case _ => ()
+      }
+    }
+    // df consistency vs oracle
+    val dfByTerm = parts.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    oracle.postings.foreach { case (t, m) =>
+      assert(dfByTerm.getOrElse(t, 0L) == m.size.toLong, s"df mismatch for $t")
+    }
+  }
+}
