@@ -122,11 +122,45 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
   }
 
-  /** BM25 search over the same boolean structure (north-star scoring);
-    * top-k via TakeOrderedAndProject. */
-  def searchBm25(query: String, k: Int): DataFrame = {
+  /** BM25 search over the same boolean structure (north-star scoring).
+    *
+    * Pure-OR queries (the common top-k case) run distributed block-max WAND
+    * over the compressed parts ([[Wand]]); boolean-structured queries fall
+    * back to the DataFrame algebra with BM25 contributions. */
+  def searchBm25(query: String, k: Int, useWand: Boolean = true): DataFrame = {
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid) return emptyResult("score")
+    val pureOr = parsed.items.forall {
+      case QueryParser.OpItem(op) => op == QueryParser.OR
+      case _ => true
+    }
+    if (useWand && pureOr && parsed.searchWords.nonEmpty)
+      return searchBm25Wand(parsed, k)
+    searchBm25Df(parsed, query, k)
+  }
+
+  /** WAND path: matched words collapse to word → idf × multiplicity
+    * weights; [[Wand.topK]] does the scored retrieval. */
+  private def searchBm25Wand(parsed: QueryParser.Parsed, k: Int): DataFrame = {
+    // count term multiplicity per matched dictionary word (a word matched by
+    // two search terms contributes twice, like two OR'd per-term passes)
+    val words = matchedWords(parsed.searchWords)
+      .groupBy($"word").agg(count(lit(1)).as("mult"), first($"df").as("df"))
+      .collect().map { r =>
+        val df = r.getAs[Long]("df")
+        val idf = math.log(1.0 + (meta.numDocs - df + 0.5) / (df + 0.5))
+        r.getAs[String]("word") -> r.getAs[Long]("mult") * idf
+      }.toMap
+    if (words.isEmpty) return emptyResult("score")
+    val top = Wand.topK(spark, s"$dir/postings", words, meta.maxDocId + 1,
+      meta.avgdl, conf, k)
+    top.join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"score", $"doc_id")
+      .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
+  }
+
+  private def searchBm25Df(parsed: QueryParser.Parsed, query: String,
+      k: Int): DataFrame = {
     val mp = matchedPostings(matchedWords(parsed.searchWords))
     val n = lit(meta.numDocs.toDouble)
     val idf = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))

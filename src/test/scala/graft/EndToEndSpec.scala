@@ -101,6 +101,21 @@ class EndToEndSpec extends SparkTestBase {
     }
   }
 
+  test("WAND and DataFrame BM25 paths agree") {
+    for (q <- Seq("which", "(which OR would)", "(assistant message)",
+        "\"people\"", TranscriptGen.UniqueWord)) {
+      val wand = searcher.searchBm25(q, 10, useWand = true).collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s) }.toSeq
+      val df = searcher.searchBm25(q, 10, useWand = false).collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s) }.toSeq
+      assert(wand.length == df.length, s"query: $q")
+      wand.zip(df).foreach { case ((wd, ws), (dd, ds)) =>
+        assert(math.abs(ws - ds) <= 1e-9 * math.max(1.0, math.abs(ds)), s"$q score")
+        if (ws == ds) assert(wd == dd, s"$q doc")
+      }
+    }
+  }
+
   test("posting parts are split for hot terms and doc-sorted") {
     val store = new IndexStore(indexDir)
     val parts = store.postings(spark)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.fixtures.TranscriptGen
+import graft.index.{IndexMerger, IndexBuilder, IndexStore}
+import graft.model.{DocKey, EngineConf}
+import graft.search.Searcher
+import graft.verify.Oracle
+
+/** Incremental-merge parity: batch1 build + batch2 merge must equal the
+  * oracle fed the same sequence — including the reference's additive
+  * semantics (stale postings survive re-index; doc_stats overwritten;
+  * old posting wins a (term,doc) collision). SURVEY.md §7.1.7. */
+class MergeSpec extends SparkTestBase {
+
+  private val N = 60L
+  private val Extra = 15L
+  private val Overlap = 10
+  private val conf = EngineConf.default.copy(maxPostingsPerPart = 48, blockSize = 8)
+
+  private lazy val batch1 = TranscriptGen.local(N.toInt)
+  private lazy val batch2 = TranscriptGen.batch2(N, Extra, Overlap)
+
+  private lazy val oracle = {
+    val o = new Oracle(conf)
+    o.indexAll(batch1)
+    o.indexAll(batch2)
+    o
+  }
+
+  private lazy val indexDir: String = {
+    val dir = tmpDir("graft-merge-idx")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, N, partitions = 4), dir, conf)
+    IndexMerger.merge(spark,
+      TranscriptGen.batch2Dataset(spark, N, Extra, Overlap), dir, conf)
+    dir
+  }
+
+  private lazy val store = new IndexStore(indexDir)
+  private lazy val searcher = new Searcher(spark, store, conf)
+
+  test("snapshot versioning: v1 then v2, CURRENT points at v2") {
+    val _ = indexDir
+    assert(store.currentVersion.contains(2))
+  }
+
+  test("merged meta matches oracle (docs, avgdl, terms)") {
+    val _ = indexDir
+    val meta = store.currentMeta
+    assert(meta.numDocs == oracle.numDocs)
+    assert(math.abs(meta.avgdl - oracle.avgdl) < 1e-9)
+    assert(meta.numTerms == oracle.postings.size)
+  }
+
+  test("re-indexed docs keep ids; new docs appended after old max") {
+    val _ = indexDir
+    val docs = store.docs(spark).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("conv_id"),
+        r.getAs[Int]("turn_idx")))
+    assert(docs.map(_._1).distinct.length == docs.length)
+    // ids are dense 0..n-1
+    assert(docs.map(_._1).sorted.toSeq == (0L until docs.length.toLong))
+    // doc ids assigned in batch order: all batch-1 docs sort before appended
+    val batch1Keys = batch1.map(t => (t.conv_id, t.turn_idx)).toSet
+    val oldIds = docs.filter(d => batch1Keys.contains((d._2, d._3))).map(_._1)
+    val newIds = docs.filterNot(d => batch1Keys.contains((d._2, d._3))).map(_._1)
+    assert(newIds.isEmpty || oldIds.max < newIds.min)
+  }
+
+  test("additive semantics: stale postings survive re-index") {
+    val _ = indexDir
+    // conv 0 turn 0 was rewritten in batch2; its ORIGINAL terms must still
+    // match it (the reference never deletes postings)
+    val origTerms = new Oracle(conf).indexAll(batch1)
+      .postings.keys.filter { t =>
+        new Oracle(conf).indexAll(batch1).postings(t)
+          .contains(DocKey(TranscriptGen.convId(0), 0))
+      }
+    val probe = origTerms.find(t => t.length > 4 && t != "rewritten")
+    assert(probe.nonEmpty)
+    val got = searcher.searchCount(probe.get).collect()
+      .map { case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n }.toMap
+    val expected = oracle.searchCount(probe.get).toMap
+    assert(got == expected)
+    assert(got.contains(DocKey(TranscriptGen.convId(0), 0)),
+      s"stale posting for '${probe.get}' must survive")
+  }
+
+  test("count-parity and BM25 rank-identity after merge (query set)") {
+    val _ = indexDir
+    val queries = Seq("which", "(which AND would)", "rewritten",
+      "appended", "\"people\"", "((which OR would) AND there)",
+      "(therefore NOT message)")
+    for (q <- queries) {
+      val expected = oracle.searchCount(q).toMap
+      val got = searcher.searchCount(q).collect()
+        .map { case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n }.toMap
+      assert(got == expected, s"count query: $q")
+      val eb = oracle.searchBm25(q, 10)
+      val gb = searcher.searchBm25(q, 10).collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s) }.toSeq
+      assert(gb.length == eb.length, s"bm25 query: $q")
+      gb.zip(eb).foreach { case ((gd, gs), (ed, es)) =>
+        assert(math.abs(gs - es) <= 1e-9 * math.max(1.0, math.abs(es)), s"$q score")
+        if (math.abs(gs - es) == 0) assert(gd == ed, s"$q doc")
+      }
+    }
+  }
+
+  test("doc_stats overwritten for re-indexed docs") {
+    val _ = indexDir
+    val stats = store.docStats(spark).join(store.docs(spark), "doc_id")
+      .collect().map(r => DocKey(r.getAs[String]("conv_id"),
+        r.getAs[Int]("turn_idx")) -> (r.getAs[Int]("word_count"), r.getAs[Int]("dl")))
+      .toMap
+    oracle.docStats.foreach { case (d, st) =>
+      assert(stats(d) == st, s"doc_stats mismatch for $d")
+    }
+  }
+
+  test("merge is resumable: re-merging the same batch is a no-op on content") {
+    val _ = indexDir
+    val before = store.currentMeta
+    IndexMerger.merge(spark,
+      TranscriptGen.batch2Dataset(spark, N, Extra, Overlap), indexDir, conf)
+    val after = store.currentMeta
+    assert(after.numDocs == before.numDocs)
+    assert(after.numTerms == before.numTerms)
+    assert(math.abs(after.avgdl - before.avgdl) < 1e-9)
+  }
+}
