@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact (content
+  * hash), n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale shape (the point at 100 TB):
+  *   - exact: one hash-partitioned groupBy on a 128-bit content hash — the
+  *     shuffle carries (hash, id), never the text;
+  *   - n-gram Jaccard: an inverted shingle join — pairs are only generated
+  *     for docs sharing a shingle, never the n² cross product; a df cap on
+  *     hot shingles bounds the worst key (skew guard, logged);
+  *   - MinHash+LSH: fixed-width signatures (numHashes ints per doc
+  *     regardless of doc length), banded into buckets so candidate
+  *     generation is a self-join on (band, bucket) — cost scales with
+  *     collisions, not corpus²; candidates are verified with exact Jaccard
+  *     so the output is precision-1 (and with enough bands recall-1 for
+  *     thresholds well above the band curve);
+  *   - SimHash: one 31-bit signature per doc (map-side only), near-dup
+  *     candidates via band self-join, verified by Hamming distance.
+  *
+  * All hash math is integer mod 2^31 (no overflow in 64-bit, so any SQL
+  * oracle reproduces it bit-for-bit).
+  */
+object Dedup {
+
+  // ---- exact --------------------------------------------------------------
+
+  /** Exact duplicate groups: (text_hash, keep_id, n_dups) — keep_id is the
+    * smallest id per identical text (the canonical survivor). */
+  def exact(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    df.groupBy(md5(col(text)).as("text_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ---- shingling ----------------------------------------------------------
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). Built with a
+    * window lead over exploded tokens — at scale the window partitions by
+    * doc (bounded by doc length), never globally. */
+  def shingles(df: DataFrame, n: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val toks = df.select(col(id),
+      posexplode(TextStats.wsTokens(col(text))).as(Seq("pos", "tok")))
+    val leads = (1 until n).foldLeft(toks) { (d, i) =>
+      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    leads.filter(col(s"t${n - 1}").isNotNull)
+      .select(col(id), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact integer-threshold test `inter/union >= pct/100` without float
+    * math: `inter * 100 >= pct * union`. */
+  private def passes(inter: Column, uni: Column, pct: Int): Column =
+    inter * 100 >= uni * pct
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle join.
+    * Output: (id_a, id_b, inter, uni) with jaccard >= minPct/100, id_a < id_b.
+    * `hotShingleCap`: shingles appearing in more docs are dropped from pair
+    * generation (skew guard; None = exact). */
+  def jaccardPairs(df: DataFrame, n: Int = 3, minPct: Int = 80,
+      hotShingleCap: Option[Int] = None, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val sh = shingles(df, n, id, text).cache()
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val joinable = hotShingleCap match {
+      case Some(cap) =>
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val a = joinable.select(col(id).as("id_a"), col("shingle"))
+    val b = joinable.select(col(id).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    sized(inter, counts, id, minPct)
+  }
+
+  /** Attach set sizes + union and apply the threshold. */
+  private def sized(inter: DataFrame, counts: DataFrame, id: String,
+      minPct: Int): DataFrame = {
+    val ca = counts.select(col(id).as("id_a"), col("n_sh").as("n_a"))
+    val cb = counts.select(col(id).as("id_b"), col("n_sh").as("n_b"))
+    inter.join(ca, "id_a").join(cb, "id_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(passes(col("inter"), col("uni"), minPct))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** Mersenne prime 2^31 - 1 for the universal-hash permutations. */
+  val MinhashP: Long = 2147483647L
+
+  private def permA(i: Int): Long = ((i + 1) * 2654435761L) % MinhashP match {
+    case 0L => 1L
+    case a => a
+  }
+  private def permB(i: Int): Long = ((i + 1) * 1099511628211L) % MinhashP
+
+  /** MinHash signatures: (id, band, bucket) — one row per band, where
+    * bucket is a rolling hash of the band's r per-permutation minima.
+    * Deterministic in (numHashes, bands); signature size is fixed per doc. */
+  def minhashBands(df: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      n: Int = 3, id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sh = shingles(df, n, id, text)
+      .select(col(id), TextStats.fingerprintCol(col("shingle")).as("s"))
+    // per shingle: the numHashes permuted values; explode → (id, perm, h)
+    val hs = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => {
+        val a = udfFreePermA(i); val b = udfFreePermB(i)
+        (a * col("s") + b) % MinhashP
+      })
+    val perms = sh.select(col(id), posexplode(hs).as(Seq("perm", "h")))
+      .groupBy(col(id), col("perm")).agg(min(col("h")).as("minh"))
+    // band bucket = left-fold rolling hash of the band's minima in perm order
+    perms.withColumn("band", (col("perm") / lit(numHashes / bands)).cast("int"))
+      .groupBy(col(id), col("band"))
+      .agg(aggregate(array_sort(collect_list(struct(col("perm"), col("minh")))),
+        lit(0L), (acc, x) => (acc * 31 + x.getField("minh")) % MinhashP)
+        .as("bucket"))
+  }
+
+  // permutation coefficients as Columns computed from the perm index column
+  private def udfFreePermA(i: Column): Column = {
+    val a = ((i + 1) * lit(2654435761L)) % MinhashP
+    when(a === 0, lit(1L)).otherwise(a)
+  }
+  private def udfFreePermB(i: Column): Column =
+    ((i + 1) * lit(1099511628211L)) % MinhashP
+
+  /** MinHash+LSH near-dup pairs, exact-verified: candidates from band-bucket
+    * collisions, then exact Jaccard >= minPct/100 on the shingle sets.
+    * Output schema identical to [[jaccardPairs]] — precision 1.0 by
+    * construction, recall governed by the (numHashes, bands) curve. */
+  def minhashLshPairs(df: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      minPct: Int = 80, n: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val bandsDf = minhashBands(df, numHashes, bands, n, id, text)
+    val l = bandsDf.select(col("band"), col("bucket"), col(id).as("id_a"))
+    val r = bandsDf.select(col("band"), col("bucket"), col(id).as("id_b"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sh = shingles(df, n, id, text).cache()
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col(id).as("id_a"), col("shingle"))
+    val shB = sh.select(col(id).as("id_b"), col("shingle"))
+    val inter = cands.join(shA, "id_a")
+      .join(shB, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    sized(inter, counts, id, minPct)
+  }
+
+  // ---- SimHash --------------------------------------------------------------
+
+  /** Bits in the SimHash signature — 31 so every per-bit term and the
+    * assembled signature stay in exact int64 range for any SQL oracle. */
+  val SimhashBits: Int = 31
+
+  /** SimHash signatures: (id, simhash) — tf-weighted sign sum per bit of the
+    * rolling word hash, assembled into a 31-bit int. Pure built-in
+    * expressions (one groupBy(id) aggregation). */
+  def simhash(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val toks = df.select(col(id),
+        explode(TextStats.wsTokens(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", TextStats.wordHashCol(col("w")))
+    val bitSums = (0 until SimhashBits).map { i =>
+      sum(when((shiftright(col("h"), i) % 2) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i")
+    }
+    val sig = (0 until SimhashBits).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 31 bits into 4 chunks (8/8/8/7); docs
+    * sharing any chunk are candidates; verified by Hamming distance <=
+    * maxHamming. By pigeonhole this is exact for maxHamming <= 3. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sig = simhash(df, id, text).cache()
+    val chunks = Seq((0, 8), (8, 8), (16, 8), (24, 7))
+    val banded = chunks.zipWithIndex.map { case ((off, len), bi) =>
+      sig.select(col(id), lit(bi).as("chunk"),
+        (shiftright(col("simhash"), off) % (1L << len)).as("key"))
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("chunk"), col("key"), col(id).as("id_a"))
+    val r = banded.select(col("chunk"), col("key"), col(id).as("id_b"))
+    val cands = l.join(r, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sig.select(col(id).as("id_a"), col("simhash").as("sig_a"))
+    val sb = sig.select(col(id).as("id_b"), col("simhash").as("sig_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("hamming",
+        bit_count(expr("sig_a ^ sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

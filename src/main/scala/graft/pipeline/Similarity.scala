@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast join of the (small)
+  * query set against the corpus, fully codegen (`zip_with` + `aggregate`
+  * higher-order functions, no UDF), then a per-query top-k window. At scale
+  * the corpus side streams map-side: no shuffle of the corpus, only of the
+  * (q × k) candidate rows.
+  *
+  * Scale path: sign-LSH (random hyperplanes) bucketing — signature from
+  * deterministic pseudo-random ±1 planes, candidates restricted to the
+  * query's bucket (multi-probe over Hamming-1 neighbors for recall), exact
+  * cosine rerank inside the bucket. Bucket sizes are ~n/2^bits: tunable so
+  * per-bucket rerank is bounded.
+  *
+  * All dot products fold left in DOUBLE over the float pairs — bit-identical
+  * to a SQL oracle using the same fold order.
+  */
+object Similarity {
+
+  /** Exact left-fold dot product of two float-array columns in double. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact left-fold squared norm. */
+  def norm2Col(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineCol(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dotCol(a, b) / (sqrt(n2a) * sqrt(n2b))
+
+  /** Brute-force cosine top-k: for each query vector (rows of `queries`),
+    * the k nearest corpus rows by cosine, rank-deterministic via (cos desc,
+    * id asc). Output: (query_id, neighbor_id, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("query_id"),
+      col(vec).as("qv"), norm2Col(col(vec)).as("qn")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      norm2Col(col(vec)).as("cn"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim) — a parity mix
+    * of two large odd constants; stable across runs and engines. */
+  private def planeSign(plane: Int, dim: Column): Column = {
+    val mixed = (dim * 73856093L + lit(plane.toLong * 19349663L)) % 2
+    when(mixed === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Sign-LSH bucket signature (`bits` hyperplanes) of a vector column. */
+  def lshBucketCol(vec: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      val proj = aggregate(
+        transform(vec, (x, i) => x.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN top-k: candidates share the query's bucket or any
+    * Hamming-1 probe bucket; exact cosine rerank within candidates.
+    * Output schema matches [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      norm2Col(col(vec)).as("cn"), lshBucketCol(col(vec), bits).as("bucket"))
+    // query probes: own bucket + all Hamming-1 buckets
+    val probes = (0 until bits).foldLeft(array(col("b0"))) { (acc, p) =>
+      concat(acc, array(expr(s"b0 ^ ${1L << p}")))
+    }
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+        norm2Col(col(vec)).as("qn"), lshBucketCol(col(vec), bits).as("b0"))
+      .withColumn("bucket", explode(probes))
+      .drop("b0")
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv"), col("qn"), col("cn")))
+      // a candidate can appear via several probes — keep one
+      .dropDuplicates(Seq("query_id", "neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= minCos, LSH-blocked with
+    * Hamming-1 probing, exact cosine verification. */
+  def cosineNearDupPairs(corpus: DataFrame, minCos: Double, bits: Int = 8,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val sig = corpus.select(col(id), col(vec),
+      norm2Col(col(vec)).as("n2"), lshBucketCol(col(vec), bits).as("b0"))
+    val probed = sig.withColumn("bucket",
+      explode((0 until bits).foldLeft(array(col("b0"))) { (acc, p) =>
+        concat(acc, array(expr(s"b0 ^ ${1L << p}")))
+      }))
+    val l = probed.select(col("bucket"), col(id).as("id_a"),
+      col(vec).as("va"), col("n2").as("na"))
+    val r = sig.select(col("b0").as("bucket"), col(id).as("id_b"),
+      col(vec).as("vb"), col("n2").as("nb"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+      .withColumn("cos", cosineCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID heuristic, and document
+  * fingerprinting.
+  *
+  * All of these are pure per-row projections built from
+  * `org.apache.spark.sql.functions` (whole-stage codegen, no UDFs) — at
+  * 100 TB they run map-side with zero shuffle, and column pruning keeps the
+  * scan at exactly the needed columns. Each has an exact SQL oracle
+  * (see [[graft.SparkEntry.oracleSql]]): the arithmetic is integer or a
+  * deterministic left-fold, so results are bit-identical across engines.
+  */
+object TextStats {
+
+  /** Whitespace tokens of a text column (empty-safe). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the usual byte-pair pre-split shape. */
+  val BpeishPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** (id, n_ws_tokens, n_bpeish_tokens, n_chars) per row. */
+  def tokenCounts(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    df.select(col(id),
+      size(wsTokens(col(text))).cast("long").as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all($text, '$BpeishPattern', 0)"))
+        .cast("long").as("n_bpeish_tokens"),
+      length(col(text)).cast("long").as("n_chars"))
+
+  /** Stopword list shared with the SQL oracle. */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "or", "of", "to", "in")
+
+  /** Quality scoring: per-doc length, token, punctuation and stopword
+    * signals plus a boolean keep/drop verdict — the usual pre-training
+    * corpus filter. All ratios are exact double divisions of integer
+    * counts (deterministic bit-for-bit). */
+  def quality(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val toks = wsTokens(col(text))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t =>
+      t.isin(Stopwords.map(lit): _*))).cast("long")
+    val nPunct = size(expr(
+      s"regexp_extract_all($text, '[^A-Za-z0-9\\\\s]', 0)")).cast("long")
+    val nChars = length(col(text)).cast("long")
+    df.select(col(id), nChars.as("n_chars"), nTok.as("n_tokens"),
+        nStop.as("n_stop"), nPunct.as("n_punct"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0,
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("n_tokens") >= 5 && col("n_chars") >= 20 &&
+          col("stop_ratio") < lit(0.5))
+  }
+
+  /** Tiny marker-word profiles for the language-ID heuristic. Ordered —
+    * ties resolve to the earliest profile (deterministic, mirrored in SQL). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  /** N-gram/marker-word language ID: score = number of profile words present
+    * in the token set; argmax with first-profile tie-break; no profile hit →
+    * "und" (undetermined). */
+  def langId(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val toks = array_distinct(wsTokens(col(text)))
+    val scored = df.select(col(id), toks.as("toks"))
+    val withScores = LangProfiles.foldLeft(scored) { case (d, (lang, ws)) =>
+      d.withColumn(s"s_$lang",
+        size(filter(col("toks"), t => t.isin(ws.map(lit): _*))))
+    }
+    val best = LangProfiles.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pick = LangProfiles.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, _)) =>
+        when(col(s"s_$lang") === col("best") && col("best") > 0, lit(lang))
+          .otherwise(acc)
+    }
+    withScores.withColumn("best", best)
+      .select(col(id), pick.as("lang_pred"), col("best").cast("long").as("hits"))
+  }
+
+  /** Modulus of all rolling hashes — 2^31, small enough that `acc*31 + c`
+    * never overflows a signed 64-bit int (so Spark and any SQL oracle agree
+    * without wraparound semantics). */
+  val FpMod: Long = 1L << 31
+
+  /** Rolling polynomial hash of a string column (document fingerprint):
+    * left fold (acc*31 + ascii(char)) mod 2^31 — whole-stage codegen via
+    * `aggregate`, no UDF; identical left fold is expressible in the oracle. */
+  def fingerprintCol(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % FpMod)
+
+  /** (id, fp) per row. */
+  def fingerprint(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    df.select(col(id), fingerprintCol(col(text)).as("fp"))
+
+  /** Word hash used by [[Dedup.simhash]]: same rolling hash per word. */
+  def wordHashCol(word: Column): Column = fingerprintCol(word)
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Training-data pipeline operators: dedup, similarity, text stats,
+  * multimodal plumbing — exactness checked against in-memory brute force. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // tiny corpus with planted exact + near duplicates
+  private lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river edge"), // near dup of 0
+    (3L, "spark shuffles partitions across the cluster with hash joins"),
+    (4L, "completely different text about embeddings and vector search"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today"), // near dup
+    (6L, "short text"),
+    (7L, "a a a a a the the the of of in to") // stopword soup
+  ).toDF("doc_id", "text")
+
+  private def wordSet(s: String): Set[String] = s.split("\\s+").toSet
+  private def shingleSet(s: String, n: Int = 3): Set[String] =
+    s.split("\\s+").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+  private def jacc(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 0.0 else (a & b).size.toDouble / (a | b).size
+
+  test("exact dedup groups identical texts under the smallest id") {
+    val groups = Dedup.exact(docs).collect()
+    val dupGroup = groups.filter(_.getAs[Long]("n_dups") > 1)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") == 0L)
+    assert(dupGroup.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("shingles match sliding-window brute force") {
+    val got = Dedup.shingles(docs, 3).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val local = docs.as[(Long, String)].collect().toMap
+    for ((id, text) <- local) {
+      val expected = shingleSet(text)
+      assert(got.getOrElse(id, Set.empty) == expected, s"doc $id")
+    }
+  }
+
+  test("jaccardPairs equals brute-force pairs at the threshold") {
+    val local = docs.as[(Long, String)].collect().toMap
+    val expected = (for {
+      a <- local.keys; b <- local.keys if a < b
+      sa = shingleSet(local(a)); sb = shingleSet(local(b))
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if inter * 100 >= uni * 60
+    } yield (a, b)).toSet
+    val got = Dedup.jaccardPairs(docs, n = 3, minPct = 60)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(expected.contains((0L, 1L))) // sanity: planted pairs exist
+  }
+
+  test("minhash LSH pairs: precision 1.0 and full recall on planted dups") {
+    val exact = Dedup.jaccardPairs(docs, n = 3, minPct = 60)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, numHashes = 64, bands = 16,
+      minPct = 60).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verification ⇒ precision 1
+    assert(lsh.contains((0L, 1L)) && lsh.contains((0L, 2L)))
+  }
+
+  test("simhash: identical texts agree; near dups within small hamming") {
+    val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L))
+    val ham02 = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+    assert(ham02 <= 6, s"hamming(0,2)=$ham02")
+    val ham04 = java.lang.Long.bitCount(sig(0L) ^ sig(4L))
+    assert(ham04 > ham02)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("brute-force cosine top-k matches local computation exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val local = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for (q <- 0L until 3L) {
+      val expected = local.keys.filter(_ != q).toSeq
+        .map(i => (i, cos(local(q), local(i))))
+        .sortBy { case (i, c) => (-c, i) }.take(5).map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("LSH ANN: exact rerank within buckets, decent recall vs brute force") {
+    val rnd = new scala.util.Random(11)
+    // clustered data so LSH has structure to find
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 10)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.lshTopK(vecs, queries, k = 10, bits = 8)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = (0L until 4L).map { q =>
+      (ann.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
+  test("text stats: token counts, quality, fingerprint vs brute force") {
+    val tc = TextStats.tokenCounts(docs).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val local = docs.as[(Long, String)].collect().toMap
+    for ((id, text) <- local) {
+      assert(tc(id)._2 == text.split("\\s+").count(_.nonEmpty), s"ws $id")
+      assert(tc(id)._4 == text.length, s"chars $id")
+    }
+    val q = TextStats.quality(docs)
+    val kept = q.filter($"keep").select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(7L)) // stopword soup dropped
+    assert(!kept.contains(6L)) // too short
+    assert(kept.contains(0L))
+    val fp = TextStats.fingerprint(docs).as[(Long, Long)].collect().toMap
+    def localFp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % TextStats.FpMod)
+    for ((id, text) <- local) assert(fp(id) == localFp(text), s"fp $id")
+    assert(fp(0L) == fp(1L) && fp(0L) != fp(2L))
+  }
+
+  test("language ID picks profile with most marker hits") {
+    val d = Seq(
+      (0L, "the cat and the dog of the house"),
+      (1L, "der hund und die katze"),
+      (2L, "xyz qrs tuv")).toDF("doc_id", "text")
+    val got = TextStats.langId(d).as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got(0L) == "en")
+    assert(got(1L) == "de")
+    assert(got(2L) == "und")
+  }
+
+  test("multimodal: stub decode via mapPartitions keeps schema and determinism") {
+    val media = Multimodal.attachMedia(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == docs.count())
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    // deterministic: same payload ⇒ same features (docs 0 and 1 identical)
+    assert(byId(0L).features.toSeq == byId(1L).features.toSeq)
+    assert(byId(0L).features.length == Multimodal.StubCodec.FeatureDim)
+    val local = docs.as[(Long, String)].collect().toMap
+    assert(byId(3L).n_bytes == local(3L).getBytes("UTF-8").length)
+    // frame sampling only on video rows (doc_id % 3 == 2)
+    val frames = Multimodal.sampleVideoFrames(media)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(frames.forall(_ % 3 == 2))
+  }
+}
