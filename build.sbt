@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // G1 is erratic under local[32] allocation bursts (observed 5-10×
+  // stage-time swings); the throughput collector with a preallocated heap
+  // and pinned GC parallelism is stable at both bench parallelism levels.
+  "-XX:+UseParallelGC",
+  "-XX:ParallelGCThreads=16",
+  "-XX:+AlwaysPreTouch",
 )

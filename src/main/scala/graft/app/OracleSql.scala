@@ -1,0 +1,356 @@
+package graft.app
+
+import graft.pipeline.{Dedup, TextStats}
+
+/** DuckDB oracle SQL for every SQL-expressible entry of
+  * [[EntryQueries.all]]. Column names, value arithmetic (integer, decimal,
+  * or order-controlled double folds), and row order match the Spark
+  * implementations bit-for-bit — see EntryQueries for the determinism
+  * rules. Non-expressible queries (LSH probing internals) are omitted →
+  * the driver records a rows-only check for them.
+  */
+object OracleSql {
+
+  // ---- shared fragments ----------------------------------------------------
+
+  /** Whitespace tokens minus empties — mirrors [[TextStats.wsTokens]]. */
+  private val WsToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+  /** Rolling hash (acc*31 + ascii(c)) mod 2^31 of a string expression —
+    * mirrors [[TextStats.fingerprintCol]]. */
+  private def rollHash(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, [ascii(c) for c in string_split($e, '')]), " +
+      s"(a, b) -> (a * 31 + b) % ${TextStats.FpMod})"
+
+  /** Reference-tokenizer CTEs over `documents` (text is `[a-z ]` in the
+    * testdata, so char folding reduces to the space separator): interior
+    * tokens 5..14 chars, final token 4..19 — mirrors graft.tokenize.Tokenizer. */
+  private val FtsTok = """
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ex AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos,
+                  len(w) AS n
+           FROM ws),
+    tok AS (SELECT doc_id, word AS term FROM ex
+            WHERE (pos < n AND length(word) > 4 AND length(word) < 15)
+               OR (pos = n AND length(word) > 3 AND length(word) < 20))"""
+
+  /** Word-3gram distinct shingles + per-doc shingle counts. */
+  private val Shingles = s"""
+    ws AS (SELECT doc_id, $WsToks AS w FROM documents),
+    ex AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+           FROM ws),
+    sh3 AS (SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+                     lead(tok, 2) OVER win AS shingle
+            FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    s AS (SELECT DISTINCT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1)"""
+
+  /** Exact jaccard >= 80% pairs over the shingle sets (integer threshold). */
+  private val JaccardPairs = s"""WITH $Shingles,
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, (ca.n_sh + cb.n_sh - inter) AS uni
+    FROM i JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+    WHERE inter * 100 >= (ca.n_sh + cb.n_sh - inter) * 80
+    ORDER BY id_a, id_b"""
+
+  private def simhashSql: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS b$i")
+      .mkString(", ")
+    val assemble = (0 until Dedup.SimhashBits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest($WsToks) AS w FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+      h AS (SELECT doc_id, tf, ${rollHash("w")} AS h FROM tf),
+      bits AS (SELECT doc_id, $bitSums FROM h GROUP BY 1)
+      SELECT doc_id, ($assemble)::BIGINT AS simhash FROM bits ORDER BY doc_id"""
+  }
+
+  private def langIdSql: String = {
+    val scores = TextStats.LangProfiles.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x))) AS s_$lang"
+    }.mkString(", ")
+    val best = TextStats.LangProfiles.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val pick = TextStats.LangProfiles.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, list_distinct($WsToks) AS toks FROM documents),
+      sc AS (SELECT doc_id, $scores FROM d),
+      b AS (SELECT doc_id, *, $best AS best FROM sc)
+      SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred,
+             best::BIGINT AS hits
+      FROM b ORDER BY doc_id"""
+  }
+
+  private val Stop = TextStats.Stopwords.map(w => s"'$w'")
+    .mkString("[", ", ", "]")
+
+  /** BM25 constants written as the engine computes them (1.2 + 1.0, not a
+    * pre-folded literal) so both engines round identically. */
+  private val Bm25Terms = Seq("customer", "stream", "window")
+  private def bm25Sql: String = {
+    val in = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE term IN $in GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+             WHERE term IN $in GROUP BY 1),
+      contrib AS (SELECT t.doc_id, t.term,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS c
+          FROM tf t JOIN df f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      sc AS (SELECT doc_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                                (x, y) -> x + y) AS score
+             FROM contrib GROUP BY doc_id)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+  }
+
+  /** Exact double cosine with the same left-fold order as the Spark side. */
+  private val EmbNorm =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, " +
+      "x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)"
+  private def embDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      s"p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
+
+  private def annBruteSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding, $EmbNorm AS n2 FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn
+          FROM e WHERE vec_id < 5),
+    sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ${embDot("q.qv", "e.embedding")} / (sqrt(q.qn) * sqrt(e.n2)) AS cos
+           FROM q, e WHERE e.vec_id != q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM sc)
+    SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
+    ORDER BY query_id, rnk"""
+
+  // ---- catalog -------------------------------------------------------------
+
+  val all: Map[String, String] = Map(
+
+    "q_agg_pushdown" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_filter_scan" -> """
+      SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      WHERE o_totalprice > 300000.0 AND o_orderstatus = 'O'
+      ORDER BY o_orderkey""",
+
+    "q_join_broadcast" -> """
+      SELECT r_name, n_name, count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_join_agg" -> """
+      SELECT o_orderpriority, count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_semi_join" -> """
+      SELECT c_mktsegment, count(*) AS n_active FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_anti_join" -> """
+      SELECT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q_window_topn" -> """
+      SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders)
+      WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+
+    "q_topk_global" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q_setops" -> """
+      SELECT c_custkey FROM (
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      ORDER BY c_custkey""",
+
+    "q_distinct_agg" -> """
+      SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_events_window" -> """
+      SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start, event_type,
+             count(*) AS n, min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_events_json" -> """
+      SELECT event_type, count(*) AS n,
+             sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+             max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_events_sessions" -> """
+      WITH g AS (SELECT user_id,
+                        epoch(ts)::BIGINT -
+                          lag(epoch(ts)::BIGINT) OVER
+                            (PARTITION BY user_id ORDER BY ts) AS gap
+                 FROM events)
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)::BIGINT
+               AS n_sessions
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q_text_token_counts" -> s"""
+      SELECT doc_id, len($WsToks)::BIGINT AS n_ws_tokens,
+             len(regexp_extract_all(text,
+               '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+               AS n_bpeish_tokens,
+             length(text)::BIGINT AS n_chars
+      FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" -> s"""
+      WITH b AS (SELECT doc_id, length(text)::BIGINT AS n_chars, $WsToks AS toks,
+                        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT
+                          AS n_punct
+                 FROM documents),
+      c AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+                   len(list_filter(toks, x -> list_contains($Stop, x)))::BIGINT
+                     AS n_stop,
+                   n_punct
+            FROM b),
+      r AS (SELECT *,
+                   CASE WHEN n_tokens > 0
+                        THEN n_stop::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END
+                     AS stop_ratio,
+                   CASE WHEN n_tokens > 0
+                        THEN (n_chars - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE
+                        ELSE 0.0 END AS mean_word_len
+            FROM c)
+      SELECT doc_id, n_chars, n_tokens, n_stop, n_punct, stop_ratio,
+             mean_word_len,
+             (n_tokens >= 5 AND n_chars >= 20 AND stop_ratio < 0.5) AS keep
+      FROM r ORDER BY doc_id""",
+
+    "q_text_langid" -> langIdSql,
+
+    "q_text_fingerprint" ->
+      s"SELECT doc_id, ${rollHash("text")} AS fp FROM documents ORDER BY doc_id",
+
+    "q_dedup_exact" -> """
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             count(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_jaccard" -> JaccardPairs,
+
+    // LSH candidates are verified with exact jaccard, and the band curve at
+    // this threshold gives recall ~1 — same oracle as the exact pairs.
+    "q_dedup_minhash" -> JaccardPairs,
+
+    "q_dedup_simhash" -> simhashSql,
+
+    "q_sim_ann_brute" -> annBruteSql,
+
+    "q_sim_neardup" -> s"""
+      WITH e AS (SELECT vec_id, embedding, $EmbNorm AS n2 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${embDot("a.embedding", "b.embedding")} /
+                     (sqrt(a.n2) * sqrt(b.n2)) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cos FROM p WHERE cos >= 0.42 ORDER BY id_a, id_b""",
+
+    "q_mm_features" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             (16 + (length(text) % 64))::BIGINT AS width,
+             (16 + ((length(text) // 64) % 64))::BIGINT AS height,
+             length(text)::BIGINT AS n_bytes
+      FROM documents ORDER BY doc_id""",
+
+    "q_mm_frames" -> """
+      SELECT doc_id, (((length(text) + 255) // 256) + 1) // 2 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""",
+
+    "q_fts_tokenize" -> s"""
+      WITH $FtsTok
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_fts_doc_stats" -> s"""
+      WITH $FtsTok,
+      st AS (SELECT doc_id, count(DISTINCT term) AS word_count,
+                    count(*) AS dl
+             FROM tok GROUP BY 1)
+      SELECT d.doc_id, coalesce(st.word_count, 0)::BIGINT AS word_count,
+             coalesce(st.dl, 0)::BIGINT AS dl
+      FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""",
+
+    "q_fts_dict" -> s"""
+      WITH $FtsTok
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_fts_merge_dict" -> s"""
+      WITH $FtsTok
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_fts_search_count" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT a.doc_id, 2::BIGINT AS cnt
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+      ORDER BY doc_id""",
+
+    "q_fts_search_wild" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok),
+      m1 AS (SELECT doc_id, count(DISTINCT term) AS c FROM has
+             WHERE term LIKE 'strea%' GROUP BY 1),
+      m2 AS (SELECT doc_id, count(DISTINCT term) AS c FROM has
+             WHERE term LIKE 'windo%' GROUP BY 1)
+      SELECT coalesce(m1.doc_id, m2.doc_id) AS doc_id,
+             (coalesce(m1.c, 0) + coalesce(m2.c, 0))::BIGINT AS cnt
+      FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id
+      ORDER BY doc_id""",
+
+    "q_fts_bm25" -> bm25Sql
+  )
+}

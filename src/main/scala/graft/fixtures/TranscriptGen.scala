@@ -117,4 +117,56 @@ object TranscriptGen {
     import spark.implicits._
     spark.createDataset(batch2(nConvs, extra, overlap))
   }
+
+  // ---- benchmark corpus ----------------------------------------------------
+
+  /** Deterministic zipfian vocabulary for benchmark corpora: ~10k distinct
+    * 5-12 char words (realistic dictionary cardinality, unlike the tiny
+    * test vocabulary above), rank-skewed so hot terms exercise the salting
+    * path while the long tail exercises dictionary scale. */
+  private val BenchVocabSize = 10000
+  private def benchWord(rank: Int): String = {
+    val rnd = new scala.util.Random(7919L * (rank + 1))
+    val len = 5 + rnd.nextInt(8)
+    val sb = new StringBuilder(len)
+    var i = 0
+    while (i < len) { sb.append(('a' + rnd.nextInt(26)).toChar); i += 1 }
+    sb.toString
+  }
+  private lazy val benchVocab: Array[String] =
+    (0 until BenchVocabSize).map(benchWord).toArray
+
+  /** One bench conversation — pure in convNo (same determinism contract as
+    * [[genConv]]); ~6.5 turns × ~18 zipf-drawn words. */
+  def benchConv(convNo: Long): Seq[Turn] = {
+    val rnd = new scala.util.Random(1046527L ^ convNo)
+    val nTurns = 2 + (convNo % 9).toInt
+    val id = convId(convNo)
+    (0 until nTurns).map { t =>
+      val role = Seq("user", "assistant", "tool")(t % 3)
+      val nWords = 10 + rnd.nextInt(16)
+      val sb = new StringBuilder(nWords * 9)
+      var w = 0
+      while (w < nWords) {
+        // zipf-ish rank draw: rank = vocab * u^3 skews mass to low ranks
+        val u = rnd.nextDouble()
+        val rank = math.min(BenchVocabSize - 1,
+          (BenchVocabSize * u * u * u).toInt)
+        sb.append(benchVocab(rank))
+        if (w < nWords - 1) sb.append(' ')
+        w += 1
+      }
+      Turn(id, t, role, sb.toString, null,
+        new Timestamp(Base.getTime + (convNo * 97 + t) * 1000L))
+    }
+  }
+
+  /** Distributed bench corpus. */
+  def benchDataset(spark: SparkSession, nConvs: Long,
+      partitions: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0L, nConvs, 1L, partitions)
+               else spark.range(nConvs)
+    base.as[Long].flatMap(benchConv _)
+  }
 }

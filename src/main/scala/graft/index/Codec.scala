@@ -40,9 +40,28 @@ object Codec {
   final case class BlockInfo(lastDoc: Long, maxTf: Int, minDl: Int,
       offset: Int, byteLen: Int, count: Int)
 
+  /** Growable primitive byte buffer (ArrayBuffer[Byte] boxes through an
+    * Array[AnyRef] — ruinous on the encode hot path). */
+  final class ByteBuf(initial: Int) {
+    private var arr = new Array[Byte](math.max(initial, 16))
+    private var len = 0
+    @inline def +=(b: Byte): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = b; len += 1
+    }
+    def ++=(other: ByteBuf): Unit = {
+      while (len + other.len > arr.length)
+        arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      System.arraycopy(other.arr, 0, arr, len, other.len)
+      len += other.len
+    }
+    def length: Int = len
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
   // ---- varint ----------------------------------------------------------
 
-  @inline private def writeVarLong(buf: ArrayBuffer[Byte], v0: Long): Unit = {
+  @inline private def writeVarLong(buf: ByteBuf, v0: Long): Unit = {
     var v = v0
     require(v >= 0, s"varint requires non-negative, got $v")
     while ((v & ~0x7fL) != 0L) {
@@ -69,16 +88,29 @@ object Codec {
   /** Encode postings (must be sorted by docId, strictly increasing). */
   def encode(postings: Iterable[Posting], blockSize: Int = 128): Array[Byte] = {
     val ps = postings.toArray
-    val buf = new ArrayBuffer[Byte](ps.length * 3 + 16)
-    writeVarLong(buf, ps.length.toLong)
-    if (ps.isEmpty) return buf.toArray
-    val firstDoc = ps(0).docId
+    val docs = new Array[Long](ps.length)
+    val tfs = new Array[Int](ps.length)
+    val dls = new Array[Int](ps.length)
+    var i = 0
+    while (i < ps.length) {
+      docs(i) = ps(i).docId; tfs(i) = ps(i).tf; dls(i) = ps(i).dl; i += 1
+    }
+    encodeColumns(docs, tfs, dls, ps.length, blockSize)
+  }
+
+  /** Columnar encode — the hot-path entry: no per-posting objects. */
+  def encodeColumns(docs: Array[Long], tfs: Array[Int], dls: Array[Int],
+      n: Int, blockSize: Int): Array[Byte] = {
+    val buf = new ByteBuf(n * 3 + 16)
+    writeVarLong(buf, n.toLong)
+    if (n == 0) return buf.toArray
+    val firstDoc = docs(0)
     writeVarLong(buf, firstDoc)
-    val nBlocks = (ps.length + blockSize - 1) / blockSize
+    val nBlocks = (n + blockSize - 1) / blockSize
     writeVarLong(buf, nBlocks.toLong)
 
     // encode payloads per block first to learn byte lengths
-    val payloads = new Array[Array[Byte]](nBlocks)
+    val payloads = new Array[ByteBuf](nBlocks)
     val lastDocs = new Array[Long](nBlocks)
     val maxTfs = new Array[Int](nBlocks)
     val minDls = new Array[Int](nBlocks)
@@ -86,24 +118,23 @@ object Codec {
     var prevDoc = firstDoc
     while (b < nBlocks) {
       val from = b * blockSize
-      val until = math.min(from + blockSize, ps.length)
-      val pb = new ArrayBuffer[Byte]((until - from) * 3)
+      val until = math.min(from + blockSize, n)
+      val pb = new ByteBuf((until - from) * 3)
       var maxTf = 0; var minDl = Int.MaxValue
       var i = from
       while (i < until) {
-        val p = ps(i)
-        val gap = p.docId - prevDoc
+        val gap = docs(i) - prevDoc
         require(gap >= 0 && (gap > 0 || i == 0),
           s"postings must be strictly increasing by docId (at $i)")
         writeVarLong(pb, gap)
-        writeVarLong(pb, p.tf.toLong)
-        writeVarLong(pb, p.dl.toLong)
-        if (p.tf > maxTf) maxTf = p.tf
-        if (p.dl < minDl) minDl = p.dl
-        prevDoc = p.docId
+        writeVarLong(pb, tfs(i).toLong)
+        writeVarLong(pb, dls(i).toLong)
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (dls(i) < minDl) minDl = dls(i)
+        prevDoc = docs(i)
         i += 1
       }
-      payloads(b) = pb.toArray
+      payloads(b) = pb
       lastDocs(b) = prevDoc
       maxTfs(b) = maxTf
       minDls(b) = if (minDl == Int.MaxValue) 0 else minDl
@@ -113,7 +144,7 @@ object Codec {
     var prevLast = firstDoc
     b = 0
     while (b < nBlocks) {
-      val count = math.min((b + 1) * blockSize, ps.length) - b * blockSize
+      val count = math.min((b + 1) * blockSize, n) - b * blockSize
       writeVarLong(buf, lastDocs(b) - prevLast)
       writeVarLong(buf, count.toLong)
       writeVarLong(buf, payloads(b).length.toLong)

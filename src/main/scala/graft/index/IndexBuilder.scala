@@ -10,37 +10,9 @@ import org.apache.spark.sql.types._
 import graft.model._
 import graft.tokenize.Tokenizer
 
-/** Input row of the posting aggregation. */
-final case class PIn(doc_id: Long, tf: Int, dl: Int)
-
-/** One encoded posting part (output of the aggregation). */
+/** One encoded posting part (output of the posting encoders). */
 final case class PartAgg(first_doc: Long, last_doc: Long, df: Long,
     max_tf: Int, bytes: Array[Byte])
-
-/** Typed aggregator turning a bounded group of (doc_id, tf, dl) rows into one
-  * delta+varint block-compressed posting part ([[Codec]]). Group size is
-  * bounded by the hot-term salting in [[IndexBuilder]] (each group covers one
-  * doc-range cell), so the buffer never exceeds ~conf.maxPostingsPerPart
-  * entries — the Spark-native analog of the reference's memory-budgeted
-  * LocalIndex flush (reference: app/Indexer/Indexer.cpp:246-250). */
-final class PostingAgg(blockSize: Int)
-    extends Aggregator[PIn, ArrayBuffer[PIn], PartAgg] {
-  override def zero: ArrayBuffer[PIn] = ArrayBuffer.empty
-  override def reduce(b: ArrayBuffer[PIn], a: PIn): ArrayBuffer[PIn] = { b += a; b }
-  override def merge(a: ArrayBuffer[PIn], b: ArrayBuffer[PIn]): ArrayBuffer[PIn] = { a ++= b; a }
-  override def finish(b: ArrayBuffer[PIn]): PartAgg = {
-    if (b.isEmpty) return PartAgg(0L, 0L, 0L, 0, Array.empty)
-    val sorted = b.sortBy(_.doc_id)
-    var maxTf = 0
-    sorted.foreach(p => if (p.tf > maxTf) maxTf = p.tf)
-    val bytes = Codec.encode(
-      sorted.map(p => Codec.Posting(p.doc_id, p.tf, p.dl)), blockSize)
-    PartAgg(sorted.head.doc_id, sorted.last.doc_id, sorted.length.toLong,
-      maxTf, bytes)
-  }
-  override def bufferEncoder = Encoders.kryo[ArrayBuffer[PIn]]
-  override def outputEncoder = Encoders.product[PartAgg]
-}
 
 /** Full index build: corpus → docs / doc_stats / postings / dict snapshot.
   *
@@ -71,15 +43,11 @@ object IndexBuilder {
 
   def build(spark: SparkSession, corpus: Dataset[Turn], root: String,
       conf: EngineConf = EngineConf.default): IndexMeta =
-    buildVersion(spark, corpus, new IndexStore(root), conf, docIdOffset = 0L,
-      existingDocs = None)
+    buildVersion(spark, corpus, new IndexStore(root), conf)
 
-  /** Core staged build; used by both first build and [[IndexMerger]].
-    * @param existingDocs when merging: the previous snapshot's docs table —
-    *   re-indexed docs keep their ids, new docs get ids after docIdOffset. */
+  /** Core staged first build. */
   private[index] def buildVersion(spark: SparkSession, corpus: Dataset[Turn],
-      store: IndexStore, conf: EngineConf, docIdOffset: Long,
-      existingDocs: Option[DataFrame]): IndexMeta = {
+      store: IndexStore, conf: EngineConf): IndexMeta = {
     import spark.implicits._
     val v = store.nextVersion
     val dir = store.snapshotDir(v)
@@ -95,79 +63,84 @@ object IndexBuilder {
         store.recordStage(v, name, rows, (System.nanoTime() - t0) / 1000000L)
       }
 
-    // -- stage: docs — dense doc-id assignment in (conv_id, turn_idx) order.
-    // RDD zipWithIndex is the one forced RDD use (SURVEY.md §2.3 A1): a dense
-    // global ordinal needs per-partition counts + prefix-sum, which is
-    // exactly what zipWithIndex does without collecting data to the driver.
-    stage("docs") {
-      val keys = corpus.select($"conv_id", $"turn_idx")
+    // -- stage: prep — ONE range shuffle of the corpus assigns dense doc ids
+    // in (conv_id, turn_idx) order and carries the text along, so neither a
+    // docs-join nor a second corpus scan is ever needed. RDD zipWithIndex is
+    // the one forced RDD use (SURVEY.md §2.3 A1): a dense global ordinal is
+    // per-partition counts + prefix-sum, with no driver materialization.
+    stage("prep") {
+      val sorted = corpus
         .dropDuplicates(Seq("conv_id", "turn_idx"))
-      val fresh = existingDocs match {
-        case Some(old) => keys.join(old.select($"conv_id", $"turn_idx"),
-          Seq("conv_id", "turn_idx"), "left_anti")
-        case None => keys
-      }
-      val sorted = fresh
+        .select($"conv_id", $"turn_idx", $"text")
         .repartitionByRange(P, $"conv_id", $"turn_idx")
         .sortWithinPartitions($"conv_id", $"turn_idx")
-        .as[(String, Int)]
-      val assigned = sorted.rdd.zipWithIndex.map { case ((c, t), i) =>
-        DocRow(docIdOffset + i, c, t)
+        .as[(String, Int, String)]
+      val zipped = sorted.rdd.zipWithIndex.map { case ((c, t, x), i) =>
+        (i, c, t, x)
       }
-      val docs = existingDocs match {
-        case Some(old) => old.as[DocRow].union(spark.createDataset(assigned))
-        case None => spark.createDataset(assigned)
-      }
-      docs.repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+      spark.createDataset(zipped)
+        .toDF("doc_id", "conv_id", "turn_idx", "text")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_prep")
+      -1L
+    }
+    val prep = spark.read.parquet(s"$dir/_prep")
+
+    // -- stage: docs — pure column projection of prep (already doc-sorted).
+    stage("docs") {
+      prep.select($"doc_id", $"conv_id", $"turn_idx")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      spark.read.parquet(s"$dir/docs").count()
+      -1L
     }
     val docs = spark.read.parquet(s"$dir/docs")
 
-    // -- stage: tokens — tokenize + attach doc ids; materialized once so
-    // doc_stats and postings don't re-tokenize the corpus.
-    stage("tokens") {
-      val toks = tokenize(corpus)
-      toks.join(docs, Seq("conv_id", "turn_idx"))
-        .select($"term", $"doc_id", $"tf", $"dl")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_tokens")
-      -1L // row count not worth an extra job here
-    }
-    val tokens = spark.read.parquet(s"$dir/_tokens")
-
-    // -- stage: doc_stats — word_count = distinct terms (= rows, tf is
-    // per-doc pre-aggregated), dl = total tokens; docs with no tokens get 0
-    // (the reference's empty-file / .md quirk S6 keeps a path entry with
-    // count 0, app/Indexer/Indexer.cpp:119-128).
+    // -- stage: doc_stats — word_count (distinct terms) and dl (total
+    // tokens) are ROW-LOCAL functions of the text: computed straight off
+    // prep with no shuffle at all, preserving prep's doc_id sort. Docs with
+    // no kept tokens get 0 (the reference's empty-file / .md quirk S6 keeps
+    // a path entry with count 0, app/Indexer/Indexer.cpp:119-128).
     stage("doc_stats") {
-      val agg = tokens.groupBy($"doc_id")
-        .agg(count(lit(1)).cast("int").as("word_count"),
-             sum($"tf").cast("int").as("dl"))
-      docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
-        .na.fill(0, Seq("word_count", "dl"))
-        .repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+      prep.select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val st = Tokenizer.stats(text)
+          DocStats(id, st.wordCount, st.dl)
+        }
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")
       -1L
     }
 
-    // -- stage: hot_terms — small table of terms whose df exceeds one part;
-    // broadcast to salt the posting shuffle (skew, SURVEY.md §7.6.3).
+    // -- stage: hot_terms — df estimated from a corpus sample (the
+    // AQE-style skew pre-pass, SURVEY.md §7.6.3): only terms near the
+    // one-part threshold matter, and for those a few-percent sample puts
+    // the cell count within ±1 of exact — harmless either way.
+    val sampleRate = 0.02
     stage("hot_terms") {
-      tokens.groupBy($"term").agg(count(lit(1)).as("df"))
-        .filter($"df" > conf.maxPostingsPerPart)
+      prep.select($"text").sample(withReplacement = false, sampleRate, 42L)
+        .as[String]
+        .flatMap(Tokenizer.tokens(_))
+        .groupBy($"value".as("term")).agg(count(lit(1)).as("df_sample"))
+        .filter($"df_sample" * (1.0 / sampleRate) > conf.maxPostingsPerPart / 2)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/_hot_terms")
       -1L
     }
 
-    // -- stage: postings — salted groupBy(term, cell) → encoded parts.
+    // -- stage: postings — tokenize fused into the map side of the one
+    // term shuffle (no token materialization round-trip), then salted
+    // sort-based streaming encode.
     stage("postings") {
       val maxDocId = docs.agg(max($"doc_id")).as[Long].head()
       val hot: Map[String, Int] = spark.read.parquet(s"$dir/_hot_terms")
         .as[(String, Long)].collect()
-        .map { case (t, df) =>
-          t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
+        .map { case (t, dfS) =>
+          t -> math.max(1, math.ceil(
+            dfS * (1.0 / sampleRate) / conf.maxPostingsPerPart).toInt) }
         .toMap
-      val parts = encodeParts(spark, tokens, maxDocId + 1, hot, conf)
+      val tokens = prep.select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val st = Tokenizer.stats(text)
+          st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
+        }
+        .toDF("term", "doc_id", "tf", "dl")
+      val parts = encodeParts(spark, tokens, maxDocId + 1, hot, conf, P)
       writeParts(parts, s"$dir/postings", P)
       -1L
     }
@@ -198,18 +171,24 @@ object IndexBuilder {
     store.writeMeta(v, meta)
     store.recordStage(v, "meta", numDocs, 0L,
       Map("numTerms" -> numTerms, "avgdl" -> meta.avgdl))
-    // drop the intermediate tokens spill before committing
-    deleteRecursive(java.nio.file.Paths.get(s"$dir/_tokens"))
+    // drop the intermediate spills before committing
+    deleteRecursive(java.nio.file.Paths.get(s"$dir/_prep"))
     deleteRecursive(java.nio.file.Paths.get(s"$dir/_hot_terms"))
     store.commit(v)
     meta
   }
 
-  /** Salted posting-part encoding: groupBy(term, doc-range cell) where hot
-    * terms (df above one part) are split across `nCells` doc-range cells —
-    * every aggregation group is bounded (hot-term skew, SURVEY.md §7.6.3). */
+  /** Salted sort-based posting-part encoding: hash-shuffle by (term,
+    * doc-range cell) — hot terms (df above one part) split across `nCells`
+    * cells so no single reducer key exceeds ~maxPostingsPerPart postings
+    * (skew, SURVEY.md §7.6.3) — then sortWithinPartitions + a streaming
+    * per-run encoder. The shuffle moves compact Tungsten rows, the sort is
+    * Spark's spillable UnsafeExternalSorter, and the encoder holds one
+    * (term, cell) run of primitives at a time: bounded memory at any df —
+    * the Spark-native analog of the reference's memory-budgeted LocalIndex
+    * flush (reference: app/Indexer/Indexer.cpp:246-250). */
   private[index] def encodeParts(spark: SparkSession, tokens: DataFrame,
-      span: Long, hot: Map[String, Int], conf: EngineConf): DataFrame = {
+      span: Long, hot: Map[String, Int], conf: EngineConf, p: Int): DataFrame = {
     import spark.implicits._
     val hotB = spark.sparkContext.broadcast(hot)
     val cellOf = udf { (term: String, docId: Long) =>
@@ -220,15 +199,50 @@ object IndexBuilder {
         (docId / width).toInt
       }
     }
-    val pagg = udaf(new PostingAgg(conf.blockSize), Encoders.product[PIn])
-    tokens
-      .groupBy($"term", cellOf($"term", $"doc_id").as("cell"))
-      .agg(pagg($"doc_id", $"tf", $"dl").as("p"))
+    val blockSize = conf.blockSize
+    // range partitioning (not hash) so the sampled key distribution spreads
+    // the (term, cell) groups evenly across reducers even when the key
+    // space is small; equal keys always land in one partition
+    val runs = tokens
+      .withColumn("cell", cellOf($"term", $"doc_id"))
+      .select($"term", $"cell", $"doc_id", $"tf", $"dl")
+      .repartitionByRange(p, $"term", $"cell")
+      .sortWithinPartitions($"term", $"cell", $"doc_id")
+      .as[(String, Int, Long, Int, Int)]
+    val encoded = runs.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(String, Int, Long, Long, Long, Int, Array[Byte])] {
+        // primitive run buffers, reused across groups (grown, never shrunk)
+        private var docA = new Array[Long](1 << 12)
+        private var tfA = new Array[Int](1 << 12)
+        private var dlA = new Array[Int](1 << 12)
+        private def grow(): Unit = {
+          docA = java.util.Arrays.copyOf(docA, docA.length * 2)
+          tfA = java.util.Arrays.copyOf(tfA, tfA.length * 2)
+          dlA = java.util.Arrays.copyOf(dlA, dlA.length * 2)
+        }
+        def hasNext: Boolean = buf.hasNext
+        def next(): (String, Int, Long, Long, Long, Int, Array[Byte]) = {
+          val term = buf.head._1
+          val cell = buf.head._2
+          var n = 0
+          var maxTf = 0
+          while (buf.hasNext && buf.head._1 == term && buf.head._2 == cell) {
+            val (_, _, d, tf, dl) = buf.next()
+            if (n == docA.length) grow()
+            docA(n) = d; tfA(n) = tf; dlA(n) = dl; n += 1
+            if (tf > maxTf) maxTf = tf
+          }
+          (term, cell, docA(0), docA(n - 1), n.toLong, maxTf,
+            Codec.encodeColumns(docA, tfA, dlA, n, blockSize))
+        }
+      }
+    }.toDF("term", "cell", "first_doc", "last_doc", "df", "max_tf", "bytes")
+    encoded
       .withColumn("part",
         (row_number().over(Window.partitionBy($"term").orderBy($"cell")) - 1))
       .select(substring($"term", 1, 1).as("letter"), $"term", $"part",
-        $"p.first_doc".as("first_doc"), $"p.last_doc".as("last_doc"),
-        $"p.df".as("df"), $"p.max_tf".as("max_tf"), $"p.bytes".as("bytes"))
+        $"first_doc", $"last_doc", $"df", $"max_tf", $"bytes")
   }
 
   /** Range-partition by term and write letter-partitioned, term-sorted —
@@ -242,7 +256,7 @@ object IndexBuilder {
       .parquet(path)
   }
 
-  private[index] def deleteRecursive(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursive(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

@@ -144,7 +144,7 @@ object IndexMerger {
           t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
         .toMap
       IndexBuilder.writeParts(
-        IndexBuilder.encodeParts(spark, tokens, span, hot, conf),
+        IndexBuilder.encodeParts(spark, tokens, span, hot, conf, P),
         s"$dir/_segment", P)
     }
 

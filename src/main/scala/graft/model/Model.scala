@@ -66,17 +66,14 @@ final case class EngineConf(
     minCharForMatch: Int = 4,
     /** Reference `config_exact_match`: force all query terms exact. */
     exactMatch: Boolean = false,
-    /** log2 of the doc-range cell used to salt the term shuffle: postings are
-      * first aggregated per (term, doc_id >> saltShift) so no aggregation
-      * buffer ever holds more than 2^saltShift postings (hot-term skew,
-      * SURVEY.md §7.6.3). */
-    saltShift: Int = 20,
-    /** log2 of how many salt cells may be coalesced into one stored part —
-      * parts never span a (saltShift+mergeShift)-aligned doc-range boundary,
-      * which is what lets WAND shard by doc range. */
-    mergeShift: Int = 4,
-    /** Target max postings per stored part row after coalescing. */
-    maxPostingsPerPart: Int = 1 << 20,
+    /** Target max postings per stored part row. Hot terms (df above this)
+      * are salted across doc-range cells of ~this size, which bounds both
+      * the encode-time reducer keys (skew: one hot term becomes many evenly
+      * sized keys, SURVEY.md §7.6.3) and the unit of WAND doc-range
+      * sharding. 64k postings ≈ 150-300 KB compressed — small enough that
+      * a single straggler key never serializes a stage, large enough that
+      * per-part overhead is noise. */
+    maxPostingsPerPart: Int = 1 << 16,
     /** Postings per compressed block (block-max WAND granularity). */
     blockSize: Int = 128,
     /** Shuffle partitions for index-build jobs; None = session default. */

@@ -98,6 +98,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
   }
 
+  /** Brute-force embedding near-duplicate pairs: every (a, b) with
+    * cosine >= minCos — the exact baseline (O(n²) pair generation; use
+    * [[cosineNearDupPairs]] for the LSH-blocked scale path). */
+  def bruteNearDupPairs(corpus: DataFrame, minCos: Double,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val sig = corpus.select(col(id), col(vec), norm2Col(col(vec)).as("n2"))
+    val l = sig.select(col(id).as("id_a"), col(vec).as("va"),
+      col("n2").as("na"))
+    val r = sig.select(col(id).as("id_b"), col(vec).as("vb"),
+      col("n2").as("nb"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= minCos, LSH-blocked with
     * Hamming-1 probing, exact cosine verification. */
   def cosineNearDupPairs(corpus: DataFrame, minCos: Double, bits: Int = 8,

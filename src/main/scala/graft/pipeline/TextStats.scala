@@ -24,12 +24,17 @@ object TextStats {
     * non-alphanumeric marks — the usual byte-pair pre-split shape. */
   val BpeishPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** The pattern as a Spark SQL single-quoted literal (SQL string parsing
+    * consumes one level of backslash). */
+  private def sqlLit(pattern: String): String =
+    "'" + pattern.replace("\\", "\\\\") + "'"
+
   /** (id, n_ws_tokens, n_bpeish_tokens, n_chars) per row. */
   def tokenCounts(df: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     df.select(col(id),
       size(wsTokens(col(text))).cast("long").as("n_ws_tokens"),
-      size(expr(s"regexp_extract_all($text, '$BpeishPattern', 0)"))
+      size(expr(s"regexp_extract_all($text, ${sqlLit(BpeishPattern)}, 0)"))
         .cast("long").as("n_bpeish_tokens"),
       length(col(text)).cast("long").as("n_chars"))
 

@@ -51,10 +51,29 @@ object Tokenizer {
   }
 
   def stats(text: String): TurnTokens = {
-    val ts = tokens(text)
+    // fused single pass (no intermediate token buffer): this is the map-side
+    // hot path of the index build
     val m = new mutable.LinkedHashMap[String, Int]()
     var dl = 0
-    ts.foreach { t => m.update(t, m.getOrElse(t, 0) + 1); dl += 1 }
+    if (text == null) return TurnTokens(m, dl)
+    @inline def keep(t: String): Unit = {
+      m.updateWith(t) { case Some(c) => Some(c + 1); case None => Some(1) }
+      dl += 1
+    }
+    val sb = new java.lang.StringBuilder(24)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val f = CharFold.fold(text.charAt(i))
+      if (f == CharFold.Sep) {
+        val len = sb.length
+        if (len > 4 && len < 15) keep(sb.toString)
+        sb.setLength(0)
+      } else sb.append(f)
+      i += 1
+    }
+    val len = sb.length
+    if (len > 3 && len < 20) keep(sb.toString) // final-token rule
     TurnTokens(m, dl)
   }
 }
