@@ -22,8 +22,10 @@ import graft.search.Searcher
   *     executors, BASELINE.md).
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_BENCH_CONVS
-  * (scaling corpus size, default 60000 ≈ 360k turns),
-  * SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling phase.
+  * (scaling corpus size, default 500000 ≈ 3M turns — large enough that the
+  * measured job is compute-bound, not fixed-cost-bound),
+  * SPARK_GRAFT_SCALE_LEVELS="8,32", SPARK_GRAFT_SKIP_SCALING=1,
+  * SPARK_GRAFT_SCALING_ONLY=1.
   */
 object Bench {
 
@@ -92,7 +94,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "60000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
     val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
 

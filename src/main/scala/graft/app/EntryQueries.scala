@@ -304,6 +304,13 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_fts_index_check" -> ((s, d) => {
+      // the reference's `--check` (C1): all structural invariants hold on
+      // the snapshot built over the documents corpus
+      graft.verify.IndexCheck.run(s, new IndexStore(indexDirFull(s, d)))
+        .orderBy(col("check_name"))
+    }),
+
     "q_fts_bm25" -> ((s, d) => {
       val res = searcher(s, indexDirFull(s, d))
         .searchBm25("customer stream window", k = 20)

@@ -54,6 +54,30 @@ object BuildIndexMain {
   }
 }
 
+/** Structural integrity check (the reference's `app --check`,
+  * app/main.cpp:118-122). Exit 0 iff healthy; prints per-check violations.
+  *
+  * Usage: CheckIndexMain <indexDir> */
+object CheckIndexMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) {
+      System.err.println("usage: CheckIndexMain <indexDir>"); sys.exit(2)
+    }
+    val spark = Mains.session("graft-check")
+    val store = new IndexStore(args(0))
+    if (store.currentVersion.isEmpty) {
+      System.err.println(s"no index snapshot at ${args(0)}")
+      spark.stop(); sys.exit(1)
+    }
+    val rows = graft.verify.IndexCheck.run(spark, store).collect()
+    rows.foreach(r => println(f"${r.getString(0)}%-32s ${r.getLong(1)}"))
+    val bad = rows.map(_.getLong(1)).sum
+    println(if (bad == 0) "index check: OK" else s"index check: $bad violations")
+    spark.stop()
+    if (bad != 0) sys.exit(1)
+  }
+}
+
 /** Search an index.
   *
   * Usage: SearchMain <indexDir> <query> [--mode=count|bm25] [--k=10] */

@@ -351,6 +351,11 @@ object OracleSql {
       FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id
       ORDER BY doc_id""",
 
-    "q_fts_bm25" -> bm25Sql
+    "q_fts_bm25" -> bm25Sql,
+
+    // a healthy snapshot reports zero violations for every check
+    "q_fts_index_check" -> graft.verify.IndexCheck.CheckNames.sorted
+      .map(n => s"SELECT '$n' AS check_name, 0::BIGINT AS violations")
+      .mkString(" UNION ALL ")
   )
 }

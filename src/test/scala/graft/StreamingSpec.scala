@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.fixtures.TranscriptGen
+import graft.index.{IndexBuilder, IndexStore}
+import graft.model.EngineConf
+import graft.streaming.StreamingIndexer
+import graft.verify.IndexCheck
+
+/** Streaming ingest: micro-batches fold into snapshots equivalent to a
+  * one-shot batch build over the same turns (disjoint batches). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val conf = EngineConf.default.copy(maxPostingsPerPart = 64,
+    blockSize = 16)
+
+  test("memory-stream micro-batches build the same dictionary as one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft-stream-idx")
+    val ckpt = tmpDir("graft-stream-ckpt")
+    val source = MemoryStream[graft.model.Turn]
+
+    val q = StreamingIndexer.start(spark, source.toDS(), root, ckpt,
+      watermark = "10 minutes", conf = conf,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: convs [0, 15); batch 2: convs [15, 30) with a duplicate
+      // re-send of one batch-2 turn (dropDuplicatesWithinWatermark path)
+      source.addData(TranscriptGen.local(15))
+      q.processAllAvailable()
+      val store = new IndexStore(root)
+      assert(store.currentVersion.contains(1))
+
+      val batch2 = (15L until 30L).flatMap(TranscriptGen.genConv)
+      source.addData(batch2 ++ batch2.take(3))
+      q.processAllAvailable()
+      assert(new IndexStore(root).currentVersion.contains(2))
+    } finally q.stop()
+
+    // equivalence with a one-shot build on the union (disjoint batches)
+    val oneShotRoot = tmpDir("graft-stream-oneshot")
+    IndexBuilder.build(spark, TranscriptGen.dataset(spark, 30), oneShotRoot,
+      conf)
+    val streamed = new IndexStore(root)
+    val oneShot = new IndexStore(oneShotRoot)
+    val a = streamed.dict(spark).select("term", "df")
+      .as[(String, Long)].collect().toMap
+    val b = oneShot.dict(spark).select("term", "df")
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+    val sa = streamed.docStats(spark).count()
+    assert(sa == oneShot.docStats(spark).count())
+    assert(IndexCheck.healthy(spark, streamed))
+  }
+}
