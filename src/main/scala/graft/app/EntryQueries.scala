@@ -244,6 +244,14 @@ object EntryQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "q_sim_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nLists = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "q_sim_neardup" -> ((s, d) =>
       Similarity.bruteNearDupPairs(t(s, d, "embeddings"), minCos = 0.42)
         .orderBy(col("id_a"), col("id_b"))),

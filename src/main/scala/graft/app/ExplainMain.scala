@@ -1,0 +1,29 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection: prints `explain("formatted")` for selected catalog
+  * queries plus the search-path plans, to audit pushdown / pruning /
+  * broadcast / codegen spans.
+  *
+  * Usage: ExplainMain [sfDir] [queryName ...]  (default: the audit set)
+  */
+object ExplainMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_agg_pushdown", "q_filter_scan", "q_join_broadcast",
+        "q_join_agg", "q_fts_dict", "q_fts_search_count", "q_sim_ann_brute",
+        "q_dedup_minhash")
+    val spark = Mains.session("graft-explain")
+    names.foreach { n =>
+      EntryQueries.all.get(n) match {
+        case Some(fn) =>
+          println(s"\n================ $n ================")
+          fn(spark, sfDir).explain("formatted")
+        case None => System.err.println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

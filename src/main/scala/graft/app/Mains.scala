@@ -28,28 +28,53 @@ object Mains {
 
 /** Build (or incrementally merge into) an index.
   *
-  * Usage: BuildIndexMain <indexDir> <corpusParquetDir | gen:<nConvs>> */
+  * `--updated-only` is the reference's `config_updated_files_only` (S4,
+  * app/Indexer/Indexer.cpp:185-206): only turns with `ts` past the current
+  * snapshot's watermark are indexed; the watermark is promoted to the max
+  * `ts` actually indexed after a successful commit.
+  *
+  * Usage: BuildIndexMain <indexDir> <corpusParquetDir | gen:<nConvs>>
+  *        [--updated-only] */
 object BuildIndexMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: BuildIndexMain <indexDir> <corpusParquet|gen:N>")
+      System.err.println(
+        "usage: BuildIndexMain <indexDir> <corpusParquet|gen:N> [--updated-only]")
       sys.exit(2)
     }
     val Array(indexDir, src) = args.take(2)
+    val updatedOnly = args.contains("--updated-only")
     val spark = Mains.session("graft-build")
     import spark.implicits._
-    val corpus =
+    import org.apache.spark.sql.functions.{col, max}
+    val full =
       if (src.startsWith("gen:"))
         TranscriptGen.dataset(spark, src.stripPrefix("gen:").toLong,
           partitions = spark.sparkContext.defaultParallelism)
       else spark.read.parquet(src).as[graft.model.Turn]
     val store = new IndexStore(indexDir)
+    val wm = if (updatedOnly) store.currentWatermark else None
+    val corpus = wm match {
+      case Some(t) => full.filter(col("ts") > t)
+      case None => full
+    }
+    if (updatedOnly && corpus.isEmpty) {
+      println(s"nothing newer than watermark ${wm.orNull}; index unchanged")
+      spark.stop(); return
+    }
     val meta =
       if (store.currentVersion.isEmpty)
         IndexBuilder.build(spark, corpus, indexDir)
       else graft.index.IndexMerger.merge(spark, corpus, indexDir)
+    val maxTs = corpus.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val promoted = store.watermark(meta.version - 1) match {
+      case Some(prev) if prev.after(maxTs) => prev
+      case _ => maxTs
+    }
+    store.writeWatermark(meta.version, promoted)
     println(s"built snapshot v${meta.version}: docs=${meta.numDocs} " +
-      s"terms=${meta.numTerms} avgdl=${f"${meta.avgdl}%.3f"}")
+      s"terms=${meta.numTerms} avgdl=${f"${meta.avgdl}%.3f"} " +
+      s"watermark=$promoted")
     spark.stop()
   }
 }

@@ -91,6 +91,27 @@ final class IndexStore(val root: String) {
   def writeMeta(v: Int, m: IndexMeta): Unit =
     Files.writeString(Paths.get(snapshotDir(v), "meta.json"), m.toJson)
 
+  // ---- incremental-scan watermark (reference S4 analog) -----------------
+  // The reference marks a temp mtime watermark BEFORE scanning and promotes
+  // it after success (app/Index/Index_Last_Updated.cpp:9-78) so mid-scan
+  // changes re-index next run. Batch analog: the promoted watermark is the
+  // max `ts` actually indexed — anything later re-enters the next batch.
+
+  def writeWatermark(v: Int, maxTs: java.sql.Timestamp): Unit =
+    Files.writeString(Paths.get(snapshotDir(v), "watermark"),
+      maxTs.toInstant.toString)
+
+  def watermark(v: Int): Option[java.sql.Timestamp] = {
+    val p = Paths.get(snapshotDir(v), "watermark")
+    if (Files.exists(p))
+      Some(java.sql.Timestamp.from(
+        java.time.Instant.parse(Files.readString(p).trim)))
+    else None
+  }
+
+  def currentWatermark: Option[java.sql.Timestamp] =
+    currentVersion.flatMap(watermark)
+
   // ---- stage manifest (checkpoint-resume lineage) ----------------------
 
   private def manifestPath(v: Int): Path =

@@ -98,6 +98,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
   }
 
+  /** IVF (inverted-file) ANN top-k: a seeded KMeans coarse quantizer
+    * (Spark MLlib) buckets the corpus into nLists inverted lists; each query
+    * probes its nProbe nearest centroids and reranks exactly (cosine) within
+    * those lists — the classic IVF-Flat layout. At scale the lists are the
+    * partitioning key: a query touches nProbe/nLists of the corpus, and the
+    * (tiny) centroid table broadcasts. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
+      nProbe: Int = 4, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val featured = corpus.withColumn("features",
+      array_to_vector(col(vec).cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    val lists = model.transform(featured)
+      .select(col("prediction").as("list_id"), col(id).as("neighbor_id"),
+        col(vec).as("cv"), norm2Col(col(vec)).as("cn"))
+    // centroid table is tiny: ship to a broadcast join against the queries
+    val cents = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }).toDF("list_id", "centroid")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      norm2Col(col(vec)).as("qn"))
+    val qDist = q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (x, c) => (x.cast("double") - c.cast("double")) *
+            (x.cast("double") - c.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("list_id"))
+    val probes = qDist.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("list_id"))
+    val scored = broadcast(probes).join(lists, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+  }
+
   /** Brute-force embedding near-duplicate pairs: every (a, b) with
     * cosine >= minCos — the exact baseline (O(n²) pair generation; use
     * [[cosineNearDupPairs]] for the LSH-blocked scale path). */

@@ -130,6 +130,27 @@ class PipelineSpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("IVF ANN: coarse-quantized probing with good recall on clustered data") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 10)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 10, nLists = 8, nProbe = 2)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = (0L until 4L).map { q =>
+      (ivf.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.7, s"mean IVF recall@10 = $mean")
+  }
+
   test("text stats: token counts, quality, fingerprint vs brute force") {
     val tc = TextStats.tokenCounts(docs).as[(Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
