@@ -118,6 +118,28 @@ object EntryQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "q_join_multi" -> ((s, d) => {
+      // 3-table star join: fact x two broadcast dims, grouped on dim attrs
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("s_nationkey")).as("n_supp_nations"),
+          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     "q_semi_join" -> ((s, d) => {
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),

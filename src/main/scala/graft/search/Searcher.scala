@@ -154,7 +154,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     if (words.isEmpty) return emptyResult("score")
     val top = Wand.topK(spark, s"$dir/postings", words, meta.maxDocId + 1,
       meta.avgdl, conf, k)
-    top.join(docs, Seq("doc_id"))
+    // the top-k side is k rows — broadcast it so resolving doc keys is a
+    // map-side lookup over the docs scan, not a sort-merge join
+    broadcast(top).join(docs, Seq("doc_id"))
       .select($"conv_id", $"turn_idx", $"score", $"doc_id")
       .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
   }
@@ -170,10 +172,10 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val perTerm = mp.withColumn("c", idf * tfNorm)
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
     val res = evalQuery(query, perTerm)
-    res.join(docs, Seq("doc_id"))
+    res.orderBy($"v".desc, $"doc_id").limit(k)
+      .join(docs, Seq("doc_id"))
       .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
       .orderBy($"score".desc, $"doc_id")
-      .limit(k)
       .drop("doc_id")
   }
 
