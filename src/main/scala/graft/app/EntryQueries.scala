@@ -300,6 +300,17 @@ object EntryQueries {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    "q_fts_tokenize_sql" -> ((s, d) => {
+      // the same tokenization through the codegen Catalyst expression
+      // (SparkSessionExtensions function graft_tokenize) — same oracle
+      graft.tokenize.GraftFunctions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id, term, count(*) AS tf FROM (
+                 SELECT doc_id, explode(graft_tokenize(text)) AS term
+                 FROM graft_docs)
+               GROUP BY doc_id, term ORDER BY doc_id, term""")
+    }),
+
     "q_fts_doc_stats" -> ((s, d) => {
       val idx = indexDirFull(s, d)
       val store = new IndexStore(idx)

@@ -326,6 +326,11 @@ object OracleSql {
       SELECT doc_id, term, count(*) AS tf FROM tok
       GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q_fts_tokenize_sql" -> s"""
+      WITH $FtsTok
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_fts_doc_stats" -> s"""
       WITH $FtsTok,
       st AS (SELECT doc_id, count(DISTINCT term) AS word_count,
