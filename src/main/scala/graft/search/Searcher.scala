@@ -24,9 +24,11 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   val meta: IndexMeta = store.currentMeta
   private val dir = store.currentDir.get
 
-  private def dict: DataFrame = spark.read.parquet(s"$dir/dict")
-  private def postings: DataFrame = spark.read.parquet(s"$dir/postings")
-  private def docs: DataFrame = spark.read.parquet(s"$dir/docs")
+  // lazy vals: the parquet file indexes (listing + schema) are built once
+  // per Searcher and reused across queries
+  private lazy val dict: DataFrame = spark.read.parquet(s"$dir/dict")
+  private lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
+  private lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
 
   private val decodeUdf = udf { bytes: Array[Byte] =>
     Codec.decodeAll(bytes).map(p => PostingRow(p.docId, p.tf, p.dl)).toSeq
