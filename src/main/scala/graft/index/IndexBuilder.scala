@@ -75,11 +75,17 @@ object IndexBuilder {
         .repartitionByRange(P, $"conv_id", $"turn_idx")
         .sortWithinPartitions($"conv_id", $"turn_idx")
         .as[(String, Int, String)]
+      // word_count (distinct terms) and dl (total tokens) are ROW-LOCAL
+      // functions of the text, so they ride along in the same pass — the
+      // doc_stats stage becomes a projection. Docs with no kept tokens get
+      // 0 (the reference's empty-file / .md quirk S6 keeps a path entry
+      // with count 0, app/Indexer/Indexer.cpp:119-128).
       val zipped = sorted.rdd.zipWithIndex.map { case ((c, t, x), i) =>
-        (i, c, t, x)
+        val st = Tokenizer.stats(x)
+        (i, c, t, x, st.wordCount, st.dl)
       }
       spark.createDataset(zipped)
-        .toDF("doc_id", "conv_id", "turn_idx", "text")
+        .toDF("doc_id", "conv_id", "turn_idx", "text", "word_count", "dl")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/_prep")
       -1L
     }
@@ -93,17 +99,9 @@ object IndexBuilder {
     }
     val docs = spark.read.parquet(s"$dir/docs")
 
-    // -- stage: doc_stats — word_count (distinct terms) and dl (total
-    // tokens) are ROW-LOCAL functions of the text: computed straight off
-    // prep with no shuffle at all, preserving prep's doc_id sort. Docs with
-    // no kept tokens get 0 (the reference's empty-file / .md quirk S6 keeps
-    // a path entry with count 0, app/Indexer/Indexer.cpp:119-128).
+    // -- stage: doc_stats — projection of prep (computed in the prep pass).
     stage("doc_stats") {
-      prep.select($"doc_id", $"text").as[(Long, String)]
-        .map { case (id, text) =>
-          val st = Tokenizer.stats(text)
-          DocStats(id, st.wordCount, st.dl)
-        }
+      prep.select($"doc_id", $"word_count", $"dl")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")
       -1L
     }

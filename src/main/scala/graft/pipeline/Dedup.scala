@@ -107,35 +107,46 @@ object Dedup {
 
   /** MinHash signatures: (id, band, bucket) — one row per band, where
     * bucket is a rolling hash of the band's r per-permutation minima.
-    * Deterministic in (numHashes, bands); signature size is fixed per doc. */
+    * Deterministic in (numHashes, bands); signature size is fixed per doc.
+    *
+    * Shape at scale: each (id, shingle-hash) row maps to ONE fixed-width
+    * signature array; signatures combine by elementwise min through typed
+    * partial aggregation (`reduceGroups` — map-side combine, no 64× row
+    * explosion, no unbounded buffers); the banded bucket rows explode only
+    * from the final per-doc signature. */
   def minhashBands(df: DataFrame, numHashes: Int = 64, bands: Int = 16,
       n: Int = 3, id: String = "doc_id", text: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sh = shingles(df, n, id, text)
-      .select(col(id), TextStats.fingerprintCol(col("shingle")).as("s"))
-    // per shingle: the numHashes permuted values; explode → (id, perm, h)
-    val hs = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => {
-        val a = udfFreePermA(i); val b = udfFreePermB(i)
-        (a * col("s") + b) % MinhashP
-      })
-    val perms = sh.select(col(id), posexplode(hs).as(Seq("perm", "h")))
-      .groupBy(col(id), col("perm")).agg(min(col("h")).as("minh"))
-    // band bucket = left-fold rolling hash of the band's minima in perm order
-    perms.withColumn("band", (col("perm") / lit(numHashes / bands)).cast("int"))
-      .groupBy(col(id), col("band"))
-      .agg(aggregate(array_sort(collect_list(struct(col("perm"), col("minh")))),
-        lit(0L), (acc, x) => (acc * 31 + x.getField("minh")) % MinhashP)
-        .as("bucket"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val as = Array.tabulate(numHashes)(permA)
+    val bs = Array.tabulate(numHashes)(permB)
+    val sigs = shingles(df, n, id, text)
+      .select(col(id).cast("long"), TextStats.fingerprintCol(col("shingle")))
+      .as[(Long, Long)]
+      .map { case (docId, s) =>
+        val sig = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) { sig(i) = (as(i) * s + bs(i)) % MinhashP; i += 1 }
+        (docId, sig)
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        val m = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) { m(i) = math.min(x._2(i), y._2(i)); i += 1 }
+        (x._1, m)
+      }
+    sigs.flatMap { case (docId, (_, sig)) =>
+      (0 until bands).iterator.map { b =>
+        var bucket = 0L
+        var i = b * r
+        while (i < (b + 1) * r) { bucket = (bucket * 31 + sig(i)) % MinhashP; i += 1 }
+        (docId, b, bucket)
+      }
+    }.toDF(id, "band", "bucket")
   }
-
-  // permutation coefficients as Columns computed from the perm index column
-  private def udfFreePermA(i: Column): Column = {
-    val a = ((i + 1) * lit(2654435761L)) % MinhashP
-    when(a === 0, lit(1L)).otherwise(a)
-  }
-  private def udfFreePermB(i: Column): Column =
-    ((i + 1) * lit(1099511628211L)) % MinhashP
 
   /** MinHash+LSH near-dup pairs, exact-verified: candidates from band-bucket
     * collisions, then exact Jaccard >= minPct/100 on the shingle sets.

@@ -27,8 +27,8 @@ class ResumeSpec extends SparkTestBase {
     val v = store.nextVersion
     assert(v == 1)
     Files.createDirectories(Paths.get(store.snapshotDir(v)))
-    Seq((0L, "conv-sentinel", 0, "sentinel zebra unique wordhere"))
-      .toDF("doc_id", "conv_id", "turn_idx", "text")
+    Seq((0L, "conv-sentinel", 0, "sentinel zebra unique wordhere", 4, 4))
+      .toDF("doc_id", "conv_id", "turn_idx", "text", "word_count", "dl")
       .write.parquet(s"${store.snapshotDir(v)}/_prep")
     store.recordStage(v, "prep", -1L, 0L)
 
