@@ -186,6 +186,16 @@ object EntryQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_approx_distinct" -> ((s, d) => {
+      // HLL++ sketch (approx_count_distinct): sketch values are
+      // engine-specific so this entry is rows-only; PipelineSpec bounds the
+      // relative error vs the exact count
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_distinct_agg" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),

@@ -171,6 +171,20 @@ class PipelineSpec extends SparkTestBase {
     assert(fp(0L) == fp(1L) && fp(0L) != fp(2L))
   }
 
+  test("approx_count_distinct sketch stays within its error bound") {
+    val df = (0L until 20000L).map(i => (i % 7, i % 4831))
+      .toDF("grp", "v")
+    val rows = df.groupBy($"grp")
+      .agg(org.apache.spark.sql.functions
+          .approx_count_distinct($"v", 0.02).as("approx"),
+        org.apache.spark.sql.functions.countDistinct($"v").as("exact"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (g, approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.05, s"group $g: approx=$approx exact=$exact err=$err")
+    }
+  }
+
   test("language ID picks profile with most marker hits") {
     val d = Seq(
       (0L, "the cat and the dog of the house"),
