@@ -362,6 +362,18 @@ object EntryQueries {
         .orderBy(col("check_name"))
     }),
 
+    "q_fts_bm25_bool" -> ((s, d) => {
+      // boolean-structured BM25 (AND + default-OR wildcard): exercises the
+      // DataFrame algebra path rather than WAND
+      val res = searcher(s, indexDirFull(s, d))
+        .searchBm25(""""customer" AND "stream" windo""", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
     "q_fts_bm25" -> ((s, d) => {
       val res = searcher(s, indexDirFull(s, d))
         .searchBm25("customer stream window", k = 20)

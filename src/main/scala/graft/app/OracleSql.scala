@@ -120,6 +120,39 @@ object OracleSql {
       FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  /** Boolean-structured BM25: ("customer" AND "stream") OR windo-prefix.
+    * Every score is built from sums of at most two doubles (IEEE addition
+    * of two operands is order-independent), so the oracle is bit-exact. */
+  private def bm25BoolSql: String = {
+    s"""WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE term IN ('customer', 'stream', 'window') GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+             WHERE term IN ('customer', 'stream', 'window') GROUP BY 1),
+      contrib AS (SELECT t.doc_id, t.term,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS c
+          FROM tf t JOIN df f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      ca AS (SELECT doc_id, c FROM contrib WHERE term = 'customer'),
+      cs AS (SELECT doc_id, c FROM contrib WHERE term = 'stream'),
+      cw AS (SELECT doc_id, c FROM contrib WHERE term = 'window'),
+      andres AS (SELECT ca.doc_id, ca.c + cs.c AS v
+                 FROM ca JOIN cs USING (doc_id)),
+      orres AS (SELECT coalesce(andres.doc_id, cw.doc_id) AS doc_id,
+                       coalesce(andres.v, 0.0) + coalesce(cw.c, 0.0) AS score
+                FROM andres FULL OUTER JOIN cw
+                  ON andres.doc_id = cw.doc_id)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM orres ORDER BY score DESC, doc_id LIMIT 20"""
+  }
+
   /** Exact double cosine with the same left-fold order as the Spark side. */
   private val EmbNorm =
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, " +
@@ -372,6 +405,8 @@ object OracleSql {
       ORDER BY doc_id""",
 
     "q_fts_bm25" -> bm25Sql,
+
+    "q_fts_bm25_bool" -> bm25BoolSql,
 
     // a healthy snapshot reports zero violations for every check
     "q_fts_index_check" -> graft.verify.IndexCheck.CheckNames.sorted
