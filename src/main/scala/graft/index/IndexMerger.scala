@@ -106,11 +106,18 @@ object IndexMerger {
     }
     val docs = spark.read.parquet(s"$dir/docs")
 
-    // -- tokens of the new batch only
+    // -- tokens of the new batch only: resolve doc ids at TURN granularity
+    // (one row per turn), then tokenize — the join never carries the ~7x
+    // larger exploded token table
     stage("tokens") {
-      IndexBuilder.tokenize(corpus)
+      corpus.select($"conv_id", $"turn_idx", $"text")
         .join(docs, Seq("conv_id", "turn_idx"))
-        .select($"term", $"doc_id", $"tf", $"dl")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val st = graft.tokenize.Tokenizer.stats(text)
+          st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
+        }
+        .toDF("term", "doc_id", "tf", "dl")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/_tokens")
     }
     val tokens = spark.read.parquet(s"$dir/_tokens")
