@@ -29,6 +29,15 @@ object EntryQueries {
   private def dec(c: org.apache.spark.sql.Column) =
     c.cast("decimal(18,2)")
 
+  /** Exact decimal sum surfaced as DOUBLE: the sum itself is exact decimal
+    * arithmetic (order-independent), and the single final round-to-nearest
+    * double is identical across engines — unlike DECIMAL outputs, whose
+    * physical encodings (scale rendering, int128 vs fixed16) differ between
+    * Spark parquet and DuckDB under the driver's value hasher
+    * (CORRECTNESS_r01: 5 decimal-sum queries hash-FAILed with equal values). */
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(dec(c)).cast("double")
+
   // ---- the documents table as an engine corpus ----------------------------
 
   /** documents rows as transcript turns; conv_id zero-padded so string order
@@ -84,8 +93,8 @@ object EntryQueries {
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        .agg(decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -105,7 +114,7 @@ object EntryQueries {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(dec(col("c_acctbal"))).cast("decimal(38,2)").as("sum_acctbal"))
+          decSum(col("c_acctbal")).as("sum_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -114,7 +123,7 @@ object EntryQueries {
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+          decSum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -127,7 +136,7 @@ object EntryQueries {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_lines"),
           countDistinct(col("s_nationkey")).as("n_supp_nations"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("revenue"))
+          decSum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("p_brand"))
     }),
 
@@ -135,7 +144,7 @@ object EntryQueries {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+          decSum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),

@@ -181,8 +181,8 @@ object OracleSql {
 
     "q_agg_pushdown" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -195,7 +195,7 @@ object OracleSql {
 
     "q_join_broadcast" -> """
       SELECT r_name, n_name, count(*) AS n_customers,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -203,14 +203,14 @@ object OracleSql {
 
     "q_join_agg" -> """
       SELECT o_orderpriority, count(*) AS n_lines,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1""",
 
     "q_join_multi" -> """
       SELECT p_brand, count(*) AS n_lines,
              count(DISTINCT s_nationkey) AS n_supp_nations,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -218,7 +218,7 @@ object OracleSql {
 
     "q_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
@@ -267,7 +267,7 @@ object OracleSql {
 
     "q_events_json" -> """
       SELECT event_type, count(*) AS n,
-             sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+             sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
              max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       FROM events GROUP BY 1 ORDER BY 1""",
 

@@ -18,7 +18,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -31,7 +31,15 @@ def canon(rows, cols):
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(
         (x is None, str(type(x)), x) for x in t))
-    return [tuple(cols[i] for i in order)] + out
+    header = tuple(f"{cols[i]}:{types[i]}" for i in order)
+    return [header] + out
+
+
+def vrepr(x):
+    """Representation-sensitive value identity — approximates the driver's
+    value hasher, which distinguishes Decimal('1.40') from 1.4 and from
+    Decimal('1.4') even though they compare == in Python."""
+    return (type(x).__name__, repr(x))
 
 
 def main():
@@ -51,7 +59,8 @@ def main():
             got_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [c[0] for c in got_rel.description]
-            got = canon(got_rel.fetchall(), got_cols)
+            got_types = [str(c[1]) for c in got_rel.description]
+            got = canon(got_rel.fetchall(), got_cols, got_types)
         except Exception as e:
             results[name] = f"LOAD-FAIL {e}"
             continue
@@ -62,7 +71,8 @@ def main():
         try:
             exp_rel = con.execute(oracle[name])
             exp_cols = [c[0] for c in exp_rel.description]
-            exp = canon(exp_rel.fetchall(), exp_cols)
+            exp_types = [str(c[1]) for c in exp_rel.description]
+            exp = canon(exp_rel.fetchall(), exp_cols, exp_types)
         except Exception as e:
             results[name] = f"ORACLE-FAIL {e}"
             continue
@@ -73,18 +83,16 @@ def main():
         else:
             diff = None
             for i, (g, e) in enumerate(zip(got[1:], exp[1:])):
-                if g != e:
-                    ok = True
-                    for gv, ev in zip(g, e):
-                        if isinstance(gv, float) and isinstance(ev, float):
-                            if gv != ev and not (
-                                    math.isnan(gv) and math.isnan(ev)):
-                                ok = False
-                        elif gv != ev:
-                            ok = False
-                    if not ok:
-                        diff = (i, g, e)
-                        break
+                ok = True
+                for gv, ev in zip(g, e):
+                    if isinstance(gv, float) and isinstance(ev, float) \
+                            and math.isnan(gv) and math.isnan(ev):
+                        continue
+                    if vrepr(gv) != vrepr(ev):
+                        ok = False
+                if not ok:
+                    diff = (i, g, e)
+                    break
             results[name] = "OK" if diff is None else \
                 f"VALUE-MISMATCH row{diff[0]} got={diff[1]} exp={diff[2]}"
 
