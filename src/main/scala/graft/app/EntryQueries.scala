@@ -77,8 +77,13 @@ object EntryQueries {
       out
     })
 
+  // one long-lived Searcher per index (the REPL reuse pattern): parquet
+  // listing/schema plans build once, and the per-term cache stays bounded
+  // to the latest query per index
+  private val searcherCache = new ConcurrentHashMap[String, Searcher]()
   private def searcher(spark: SparkSession, indexDir: String): Searcher =
-    new Searcher(spark, new IndexStore(indexDir))
+    searcherCache.computeIfAbsent(indexDir,
+      d => new Searcher(spark, new IndexStore(d)))
 
   /** engine conv_id (zero-padded) back to the documents doc_id. */
   private def asDocId(c: org.apache.spark.sql.Column) =

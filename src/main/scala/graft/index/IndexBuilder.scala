@@ -167,12 +167,16 @@ object IndexBuilder {
       if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
       numTerms, conf.k1, conf.b, conf.blockSize)
     store.writeMeta(v, meta)
+    store.writeLayers(v, Seq(TableLayer(v, s"v$v/docs", s"v$v/doc_stats",
+      s"v$v/postings", s"v$v/dict", None)))
     store.recordStage(v, "meta", numDocs, 0L,
       Map("numTerms" -> numTerms, "avgdl" -> meta.avgdl))
-    // drop the intermediate spills before committing
+    store.commit(v)
+    // spills are dropped only AFTER the commit point: a crash in between
+    // leaves a committed snapshot plus dead temp dirs (harmless), never a
+    // manifest that promises stages whose inputs are gone
     deleteRecursive(java.nio.file.Paths.get(s"$dir/_prep"))
     deleteRecursive(java.nio.file.Paths.get(s"$dir/_hot_terms"))
-    store.commit(v)
     meta
   }
 
@@ -207,38 +211,44 @@ object IndexBuilder {
       .repartitionByRange(p, $"term", $"cell")
       .sortWithinPartitions($"term", $"cell", $"doc_id")
       .as[(String, Int, Long, Int, Int)]
+    val maxPerPart = conf.maxPostingsPerPart
     val encoded = runs.mapPartitions { it =>
       val buf = it.buffered
-      new Iterator[(String, Int, Long, Long, Long, Int, Array[Byte])] {
-        // primitive run buffers, reused across groups (grown, never shrunk)
-        private var docA = new Array[Long](1 << 12)
-        private var tfA = new Array[Int](1 << 12)
-        private var dlA = new Array[Int](1 << 12)
-        private def grow(): Unit = {
-          docA = java.util.Arrays.copyOf(docA, docA.length * 2)
-          tfA = java.util.Arrays.copyOf(tfA, tfA.length * 2)
-          dlA = java.util.Arrays.copyOf(dlA, dlA.length * 2)
-        }
+      new Iterator[(String, Int, Int, Long, Long, Long, Int, Array[Byte])] {
+        // fixed primitive run buffers: a run is HARD-capped at maxPerPart
+        // postings — a hot term the sampling pre-pass missed still encodes
+        // as a chain of bounded sequential parts instead of one unbounded
+        // in-memory buffer (ADVICE r1; ranges stay disjoint and ordered
+        // because the run arrives doc-sorted)
+        private val docA = new Array[Long](maxPerPart)
+        private val tfA = new Array[Int](maxPerPart)
+        private val dlA = new Array[Int](maxPerPart)
+        private var curTerm: String = null
+        private var curCell = -1
+        private var chunk = 0
         def hasNext: Boolean = buf.hasNext
-        def next(): (String, Int, Long, Long, Long, Int, Array[Byte]) = {
+        def next(): (String, Int, Int, Long, Long, Long, Int, Array[Byte]) = {
           val term = buf.head._1
           val cell = buf.head._2
+          chunk = if (term == curTerm && cell == curCell) chunk + 1 else 0
+          curTerm = term; curCell = cell
           var n = 0
           var maxTf = 0
-          while (buf.hasNext && buf.head._1 == term && buf.head._2 == cell) {
+          while (n < maxPerPart && buf.hasNext &&
+              buf.head._1 == term && buf.head._2 == cell) {
             val (_, _, d, tf, dl) = buf.next()
-            if (n == docA.length) grow()
             docA(n) = d; tfA(n) = tf; dlA(n) = dl; n += 1
             if (tf > maxTf) maxTf = tf
           }
-          (term, cell, docA(0), docA(n - 1), n.toLong, maxTf,
+          (term, cell, chunk, docA(0), docA(n - 1), n.toLong, maxTf,
             Codec.encodeColumns(docA, tfA, dlA, n, blockSize))
         }
       }
-    }.toDF("term", "cell", "first_doc", "last_doc", "df", "max_tf", "bytes")
+    }.toDF("term", "cell", "chunk", "first_doc", "last_doc", "df", "max_tf",
+      "bytes")
     encoded
-      .withColumn("part",
-        (row_number().over(Window.partitionBy($"term").orderBy($"cell")) - 1))
+      .withColumn("part", (row_number().over(
+        Window.partitionBy($"term").orderBy($"cell", $"chunk")) - 1))
       .select(substring($"term", 1, 1).as("letter"), $"term", $"part",
         $"first_doc", $"last_doc", $"df", $"max_tf", $"bytes")
   }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.model._
+import graft.tokenize.Tokenizer
 
 /** One tagged part row entering a posting merge (src 0 = old snapshot wins). */
 final case class MIn(first_doc: Long, last_doc: Long, bytes: Array[Byte], src: Int)
@@ -51,16 +52,27 @@ final class MergePartsAgg(maxPerPart: Int, blockSize: Int)
 
 /** Incremental merge: new corpus batch into an existing snapshot — the
   * Spark-first replacement for the reference's in-place WAL merge
-  * (reference: app/Index/Index_Merge.cpp:547-1037): instead of planning
-  * move/resize/write transactions into mmap'd files, we full-outer-combine
-  * the affected posting parts and commit a fresh immutable snapshot.
+  * (reference: app/Index/Index_Merge.cpp:547-1037).
+  *
+  * Cost model (north_rule incremental economy): the new snapshot is the old
+  * snapshot's data directories carried BY REFERENCE in tables.jsonl plus
+  * delta directories written here — fresh docs, the batch's doc_stats, the
+  * batch's posting parts, their dict rows. Bytes written are Θ(batch), not
+  * Θ(index); the only old-index I/O is one docs scan (id resolution, batch
+  * keys broadcast) and — only when the batch re-indexes existing docs — a
+  * letter-pruned read of the affected terms' old parts for the regroup. A
+  * pure-append batch (new conversations arriving, the transcript steady
+  * state) reads zero old posting bytes.
   *
   * Semantics preserved from the reference (SURVEY.md §7.1.7):
   *   - re-indexed docs keep their ids (M1 path join) and OVERWRITE their
-  *     doc_stats (word_count/dl), but stale postings are never deleted;
-  *   - on a (term, doc) collision the old posting wins (M4);
+  *     doc_stats (the delta layer wins at read), but stale postings are
+  *     never deleted;
+  *   - on a (term, doc) collision the old posting wins (M4) — those terms
+  *     are regrouped into this layer and the old layers masked via
+  *     `replaced_terms`;
   *   - new docs are appended with fresh ids (M2);
-  *   - new terms are inserted (M5) — free in the full-outer union.
+  *   - new terms are inserted (M5) — free in the layer union.
   */
 object IndexMerger {
 
@@ -70,7 +82,6 @@ object IndexMerger {
     val store = new IndexStore(root)
     val oldV = store.currentVersion.getOrElse(
       throw new IllegalStateException(s"no snapshot to merge into at $root"))
-    val oldDir = store.snapshotDir(oldV)
     val oldMeta = store.meta(oldV)
     val v = store.nextVersion
     val dir = store.snapshotDir(v)
@@ -86,63 +97,70 @@ object IndexMerger {
         store.recordStage(v, name, -1L, (System.nanoTime() - t0) / 1000000L)
       }
 
-    val oldDocs = spark.read.parquet(s"$oldDir/docs")
-
-    // -- docs: existing keep ids, new appended after old max (M1/M2)
-    stage("docs") {
-      val keys = corpus.select($"conv_id", $"turn_idx")
-        .dropDuplicates(Seq("conv_id", "turn_idx"))
-      val fresh = keys.join(oldDocs.select($"conv_id", $"turn_idx"),
-        Seq("conv_id", "turn_idx"), "left_anti")
+    // -- batch_prep: resolve ids at TURN granularity (M1 keep / M2 append)
+    // and compute the row-local tokenizer stats in the same pass. The old
+    // docs table is scanned once with the batch keys broadcast (map-side
+    // semi/inner); every other frame here is batch-sized.
+    stage("batch_prep") {
+      val batch = corpus.dropDuplicates(Seq("conv_id", "turn_idx"))
+        .select($"conv_id", $"turn_idx", $"text")
+      val keys = batch.select($"conv_id", $"turn_idx")
+      val known = store.docsAt(spark, oldV)
+        .join(broadcast(keys), Seq("conv_id", "turn_idx"))
+        .select($"doc_id", $"conv_id", $"turn_idx", lit(false).as("is_new"))
+      val fresh = keys
+        .join(known.select($"conv_id", $"turn_idx"),
+          Seq("conv_id", "turn_idx"), "left_anti")
         .repartitionByRange(P, $"conv_id", $"turn_idx")
         .sortWithinPartitions($"conv_id", $"turn_idx")
         .as[(String, Int)]
       val offset = oldMeta.maxDocId + 1
       val assigned = spark.createDataset(
-        fresh.rdd.zipWithIndex.map { case ((c, t), i) => DocRow(offset + i, c, t) })
-      oldDocs.as[DocRow].union(assigned)
-        .repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+          fresh.rdd.zipWithIndex.map { case ((c, t), i) => (offset + i, c, t) })
+        .toDF("doc_id", "conv_id", "turn_idx")
+        .withColumn("is_new", lit(true))
+      batch.join(known.unionByName(assigned), Seq("conv_id", "turn_idx"))
+        .select($"doc_id", $"conv_id", $"turn_idx", $"text", $"is_new")
+        .as[(Long, String, Int, String, Boolean)]
+        .map { case (id, c, t, text, isNew) =>
+          val st = Tokenizer.stats(text)
+          (id, c, t, text, isNew, st.wordCount, st.dl)
+        }
+        .toDF("doc_id", "conv_id", "turn_idx", "text", "is_new",
+          "word_count", "dl")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_batch")
+    }
+    val batchPrep = spark.read.parquet(s"$dir/_batch")
+
+    // -- docs delta: ONLY the fresh docs; old docs ride along by reference
+    stage("docs") {
+      batchPrep.filter($"is_new")
+        .select($"doc_id", $"conv_id", $"turn_idx")
+        .repartitionByRange(math.max(1, P / 4), $"doc_id")
+        .sortWithinPartitions($"doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     }
-    val docs = spark.read.parquet(s"$dir/docs")
 
-    // -- tokens of the new batch only: resolve doc ids at TURN granularity
-    // (one row per turn), then tokenize — the join never carries the ~7x
-    // larger exploded token table
-    stage("tokens") {
-      corpus.select($"conv_id", $"turn_idx", $"text")
-        .join(docs, Seq("conv_id", "turn_idx"))
-        .select($"doc_id", $"text").as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val st = graft.tokenize.Tokenizer.stats(text)
-          st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
-        }
-        .toDF("term", "doc_id", "tf", "dl")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_tokens")
-    }
-    val tokens = spark.read.parquet(s"$dir/_tokens")
-
-    // -- doc_stats: new batch overwrites re-indexed docs (M1 count
-    // overwrite, Index_Merge.cpp:617-637); untouched docs carried over
+    // -- doc_stats delta: every batch doc (fresh AND re-indexed — the layer
+    // precedence at read time is the M1 stats overwrite)
     stage("doc_stats") {
-      val batchDocs = corpus.select($"conv_id", $"turn_idx")
-        .dropDuplicates(Seq("conv_id", "turn_idx"))
-        .join(docs, Seq("conv_id", "turn_idx")).select($"doc_id")
-      val newStats = batchDocs
-        .join(tokens.groupBy($"doc_id")
-          .agg(count(lit(1)).cast("int").as("word_count"),
-               sum($"tf").cast("int").as("dl")), Seq("doc_id"), "left")
-        .na.fill(0, Seq("word_count", "dl"))
-      val carried = spark.read.parquet(s"$oldDir/doc_stats")
-        .join(batchDocs, Seq("doc_id"), "left_anti")
-      carried.unionByName(newStats)
-        .repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+      batchPrep.select($"doc_id", $"word_count", $"dl")
+        .repartitionByRange(math.max(1, P / 4), $"doc_id")
+        .sortWithinPartitions($"doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")
     }
 
-    // -- segment parts from the new batch
+    // -- segment: tokenize fused into the term shuffle (no token
+    // materialization), exact hot-term split over the batch
     stage("segment") {
-      val span = docs.agg(max($"doc_id")).as[Long].head() + 1
+      val tokens = batchPrep.select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val st = Tokenizer.stats(text)
+          st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
+        }
+        .toDF("term", "doc_id", "tf", "dl")
+      val span = oldMeta.maxDocId + 1 +
+        batchPrep.filter($"is_new").count()
       val hot: Map[String, Int] = tokens.groupBy($"term")
         .agg(count(lit(1)).as("df"))
         .filter($"df" > conf.maxPostingsPerPart)
@@ -155,36 +173,64 @@ object IndexMerger {
         s"$dir/_segment", P)
     }
 
-    // -- postings: combine old snapshot parts with the segment
+    // -- postings delta: batch parts whose terms never touch the old id
+    // space append with part numbers offset past the old count; terms that
+    // DO reach into old ids (re-indexed docs) get the old-wins regroup, and
+    // their old-layer rows are masked via replaced_terms
     stage("postings") {
-      val oldP = spark.read.parquet(s"$oldDir/postings")
       val newP = spark.read.parquet(s"$dir/_segment")
-      // terms whose new parts reach into the old doc-id space need a
-      // dedup regroup; everything else passes through / appends
       val affected = newP.filter($"first_doc" <= oldMeta.maxDocId)
-        .select($"term").distinct()
-      val oldPass = oldP.join(affected, Seq("term"), "left_anti")
-      val newPass = newP.join(affected, Seq("term"), "left_anti")
-      val magg = udaf(new MergePartsAgg(conf.maxPostingsPerPart, conf.blockSize),
-        Encoders.product[MIn])
-      val regrouped = oldP.join(affected, Seq("term"))
-        .select($"term", $"first_doc", $"last_doc", $"bytes", lit(0).as("src"))
-        .unionByName(newP.join(affected, Seq("term"))
-          .select($"term", $"first_doc", $"last_doc", $"bytes", lit(1).as("src")))
-        .groupBy($"term")
-        .agg(magg($"first_doc", $"last_doc", $"bytes", $"src").as("ps"))
-        .select($"term", explode($"ps.parts").as("p"))
-        .select(substring($"term", 1, 1).as("letter"), $"term",
-          $"p.first_doc".as("first_doc"), $"p.last_doc".as("last_doc"),
-          $"p.df".as("df"), $"p.max_tf".as("max_tf"), $"p.bytes".as("bytes"))
-      val combined = oldPass.drop("part").unionByName(newPass.drop("part"))
-        .unionByName(regrouped)
-        .withColumn("part", row_number()
-          .over(Window.partitionBy($"term").orderBy($"first_doc")) - 1)
-      IndexBuilder.writeParts(combined, s"$dir/postings", P)
+        .select($"term").distinct().persist()
+      val nAffected = affected.count()
+
+      val oldDict = store.dictAt(spark, oldV)
+        .select($"term", $"parts".as("old_parts"))
+      val appended = newP.join(broadcast(affected), Seq("term"), "left_anti")
+        .join(oldDict, Seq("term"), "left")
+        .withColumn("part",
+          $"part" + coalesce($"old_parts", lit(0)).cast("int"))
+        .drop("old_parts")
+
+      val regrouped = if (nAffected == 0) spark.emptyDataFrame else {
+        val letters = affected
+          .select(substring($"term", 1, 1).as("l")).distinct()
+          .as[String].collect().toSeq
+        val oldAffected = store.postingsAt(spark, oldV)
+          .filter($"letter".isin(letters: _*))
+          .join(broadcast(affected), Seq("term"))
+        val magg = udaf(
+          new MergePartsAgg(conf.maxPostingsPerPart, conf.blockSize),
+          Encoders.product[MIn])
+        oldAffected
+          .select($"term", $"first_doc", $"last_doc", $"bytes", lit(0).as("src"))
+          .unionByName(newP.join(broadcast(affected), Seq("term"))
+            .select($"term", $"first_doc", $"last_doc", $"bytes",
+              lit(1).as("src")))
+          .groupBy($"term")
+          .agg(magg($"first_doc", $"last_doc", $"bytes", $"src").as("ps"))
+          .select($"term", explode($"ps.parts").as("p"))
+          .select(substring($"term", 1, 1).as("letter"), $"term",
+            (row_number().over(
+              Window.partitionBy($"term").orderBy($"p.first_doc")) - 1)
+              .as("part"),
+            $"p.first_doc".as("first_doc"), $"p.last_doc".as("last_doc"),
+            $"p.df".as("df"), $"p.max_tf".as("max_tf"), $"p.bytes".as("bytes"))
+      }
+
+      val delta =
+        if (nAffected == 0) appended else appended.unionByName(regrouped)
+      IndexBuilder.writeParts(delta, s"$dir/postings", P)
+      if (nAffected > 0)
+        affected.repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/replaced_terms")
+      affected.unpersist()
+      store.recordStage(v, "postings_lineage", nAffected, 0L,
+        Map("affectedTerms" -> nAffected, "appendOnly" -> (nAffected == 0)))
     }
 
-    // -- dict + meta + commit (same as first build)
+    // -- dict delta: derived from the delta postings alone (regrouped terms
+    // carry their FULL df here and mask the base row; appended terms sum
+    // with the base row at read)
     stage("dict") {
       spark.read.parquet(s"$dir/postings")
         .groupBy($"letter", $"term")
@@ -195,11 +241,20 @@ object IndexMerger {
         .parquet(s"$dir/dict")
     }
 
-    val stats = spark.read.parquet(s"$dir/doc_stats")
+    // -- layer list, meta, commit
+    val replaced =
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/replaced_terms")))
+        Some(s"v$v/replaced_terms")
+      else None
+    store.writeLayers(v, store.layers(oldV) :+ TableLayer(v, s"v$v/docs",
+      s"v$v/doc_stats", s"v$v/postings", s"v$v/dict", replaced))
+
+    val stats = store.docStatsAt(spark, v)
     val (numDocs, totalTokens, maxId) = stats
       .agg(count(lit(1)), sum($"dl"), max($"doc_id"))
       .as[(Long, Long, Long)].head()
-    val numTerms = spark.read.parquet(s"$dir/dict")
+    val numTerms = store.dictAt(spark, v)
       .select($"term").distinct().count()
     val meta = IndexMeta(v, numDocs, maxId, totalTokens,
       if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
@@ -207,9 +262,9 @@ object IndexMerger {
     store.writeMeta(v, meta)
     store.recordStage(v, "meta", numDocs, 0L,
       Map("mergedInto" -> s"v$oldV", "numTerms" -> numTerms))
-    IndexBuilder.deleteRecursive(java.nio.file.Paths.get(s"$dir/_tokens"))
-    IndexBuilder.deleteRecursive(java.nio.file.Paths.get(s"$dir/_segment"))
     store.commit(v)
+    IndexBuilder.deleteRecursive(java.nio.file.Paths.get(s"$dir/_batch"))
+    IndexBuilder.deleteRecursive(java.nio.file.Paths.get(s"$dir/_segment"))
     meta
   }
 }

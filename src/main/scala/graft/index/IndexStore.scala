@@ -35,6 +35,26 @@ object IndexMeta {
   }
 }
 
+/** One data layer of a snapshot: the delta directories one build or merge
+  * produced. `replaced` names terms whose postings/dict rows in EARLIER
+  * layers are superseded by this layer's regrouped parts (None = pure
+  * append — the common transcript-ingest case). */
+final case class TableLayer(version: Int, docs: String, docStats: String,
+    postings: String, dict: String, replaced: Option[String]) {
+  def toJson: String = Jsonl.write(Map(
+    "version" -> version, "docs" -> docs, "doc_stats" -> docStats,
+    "postings" -> postings, "dict" -> dict,
+    "replaced" -> replaced.getOrElse("")))
+}
+
+object TableLayer {
+  def fromJson(s: String): TableLayer = {
+    val m = Jsonl.parse(s)
+    TableLayer(m("version").toInt, m("docs"), m("doc_stats"), m("postings"),
+      m("dict"), Some(m.getOrElse("replaced", "")).filter(_.nonEmpty))
+  }
+}
+
 /** On-disk index layout and snapshot/commit management.
   *
   * Replaces the reference's 6-file mmap layout + WAL/backup machinery
@@ -44,6 +64,8 @@ object IndexMeta {
   * {{{
   *   <root>/CURRENT          -- text "v<N>"; atomically replaced = commit point
   *   <root>/v<N>/meta.json
+  *   <root>/v<N>/tables.jsonl     -- the layer list: which data dirs (of this
+  *                                   or EARLIER versions) make up each table
   *   <root>/v<N>/manifest.jsonl   -- one JSON line per completed stage:
   *                                   lineage (inputs), rows, files, millis
   *   <root>/v<N>/docs/            -- (doc_id, conv_id, turn_idx)
@@ -51,6 +73,7 @@ object IndexMeta {
   *   <root>/v<N>/postings/letter=?/ -- (term, part, first_doc, last_doc,
   *                                      df, max_tf, bytes)
   *   <root>/v<N>/dict/letter=?/     -- (term, df, parts)
+  *   <root>/v<N>/replaced_terms/  -- merges only: terms this layer regrouped
   * }}}
   *
   * The design is the Iceberg-snapshot pattern expressed over plain Parquet
@@ -59,6 +82,16 @@ object IndexMeta {
   * Crash before the flip leaves a partial staging dir that is simply ignored
   * (and resumable — completed stages are recorded in manifest.jsonl, the
   * analog of the reference's transaction WAL restart, Index.cpp:196-218).
+  *
+  * Incremental economy (north_rule "per-partition lineage", the Spark answer
+  * to the reference's in-place merge, app/Index/Index_Merge.cpp:547-1037): a
+  * merge snapshot lists the previous snapshot's data dirs in tables.jsonl
+  * and adds only its own delta dirs — untouched postings/docs bytes are
+  * carried by REFERENCE, never rewritten. Readers union the layers:
+  *   - docs: plain union (doc ids are unique across layers);
+  *   - doc_stats: latest layer wins per doc_id (re-index overwrites, M1);
+  *   - postings/dict: rows of layer i are masked for terms a later layer
+  *     regrouped (`replaced`); everything else unions additively (M2-M5).
   */
 final class IndexStore(val root: String) {
   private val rootPath: Path = Paths.get(root)
@@ -142,14 +175,124 @@ final class IndexStore(val root: String) {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  // ---- table readers ---------------------------------------------------
+  // ---- layer list --------------------------------------------------------
 
-  def docs(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"${currentDir.get}/docs")
+  private def tablesPath(v: Int): Path =
+    Paths.get(snapshotDir(v), "tables.jsonl")
+
+  def writeLayers(v: Int, layers: Seq[TableLayer]): Unit =
+    Files.writeString(tablesPath(v),
+      layers.map(_.toJson).mkString("", "\n", "\n"))
+
+  /** Layers of snapshot v, oldest first. Snapshots written before the
+    * layered format (no tables.jsonl) are a single self-contained layer. */
+  def layers(v: Int): Seq[TableLayer] = {
+    val p = tablesPath(v)
+    if (Files.exists(p))
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).map(TableLayer.fromJson).toSeq
+    else Seq(TableLayer(v, s"v$v/docs", s"v$v/doc_stats", s"v$v/postings",
+      s"v$v/dict", None))
+  }
+
+  private def absPath(rel: String): String = rootPath.resolve(rel).toString
+
+  /** True iff the directory holds at least one parquet file — a delta layer
+    * can be legitimately empty (e.g. a merge batch with no fresh docs), and
+    * Spark cannot infer a schema from a fileless directory. */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  // ---- table readers ------------------------------------------------------
+  // Single-layer snapshots read their directory directly (zero overhead);
+  // layered snapshots union the layers with the masking rules documented on
+  // the class. The replaced-terms mask is a broadcast anti-condition join
+  // against a table of (term, max replacing layer) — empty for append-only
+  // merge chains, tiny otherwise.
+
+  def docs(spark: SparkSession): DataFrame = docsAt(spark, currentVersion.get)
   def docStats(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"${currentDir.get}/doc_stats")
+    docStatsAt(spark, currentVersion.get)
   def postings(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"${currentDir.get}/postings")
-  def dict(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"${currentDir.get}/dict")
+    postingsAt(spark, currentVersion.get)
+  def dict(spark: SparkSession): DataFrame = dictAt(spark, currentVersion.get)
+
+  def docsAt(spark: SparkSession, v: Int): DataFrame = {
+    val paths = layers(v).map(l => absPath(l.docs)).filter(hasData(spark, _))
+    spark.read.parquet(
+      (if (paths.nonEmpty) paths else Seq(absPath(layers(v).head.docs))): _*)
+  }
+
+  def docStatsAt(spark: SparkSession, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ls = layers(v).filter(l => hasData(spark, absPath(l.docStats)))
+    if (ls.length == 1) spark.read.parquet(absPath(ls.head.docStats))
+    else ls.zipWithIndex.map { case (l, i) =>
+      spark.read.parquet(absPath(l.docStats))
+        .select(col("doc_id"), struct(lit(i).as("layer"),
+          col("word_count"), col("dl")).as("s"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("doc_id")).agg(max(col("s")).as("s"))
+      .select(col("doc_id"), col("s.word_count").as("word_count"),
+        col("s.dl").as("dl"))
+  }
+
+  /** (term, highest layer index that regrouped it) across layers of v. */
+  private def replacedTerms(spark: SparkSession, ls: Seq[TableLayer])
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val reps = ls.zipWithIndex.collect { case (l, i) if l.replaced.nonEmpty =>
+      spark.read.parquet(absPath(l.replaced.get))
+        .select(col("term"), lit(i).as("rl"))
+    }
+    if (reps.isEmpty) None
+    else Some(reps.reduce(_ unionByName _)
+      .groupBy(col("term")).agg(max(col("rl")).as("rl")))
+  }
+
+  private def maskedUnion(spark: SparkSession, ls0: Seq[TableLayer],
+      dirOf: TableLayer => String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ls = {
+      val f = ls0.filter(l => hasData(spark, absPath(dirOf(l))))
+      if (f.nonEmpty) f else ls0.take(1)
+    }
+    if (ls.length == 1) return spark.read.parquet(absPath(dirOf(ls.head)))
+    val head = spark.read.parquet(absPath(dirOf(ls.head)))
+    val cols = head.columns.toSeq
+    val union = (head +: ls.tail.map(l => spark.read.parquet(absPath(dirOf(l)))))
+      .zipWithIndex.map { case (df, i) => df.withColumn("_layer", lit(i)) }
+      .reduce(_ unionByName _)
+    val masked = replacedTerms(spark, ls) match {
+      case None => union
+      case Some(rep) =>
+        union.join(org.apache.spark.sql.functions.broadcast(rep),
+            Seq("term"), "left")
+          .filter(col("rl").isNull || col("rl") <= col("_layer"))
+    }
+    masked.select(cols.map(col): _*)
+  }
+
+  def postingsAt(spark: SparkSession, v: Int): DataFrame =
+    maskedUnion(spark, layers(v), _.postings)
+
+  def dictAt(spark: SparkSession, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ls = layers(v)
+    val base = maskedUnion(spark, ls, _.dict)
+    if (ls.length == 1) base
+    // additive df across layers (a term indexed by several batches has one
+    // dict row per layer); filters on term/letter push below the agg
+    else base.groupBy(col("letter"), col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("parts")).cast("int").as("parts"))
+  }
 }

@@ -22,13 +22,24 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   import spark.implicits._
 
   val meta: IndexMeta = store.currentMeta
-  private val dir = store.currentDir.get
 
-  // lazy vals: the parquet file indexes (listing + schema) are built once
-  // per Searcher and reused across queries
-  private lazy val dict: DataFrame = spark.read.parquet(s"$dir/dict")
-  private lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
-  private lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
+  // lazy vals: the layered-snapshot readers (parquet listing + schema +
+  // layer masking plan) are built once per Searcher and reused across
+  // queries — the long-lived-searcher/REPL reuse pattern
+  private lazy val dict: DataFrame = store.dict(spark)
+  private lazy val postings: DataFrame = store.postings(spark)
+  private lazy val docs: DataFrame = store.docs(spark)
+
+  // the per-term frame of the LATEST query stays cached (repeat-query
+  // speed); issuing a new query or close() drops the previous one —
+  // a long-lived Searcher no longer accumulates persisted plans (r1 leak)
+  private var cachedPerTerm: Option[DataFrame] = None
+
+  /** Release cached per-query state. */
+  def close(): Unit = {
+    cachedPerTerm.foreach(_.unpersist(blocking = false))
+    cachedPerTerm = None
+  }
 
   private val decodeUdf = udf { bytes: Array[Byte] =>
     Codec.decodeAll(bytes).map(p => PostingRow(p.docId, p.tf, p.dl)).toSeq
@@ -103,7 +114,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty)
       return new DfAlgebra(_ => null).empty
+    close()
     val cached = perTermValue.persist(StorageLevel.MEMORY_AND_DISK)
+    cachedPerTerm = Some(cached)
     val alg = new DfAlgebra(i => cached.filter($"term_idx" === i)
       .select($"doc_id", $"v"))
     parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
@@ -141,20 +154,25 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     searchBm25Df(parsed, query, k)
   }
 
-  /** WAND path: matched words collapse to word → idf × multiplicity
-    * weights; [[Wand.topK]] does the scored retrieval. */
+  /** WAND path: matched words collapse to a (word, weight) frame with
+    * weight = idf × multiplicity (a word matched by two search terms
+    * contributes twice, like two OR'd per-term passes); the frame stays
+    * distributed — [[Wand.topK]] broadcast-joins it against the postings
+    * scan, so wide wildcards never collect to the driver. */
   private def searchBm25Wand(parsed: QueryParser.Parsed, k: Int): DataFrame = {
-    // count term multiplicity per matched dictionary word (a word matched by
-    // two search terms contributes twice, like two OR'd per-term passes)
+    val n = lit(meta.numDocs.toDouble)
     val words = matchedWords(parsed.searchWords)
       .groupBy($"word").agg(count(lit(1)).as("mult"), first($"df").as("df"))
-      .collect().map { r =>
-        val df = r.getAs[Long]("df")
-        val idf = math.log(1.0 + (meta.numDocs - df + 0.5) / (df + 0.5))
-        r.getAs[String]("word") -> r.getAs[Long]("mult") * idf
-      }.toMap
-    if (words.isEmpty) return emptyResult("score")
-    val top = Wand.topK(spark, s"$dir/postings", words, meta.maxDocId + 1,
+      .select($"word",
+        (log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          $"mult").as("weight"))
+    // query-word first letters — known without running a job; prunes the
+    // letter= partitions of the postings scan
+    val letters = parsed.searchWords
+      .collect { case (t, _) if t.nonEmpty && t.head >= 'a' && t.head <= 'z' =>
+        t.substring(0, 1) }
+      .distinct
+    val top = Wand.topK(spark, postings, words, letters, meta.maxDocId + 1,
       meta.avgdl, conf, k)
     // the top-k side is k rows — broadcast it so resolving doc keys is a
     // map-side lookup over the docs scan, not a sort-merge join

@@ -28,28 +28,35 @@ object Wand {
       first_doc: Long, bytes: Array[Byte])
   final case class Cand(doc_id: Long, score: Double)
 
-  /** weightedWords: dictionary word → (idf × term multiplicity). */
-  def topK(spark: SparkSession, postingsDir: String,
-      weightedWords: Map[String, Double], span: Long, avgdl: Double,
-      conf: EngineConf, k: Int, numShardsOpt: Option[Int] = None): DataFrame = {
+  /** Top-k over `postings` for the matched dictionary words.
+    *
+    * `weightedWords` is a DataFrame (word, weight) with weight = idf × term
+    * multiplicity — it is broadcast-JOINED against the letter-pruned
+    * postings scan, so a short prefix matching 10⁴⁺ dictionary words never
+    * becomes a driver-side In-list or a collected Map (r1 verdict: the
+    * driver bottleneck on wide wildcards). `letters` (the first letters of
+    * the query's search words, known without any job) prunes the letter=
+    * partitions of the scan. */
+  def topK(spark: SparkSession, postings: DataFrame,
+      weightedWords: DataFrame, letters: Seq[String], span: Long,
+      avgdl: Double, conf: EngineConf, k: Int,
+      numShardsOpt: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    if (weightedWords.isEmpty || span <= 0)
+    if (letters.isEmpty || span <= 0)
       return spark.emptyDataset[Cand].toDF()
     val numShards = numShardsOpt.getOrElse(
       math.max(spark.sparkContext.defaultParallelism, 1))
     val width = math.max(1L, (span + numShards - 1) / numShards)
-    val letters = weightedWords.keysIterator.map(_.substring(0, 1)).toSet.toSeq
-    val wb = spark.sparkContext.broadcast(weightedWords)
     val k1 = conf.k1; val b = conf.b
 
-    val parts = spark.read.parquet(postingsDir)
-      .filter($"letter".isin(letters: _*) &&
-        $"term".isin(weightedWords.keys.toSeq: _*))
-      .select($"term", $"first_doc", $"last_doc", $"bytes")
-      .as[(String, Long, Long, Array[Byte])]
+    val parts = postings
+      .filter($"letter".isin(letters: _*))
+      .join(org.apache.spark.sql.functions.broadcast(weightedWords),
+        $"term" === $"word")
+      .select($"term", $"weight", $"first_doc", $"last_doc", $"bytes")
+      .as[(String, Double, Long, Long, Array[Byte])]
 
-    val sharded = parts.flatMap { case (word, fd, ld, bytes) =>
-      val w = wb.value(word)
+    val sharded = parts.flatMap { case (word, w, fd, ld, bytes) =>
       ((fd / width).toInt to (ld / width).toInt).iterator
         .map(s => ShardRow(s, word, w, fd, bytes))
     }

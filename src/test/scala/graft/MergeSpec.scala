@@ -120,6 +120,59 @@ class MergeSpec extends SparkTestBase {
     }
   }
 
+  test("merge cost is Θ(batch): append-only delta, old bytes untouched") {
+    val dir = tmpDir("graft-merge-econ")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, N, partitions = 4), dir, conf)
+    val st = new IndexStore(dir)
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+    }
+    val v1Postings = dirBytes(s"${st.snapshotDir(1)}/postings")
+    val v1Docs = dirBytes(s"${st.snapshotDir(1)}/docs")
+    val v1Mtimes = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(st.snapshotDir(1)))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    // append-only batch: 15 brand-new conversations, zero overlap
+    IndexMerger.merge(spark,
+      TranscriptGen.batch2Dataset(spark, N, Extra, 0), dir, conf)
+    assert(st.currentVersion.contains(2))
+    // no term regrouped -> no replaced mask, the fast layered-read path
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${st.snapshotDir(2)}/replaced_terms")))
+    // v1 data files are carried by reference: not one byte rewritten
+    v1Mtimes.foreach { case (p, t) =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)).toMillis == t, s"v1 file rewritten: $p")
+    }
+    // the delta is batch-sized, not index-sized (15 vs 60 conversations)
+    val v2Postings = dirBytes(s"${st.snapshotDir(2)}/postings")
+    assert(v2Postings > 0)
+    assert(v2Postings < v1Postings,
+      s"postings delta $v2Postings !< full $v1Postings")
+    val v2Docs = dirBytes(s"${st.snapshotDir(2)}/docs")
+    assert(v2Docs < v1Docs, s"docs delta $v2Docs !< full $v1Docs")
+    // and the merged snapshot still answers correctly
+    val o = new Oracle(conf)
+    o.indexAll(TranscriptGen.local(N.toInt))
+    o.indexAll(TranscriptGen.batch2(N, Extra, 0))
+    val s2 = new Searcher(spark, st, conf)
+    val got = s2.searchCount("which").collect()
+      .map { case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n }.toMap
+    assert(got == o.searchCount("which").toMap)
+  }
+
   test("merge is resumable: re-merging the same batch is a no-op on content") {
     val _ = indexDir
     val before = store.currentMeta
