@@ -299,7 +299,10 @@ object EntryQueries {
     }),
 
     "q_sim_neardup" -> ((s, d) =>
-      Similarity.bruteNearDupPairs(t(s, d, "embeddings"), minCos = 0.42)
+      // exact all-pairs >= 0.42 via the tiled block kernel (NOT the
+      // row-exploded cross join): same left-fold dot => same oracle
+      Similarity.blockedNearDupPairs(t(s, d, "embeddings"), minCos = 0.42,
+          tileRows = 512)
         .orderBy(col("id_a"), col("id_b"))),
 
     // -- multimodal plumbing -------------------------------------------------

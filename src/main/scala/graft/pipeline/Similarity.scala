@@ -4,6 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One packed tile of the corpus for the blocked all-pairs kernel
+  * ([[Similarity.blockedNearDupPairs]]); top-level so the Product encoder
+  * codegens. */
+final case class SimTile(bid: Int, ids: Array[Long],
+    data: Array[Double], norms: Array[Double])
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — a broadcast join of the (small)
@@ -55,12 +61,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
   }
 
-  /** Deterministic ±1 hyperplane component for (plane, dim) — a parity mix
-    * of two large odd constants; stable across runs and engines. */
-  private def planeSign(plane: Int, dim: Column): Column = {
-    val mixed = (dim * 73856093L + lit(plane.toLong * 19349663L)) % 2
-    when(mixed === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
+  /** Deterministic ±1 hyperplane component for (plane, dim): murmur3 of the
+    * pair (Spark's `hash`), stable across runs. (The r1 parity mix
+    * `(dim*odd + plane*odd) % 2` collapsed to `(dim+plane) % 2` — every
+    * even plane identical, every odd plane its complement, so an "8-bit"
+    * signature had 1 effective bit.) */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(pmod(hash(lit(plane), dim), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
 
   /** Sign-LSH bucket signature (`bits` hyperplanes) of a vector column. */
   def lshBucketCol(vec: Column, bits: Int): Column =
@@ -161,8 +169,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Exact embedding near-duplicate pairs via tiled block products — the
+    * scale shape for EXACT all-pairs ≥ minCos over dense vectors.
+    *
+    * Exact all-pairs is inherently O(n²·d) FLOPs at ANY threshold low
+    * enough that LSH can't separate pairs from background (here minCos 0.42
+    * sits just above the background cosine p99 ≈ 0.29: per-hyperplane
+    * collision is 0.64 at the threshold vs ~0.55 for random pairs, so no
+    * banding scheme reaches recall 1 with useful selectivity — measured on
+    * the driver testdata). What CAN be fixed is the constant and the data
+    * movement: instead of a row-exploded cross join (r1: one (va, vb) row
+    * per candidate pair, 11.3 s at sf0.1), vectors pack into B = n/tileRows
+    * dense tiles; each unordered tile pair meets once in a shuffle of
+    * O(B·n·d / tileRows) packed bytes and runs a cache-friendly primitive
+    * dot-product loop. The inner loop folds dims left in doubles — the SAME
+    * addition order as the SQL oracle, so results stay bit-exact.
+    */
+  def blockedNearDupPairs(corpus: DataFrame, minCos: Double,
+      tileRows: Int = 2048, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val nTiles = math.max(1, ((n + tileRows - 1) / tileRows).toInt)
+    val tiles = corpus
+      .select(col(id).cast("long").as("id"),
+        col(vec).cast("array<double>").as("v"), norm2Col(col(vec)).as("n2"))
+      .as[(Long, Seq[Double], Double)]
+      .groupByKey { case (i, _, _) => (i % nTiles).toInt }
+      .mapGroups { (bid, rows) =>
+        val rs = rows.toArray.sortBy(_._1)
+        val d = if (rs.isEmpty) 0 else rs.head._2.length
+        val data = new Array[Double](rs.length * d)
+        var i = 0
+        while (i < rs.length) {
+          val v = rs(i)._2; var j = 0
+          while (j < d) { data(i * d + j) = v(j); j += 1 }
+          i += 1
+        }
+        SimTile(bid, rs.map(_._1), data, rs.map(_._3))
+      }
+    // every unordered tile pair (a <= b) meets exactly once
+    val routed = tiles.flatMap { t =>
+      (0 until nTiles).iterator.collect {
+        case o if o >= t.bid => ((t.bid, o), t)
+        case o if o < t.bid => ((o, t.bid), t)
+      }
+    }
+    routed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val (a, b) = key
+      val ts = it.map(_._2).toArray
+      val ta = ts.find(_.bid == a).get
+      val tb = if (a == b) ta else ts.find(_.bid == b).get
+      val d = if (ta.ids.nonEmpty) ta.data.length / ta.ids.length else 0
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < ta.ids.length) {
+        var j = if (a == b) i + 1 else 0
+        while (j < tb.ids.length) {
+          val ia = ta.ids(i); val ib = tb.ids(j)
+          if (ia != ib) {
+            var dot = 0.0
+            var p = 0
+            while (p < d) { dot += ta.data(i * d + p) * tb.data(j * d + p); p += 1 }
+            val cos = dot / (math.sqrt(ta.norms(i)) * math.sqrt(tb.norms(j)))
+            if (cos >= minCos)
+              out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("id_a", "id_b", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= minCos, LSH-blocked with
-    * Hamming-1 probing, exact cosine verification. */
+    * Hamming-1 probing, exact cosine verification. Probabilistic recall —
+    * use for high thresholds (>= ~0.8) where sign-LSH separates; see
+    * [[blockedNearDupPairs]] for the exact path. */
   def cosineNearDupPairs(corpus: DataFrame, minCos: Double, bits: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val sig = corpus.select(col(id), col(vec),

@@ -30,7 +30,12 @@ import graft.index.{Codec, IndexStore}
   */
 object IndexCheck {
 
-  /** Run all checks on the current snapshot; returns (check, violations). */
+  /** Run all checks on the current snapshot; returns (check, violations).
+    *
+    * The result is ONE DataFrame whose plan unions a 1-row aggregate per
+    * check — the caller's single action runs every check in one Spark job
+    * (shared scans, parallel stages) instead of 16 sequential count jobs
+    * (r1: 4.4 s of the bench was this query's job-launch serialization). */
   def run(spark: SparkSession, store: IndexStore): DataFrame = {
     import spark.implicits._
     val docs = store.docs(spark)
@@ -39,39 +44,68 @@ object IndexCheck {
     val posts = store.postings(spark)
     val meta = store.currentMeta
 
-    def cnt(name: String, df: DataFrame): (String, Long) = (name, df.count())
+    def one(name: String, violations: org.apache.spark.sql.Column,
+        df: DataFrame): DataFrame =
+      df.agg(coalesce(violations, lit(0L)).cast("long").as("violations"))
+        .select(lit(name).as("check_name"), $"violations")
 
-    val dupDocIds = docs.groupBy($"doc_id").count().filter($"count" > 1)
-    val dupDocKeys = docs.groupBy($"conv_id", $"turn_idx").count()
-      .filter($"count" > 1)
-    val dense = {
-      val (n, mx) = docs.agg(count(lit(1)), max($"doc_id"))
-        .as[(Long, Long)].head()
-      if (n == mx + 1) 0L else 1L
-    }
+    def cnt(name: String, df: DataFrame): DataFrame =
+      one(name, count(lit(1)), df)
 
-    val statsJoin = docs.join(stats, Seq("doc_id"), "full_outer")
-      .filter($"conv_id".isNull || $"word_count".isNull)
-    val statsBad = stats.filter($"word_count" < 0 || $"dl" < $"word_count")
+    // -- docs: one scan feeds three aggregates
+    val docsChecks = Seq(
+      one("docs_duplicate_ids", count(lit(1)) - countDistinct($"doc_id"), docs),
+      one("docs_duplicate_keys",
+        count(lit(1)) - countDistinct($"conv_id", $"turn_idx"), docs),
+      one("docs_ids_dense",
+        when(count(lit(1)) === max($"doc_id") + 1, 0L).otherwise(1L), docs))
 
-    val dictBadTerm = dict.filter(
-      !$"term".rlike("^[a-z]+$") || length($"term") < 4 || length($"term") > 19)
-    val dictDup = dict.groupBy($"term").count().filter($"count" > 1)
-    val dictBadDf = dict.filter($"df" <= 0)
+    // -- doc_stats: the referential join and the bounds in one pass
+    val statsChecks = Seq(
+      one("doc_stats_missing_or_orphan",
+        sum(when($"conv_id".isNull || $"word_count".isNull, 1L).otherwise(0L)),
+        docs.join(stats, Seq("doc_id"), "full_outer")),
+      one("doc_stats_bounds",
+        sum(when($"word_count" < 0 || $"dl" < $"word_count", 1L).otherwise(0L)),
+        stats))
 
+    // -- dict: one scan, four aggregates (incl. the letter consistency the
+    // reference's words_f validation covers, app/Index/Index_Check.cpp:121-180
+    // — a letter/term mismatch would silently break partition pruning)
+    val dictChecks = Seq(
+      one("dict_term_charset_or_length",
+        sum(when(!$"term".rlike("^[a-z]+$") ||
+          length($"term") < 4 || length($"term") > 19, 1L).otherwise(0L)), dict),
+      one("dict_duplicate_terms",
+        count(lit(1)) - countDistinct($"term"), dict),
+      one("dict_nonpositive_df",
+        sum(when($"df" <= 0, 1L).otherwise(0L)), dict),
+      one("letter_term_consistency",
+        sum(when($"letter" =!= substring($"term", 1, 1), 1L).otherwise(0L)),
+        dict.select($"letter", $"term")
+          .unionByName(posts.select($"letter", $"term"))))
+
+    // -- postings: one windowed pass covers ordering, numbering, ranges
     val partW = Window.partitionBy($"term").orderBy($"part")
     val partsOrdered = posts
       .withColumn("prev_last", lag($"last_doc", 1).over(partW))
       .withColumn("rn", row_number().over(partW) - 1)
-    val partOverlap = partsOrdered.filter(
-      $"first_doc" > $"last_doc" ||
-      ($"prev_last".isNotNull && $"prev_last" >= $"first_doc"))
-    val partNumbering = partsOrdered.filter($"part" =!= $"rn")
+    val postChecks = Seq(
+      one("postings_part_range_overlap",
+        sum(when($"first_doc" > $"last_doc" ||
+          ($"prev_last".isNotNull && $"prev_last" >= $"first_doc"), 1L)
+          .otherwise(0L)), partsOrdered),
+      one("postings_part_numbering",
+        sum(when($"part" =!= $"rn", 1L).otherwise(0L)), partsOrdered),
+      one("postings_doc_range",
+        sum(when($"first_doc" < 0 || $"last_doc" > meta.maxDocId, 1L)
+          .otherwise(0L)), posts))
 
+    // -- postings payloads: the one decode pass (heavy, stays its own scan)
     val decodeBad = posts.select($"term", $"part", $"first_doc", $"last_doc",
         $"df", $"max_tf", $"bytes")
       .as[(String, Int, Long, Long, Long, Int, Array[Byte])]
-      .flatMap { case (term, part, fd, ld, df, maxTf, bytes) =>
+      .map { case (term, part, fd, ld, df, maxTf, bytes) =>
         val ps = Codec.decodeAll(bytes)
         val increasing = ps.length < 2 ||
           ps.sliding(2).forall(w => w(0).docId < w(1).docId)
@@ -79,35 +113,25 @@ object IndexCheck {
           ps.length.toLong == df && ps.head.docId == fd &&
           ps.last.docId == ld && ps.map(_.tf).max == maxTf &&
           ps.forall(p => p.tf > 0 && p.dl >= 0)
-        if (ok) None else Some((term, part))
-      }
+        if (ok) 0L else 1L
+      }.toDF("bad")
+    val decodeChecks = Seq(one("postings_decode_mismatch", sum($"bad"),
+      decodeBad))
 
-    val docRange = posts.filter($"first_doc" < 0 || $"last_doc" > meta.maxDocId)
-    val dictNoParts = dict.join(posts.select($"term").distinct(),
-      Seq("term"), "left_anti")
-    val partsNoDict = posts.select($"term").distinct()
-      .join(dict.select($"term"), Seq("term"), "left_anti")
-    val dfMismatch = posts.groupBy($"term").agg(sum($"df").as("pdf"))
-      .join(dict.select($"term", $"df"), Seq("term"))
-      .filter($"pdf" =!= $"df")
+    // -- referential dict <-> postings: one full-outer aggregate pass
+    val refJoin = posts.groupBy($"term").agg(sum($"df").as("pdf"))
+      .join(dict.select($"term", $"df"), Seq("term"), "full_outer")
+    val refChecks = Seq(
+      one("dict_without_parts",
+        sum(when($"pdf".isNull, 1L).otherwise(0L)), refJoin),
+      one("parts_without_dict",
+        sum(when($"df".isNull, 1L).otherwise(0L)), refJoin),
+      one("dict_df_vs_parts_df",
+        sum(when($"pdf".isNotNull && $"df".isNotNull && $"pdf" =!= $"df", 1L)
+          .otherwise(0L)), refJoin))
 
-    val results = Seq(
-      cnt("docs_duplicate_ids", dupDocIds),
-      cnt("docs_duplicate_keys", dupDocKeys),
-      ("docs_ids_dense", dense),
-      cnt("doc_stats_missing_or_orphan", statsJoin),
-      cnt("doc_stats_bounds", statsBad),
-      cnt("dict_term_charset_or_length", dictBadTerm),
-      cnt("dict_duplicate_terms", dictDup),
-      cnt("dict_nonpositive_df", dictBadDf),
-      cnt("postings_part_range_overlap", partOverlap),
-      cnt("postings_part_numbering", partNumbering),
-      ("postings_decode_mismatch", decodeBad.count()),
-      cnt("postings_doc_range", docRange),
-      cnt("dict_without_parts", dictNoParts),
-      cnt("parts_without_dict", partsNoDict),
-      cnt("dict_df_vs_parts_df", dfMismatch))
-    spark.createDataset(results).toDF("check_name", "violations")
+    (docsChecks ++ statsChecks ++ dictChecks ++ postChecks ++ decodeChecks ++
+      refChecks).reduce(_ unionByName _)
   }
 
   /** True iff every check passes. */
@@ -121,8 +145,8 @@ object IndexCheck {
     "docs_duplicate_ids", "docs_duplicate_keys", "docs_ids_dense",
     "doc_stats_missing_or_orphan", "doc_stats_bounds",
     "dict_term_charset_or_length", "dict_duplicate_terms",
-    "dict_nonpositive_df", "postings_part_range_overlap",
-    "postings_part_numbering", "postings_decode_mismatch",
-    "postings_doc_range", "dict_without_parts", "parts_without_dict",
-    "dict_df_vs_parts_df")
+    "dict_nonpositive_df", "letter_term_consistency",
+    "postings_part_range_overlap", "postings_part_numbering",
+    "postings_decode_mismatch", "postings_doc_range", "dict_without_parts",
+    "parts_without_dict", "dict_df_vs_parts_df")
 }

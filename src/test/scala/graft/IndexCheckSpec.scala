@@ -23,7 +23,8 @@ class IndexCheckSpec extends SparkTestBase {
     val r1 = IndexCheck.run(spark, store)
       .as[(String, Long)].collect().toMap
     assert(r1.values.forall(_ == 0L), s"violations: ${r1.filter(_._2 > 0)}")
-    assert(r1.size == 15)
+    assert(r1.size == 16)
+    assert(r1.contains("letter_term_consistency"))
 
     IndexMerger.merge(spark,
       TranscriptGen.batch2Dataset(spark, 40, extra = 10, overlap = 5),

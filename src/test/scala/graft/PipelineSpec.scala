@@ -130,6 +130,26 @@ class PipelineSpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("blocked near-dup pairs: bit-exact vs the brute cross join") {
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    // planted near-dups: clones with small noise
+    val vecs = (base ++ Seq(300L, 301L, 302L).zip(Seq(0L, 1L, 1L)).map {
+      case (nid, src) =>
+        (nid, base(src.toInt)._2.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteNearDupPairs(vecs, minCos = 0.42)
+      .as[(Long, Long, Double)].collect().toSet
+    for (tileRows <- Seq(64, 1000)) {
+      val blocked = Similarity.blockedNearDupPairs(vecs, minCos = 0.42,
+        tileRows = tileRows).as[(Long, Long, Double)].collect().toSet
+      assert(blocked == brute, s"tileRows=$tileRows") // incl. exact cos bits
+    }
+    assert(brute.exists { case (a, b, _) => a == 0L && b == 300L })
+  }
+
   test("IVF ANN: coarse-quantized probing with good recall on clustered data") {
     val rnd = new scala.util.Random(13)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() - 0.5f))
