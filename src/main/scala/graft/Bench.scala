@@ -57,10 +57,13 @@ object Bench {
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
-  /** One measured index build at `cpus` parallelism: returns
-    * (turns, seconds, turns/sec). A small warmup build first so JIT state
-    * is comparable across parallelism levels. */
-  private def buildAt(cpus: Int, nConvs: Long): (Long, Double, Double) = {
+  private final case class BuildRun(turns: Long, sec: Double, thr: Double,
+      stageSec: Map[String, Double])
+
+  /** One measured index build at `cpus` parallelism. A small warmup build
+    * first so JIT state is comparable across parallelism levels; per-stage
+    * wall times come from the snapshot manifest of the best run. */
+  private def buildAt(cpus: Int, nConvs: Long): BuildRun = {
     val spark = session(cpus)
     try {
       import spark.implicits._
@@ -83,13 +86,36 @@ object Bench {
         val manifest = java.nio.file.Files.readString(
           java.nio.file.Paths.get(s"$out/v1/manifest.jsonl"))
         System.err.println(s"[bench] local[$cpus] ${sec}s stages:\n$manifest")
+        val stageSec = manifest.split("\n").filter(_.nonEmpty).map { line =>
+          val m = graft.util.Jsonl.parse(line)
+          m("stage") -> m("millis").toDouble / 1000.0
+        }.toMap
         IndexBuilder.deleteRecursive(java.nio.file.Paths.get(out))
-        (meta.numDocs, sec)
+        BuildRun(meta.numDocs, sec, meta.numDocs / sec, stageSec)
       }
       IndexBuilder.deleteRecursive(java.nio.file.Paths.get(corpusPath))
-      val (docs, sec) = runs.minBy(_._2)
-      (docs, sec, docs / sec)
+      runs.minBy(_.sec)
     } finally spark.stop()
+  }
+
+  /** Two-parallelism scaling evidence as a JSON object, incl. the
+    * per-stage breakdown the r1 verdict asked to make machine-readable. */
+  private def scalePair(nLo: Int, nHi: Int, nConvs: Long): String = {
+    val lo = buildAt(nLo, nConvs)
+    val hi = buildAt(nHi, nConvs)
+    val eff = (hi.thr / lo.thr) / (nHi.toDouble / nLo)
+    val stages = (lo.stageSec.keySet & hi.stageSec.keySet).toSeq.sorted
+      .filter(s => lo.stageSec(s) > 0.01)
+      .map { s =>
+        val sEff = (lo.stageSec(s) / hi.stageSec(s)) / (nHi.toDouble / nLo)
+        f""""$s":{"lo_sec":${lo.stageSec(s)}%.3f,""" +
+          f""""hi_sec":${hi.stageSec(s)}%.3f,"efficiency":$sEff%.3f}"""
+      }.mkString("{", ",", "}")
+    f"""{"turns":${lo.turns},"n_lo":$nLo,"n_hi":$nHi,""" +
+      f""""local${nLo}_sec":${lo.sec}%.3f,"local${nHi}_sec":${hi.sec}%.3f,""" +
+      f""""local${nLo}_turns_per_sec":${lo.thr}%.1f,""" +
+      f""""local${nHi}_turns_per_sec":${hi.thr}%.1f,""" +
+      f""""efficiency":$eff%.3f,"stages":$stages}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,21 +125,20 @@ object Bench {
     val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
 
     // -- scaling phase: same job at N and 4N cores (default local[8] vs
-    // local[32]; override with SPARK_GRAFT_SCALE_LEVELS="2,8") -------------
+    // local[32]; override with SPARK_GRAFT_SCALE_LEVELS="8,32"). A second
+    // pair low on the memory-bandwidth curve (default 2→8, smaller corpus)
+    // shows the JOB scales where the box still can (BASELINE.md §Measured:
+    // dd streaming gives only 1.9x from 8→32 threads on this host) --------
     val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "8,32")
       .split(",").map(_.trim.toInt)
-    val scalingJson = if (skipScaling) "null" else {
-      val (turnsLo, secLo, thrLo) = buildAt(nLo, nConvs)
-      val (_, secHi, thrHi) = buildAt(nHi, nConvs)
-      val eff = (thrHi / thrLo) / (nHi.toDouble / nLo)
-      f"""{"turns":$turnsLo,"n_lo":$nLo,"n_hi":$nHi,""" +
-        f""""local${nLo}_sec":$secLo%.3f,"local${nHi}_sec":$secHi%.3f,""" +
-        f""""local${nLo}_turns_per_sec":$thrLo%.1f,""" +
-        f""""local${nHi}_turns_per_sec":$thrHi%.1f,""" +
-        f""""efficiency":$eff%.3f}"""
-    }
+    val Array(nLo2, nHi2) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS2", "2,8")
+      .split(",").map(_.trim.toInt)
+    val scalingJson = if (skipScaling) "null"
+      else scalePair(nLo, nHi, nConvs)
+    val scaling2Json = if (skipScaling) "null"
+      else scalePair(nLo2, nHi2, math.max(nConvs / 4, 1))
     if (scalingOnly) {
-      println(s"""{"metric":"scaling_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","scaling":$scalingJson}""")
+      println(s"""{"metric":"scaling_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","scaling":$scalingJson,"scaling_low":$scaling2Json}""")
       return
     }
 
@@ -155,7 +180,7 @@ object Bench {
       f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":$qs,"sf":"$sfDir","bm25_p50_sec":$p50%.4f,""" +
       f""""fts_build_sec":$ftsBuildSec%.3f,"fts_merge_build_sec":$ftsMergeSec%.3f,""" +
-      s""""scaling":$scalingJson}""")
+      s""""scaling":$scalingJson,"scaling_low":$scaling2Json}""")
     spark.stop()
   }
 }

@@ -103,13 +103,25 @@ object CheckIndexMain {
   }
 }
 
-/** Search an index.
+/** Search an index — one-shot, or the interactive loop the reference runs
+  * (Q10, reference: app/main.cpp:128-141: read queries until `q`/`quit`/
+  * `exit`). The interactive mode reuses ONE SparkSession + Searcher across
+  * queries, so repeat queries run at warm-plan latency instead of paying
+  * the session launch per query.
   *
-  * Usage: SearchMain <indexDir> <query> [--mode=count|bm25] [--k=10] */
+  * Config flags are the reference's C4 knobs (app/Config/Config.cpp:24,
+  * app/CliParser/CliParser.cpp:12-41): `--exact` = config_exact_match
+  * (every query term matches exactly, no prefix expansion), `--min-char=N`
+  * = config_min_char_for_match (wildcard terms shorter than or equal to N
+  * match nothing).
+  *
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25] [--k=10]
+  *        [--exact] [--min-char=N] */
 object SearchMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: SearchMain <indexDir> <query> [--mode=count|bm25] [--k=10]")
+      System.err.println("usage: SearchMain <indexDir> <query|-i> " +
+        "[--mode=count|bm25] [--k=10] [--exact] [--min-char=N]")
       sys.exit(2)
     }
     val indexDir = args(0)
@@ -118,21 +130,46 @@ object SearchMain {
       s.stripPrefix("--mode=") }.getOrElse("count")
     val k = args.collectFirst { case s if s.startsWith("--k=") =>
       s.stripPrefix("--k=").toInt }.getOrElse(10)
+    val conf = EngineConf.default.copy(
+      exactMatch = args.contains("--exact"),
+      minCharForMatch = args.collectFirst {
+        case s if s.startsWith("--min-char=") =>
+          s.stripPrefix("--min-char=").toInt
+      }.getOrElse(EngineConf.default.minCharForMatch))
     val spark = Mains.session("graft-search")
     val store = new IndexStore(indexDir)
     if (store.currentVersion.isEmpty) {
       System.err.println(s"no index snapshot at $indexDir")
       spark.stop(); sys.exit(1)
     }
-    val searcher = new Searcher(spark, store)
-    val rows = mode match {
-      case "bm25" => searcher.searchBm25(query, k).collect()
-      case _ => searcher.searchCount(query).collect()
+    val searcher = new Searcher(spark, store, conf)
+
+    def runOne(q: String): Unit = {
+      val t0 = System.nanoTime()
+      val rows = mode match {
+        case "bm25" => searcher.searchBm25(q, k).collect()
+        case _ => searcher.searchCount(q).collect()
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(s"\nSearch Results (${rows.length}, ${f"$ms%.0f"} ms):")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        println(s" $i. ${r.get(0)}:${r.get(1)} -> ${r.get(2)}")
+      }
     }
-    println(s"\nSearch Results (${rows.length}):")
-    rows.zipWithIndex.foreach { case (r, i) =>
-      println(s" $i. ${r.get(0)}:${r.get(1)} -> ${r.get(2)}")
-    }
+
+    if (query == "-i") {
+      // the reference's REPL loop: prompt, search, repeat until q/quit/exit
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in))
+      var line: String = null
+      print("query> "); Console.flush()
+      while ({ line = in.readLine(); line != null } &&
+          !Set("q", "quit", "exit").contains(line.trim)) {
+        if (line.trim.nonEmpty) runOne(line.trim)
+        print("query> "); Console.flush()
+      }
+    } else runOne(query)
+    searcher.close()
     spark.stop()
   }
 }

@@ -116,6 +116,31 @@ class EndToEndSpec extends SparkTestBase {
     }
   }
 
+  test("exact-match mode (C4 config_exact_match) end-to-end vs oracle") {
+    val exactConf = conf.copy(exactMatch = true)
+    val exactSearcher = new Searcher(spark, new IndexStore(indexDir), exactConf)
+    val exactOracle = new Oracle(exactConf).indexAll(corpus)
+    // "which" as a wildcard also matches longer dictionary words; in exact
+    // mode it matches only the term itself — counts must differ accordingly
+    for (q <- Seq("which", "would", "(which AND would)", "there")) {
+      val got = exactSearcher.searchCount(q).collect().map {
+        case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+      }.toMap
+      assert(got == exactOracle.searchCount(q).toMap, s"exact query: $q")
+    }
+    exactSearcher.close()
+  }
+
+  test("min-char config: a short wildcard term matches nothing") {
+    val strictConf = conf.copy(minCharForMatch = 7)
+    val s = new Searcher(spark, new IndexStore(indexDir), strictConf)
+    // "which" (5 chars, wildcard) is <= 7 -> no dictionary match
+    assert(s.searchCount("which").collect().isEmpty)
+    // but quoted (exact) terms are exempt from the min-char rule
+    assert(s.searchCount("\"which\"").collect().nonEmpty)
+    s.close()
+  }
+
   test("posting parts are split for hot terms and doc-sorted") {
     val store = new IndexStore(indexDir)
     val parts = store.postings(spark)
