@@ -79,6 +79,40 @@ object BuildIndexMain {
   }
 }
 
+/** Compact a snapshot: squash merge layers into one (bounds layered-read
+  * amplification); with a corpus argument, also apply the fix extension —
+  * rebuild the postings of docs present in the corpus from their current
+  * text, dropping the stale postings additive merges keep (SURVEY.md §4.2).
+  *
+  * Usage: CompactIndexMain <indexDir> [corpusParquetDir | gen:<nConvs>] */
+object CompactIndexMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) {
+      System.err.println("usage: CompactIndexMain <indexDir> [corpusParquet|gen:N]")
+      sys.exit(2)
+    }
+    val spark = Mains.session("graft-compact")
+    import spark.implicits._
+    val store = new IndexStore(args(0))
+    if (store.currentVersion.isEmpty) {
+      System.err.println(s"no index snapshot at ${args(0)}")
+      spark.stop(); sys.exit(1)
+    }
+    val fix = args.lift(1).map { src =>
+      if (src.startsWith("gen:"))
+        TranscriptGen.dataset(spark, src.stripPrefix("gen:").toLong,
+          partitions = spark.sparkContext.defaultParallelism)
+      else spark.read.parquet(src).as[graft.model.Turn]
+    }
+    val nLayers = store.layers(store.currentVersion.get).length
+    val meta = graft.index.Compactor.compact(spark, args(0), fix = fix)
+    println(s"compacted $nLayers layer(s) into snapshot v${meta.version}: " +
+      s"docs=${meta.numDocs} terms=${meta.numTerms} " +
+      s"fix=${fix.nonEmpty}")
+    spark.stop()
+  }
+}
+
 /** Structural integrity check (the reference's `app --check`,
   * app/main.cpp:118-122). Exit 0 iff healthy; prints per-check violations.
   *

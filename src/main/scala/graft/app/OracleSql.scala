@@ -325,8 +325,13 @@ object OracleSql {
 
     "q_dedup_jaccard" -> JaccardPairs,
 
-    // LSH candidates are verified with exact jaccard, and the band curve at
-    // this threshold gives recall ~1 — same oracle as the exact pairs.
+    // LSH candidates are exact-jaccard-verified (precision 1 by
+    // construction), so the oracle is the exact-pairs query. Recall is
+    // probabilistic: with 16 bands of r=4, a pair at the 0.80 threshold
+    // collides with p = 1-(1-0.8^4)^16 ≈ 0.99996, and the driver corpora
+    // hold ~25 qualifying pairs (most far above threshold), so the
+    // expected miss count is ~1e-3 — negligible at these sizes, and the
+    // documented bound to re-derive if the corpus grows.
     "q_dedup_minhash" -> JaccardPairs,
 
     "q_dedup_simhash" -> simhashSql,
@@ -350,9 +355,14 @@ object OracleSql {
              length(text)::BIGINT AS n_bytes
       FROM documents ORDER BY doc_id""",
 
+    // length(text) > 0: the Spark side emits no row for an empty payload
+    // (no frames -> no groupBy group), so the oracle must skip empty video
+    // docs too. n_bytes/lengths assume 1 byte per char (the testdata text
+    // is ASCII; the fake codec measures the UTF-8 payload).
     "q_mm_frames" -> """
       SELECT doc_id, (((length(text) + 255) // 256) + 1) // 2 AS n_frames
-      FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""",
+      FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+      ORDER BY doc_id""",
 
     "q_fts_tokenize" -> s"""
       WITH $FtsTok

@@ -1,0 +1,150 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EngineConf, Turn}
+import graft.tokenize.Tokenizer
+
+/** Snapshot compaction: squash a merge-layer chain back into one
+  * self-contained layer, and optionally apply the "fix extension"
+  * (SURVEY.md §4.2) that the reference's additive merge cannot: rebuild the
+  * postings of re-indexed docs from their CURRENT text, dropping stale
+  * postings (terms the doc no longer contains) and stale tf/dl values that
+  * old-wins merge semantics keep forever (reference:
+  * app/Index/Index_Merge.cpp:63-296 never deletes).
+  *
+  * Compaction is Θ(index) by design — it is the scheduled background job
+  * that bounds read amplification (layer count) and reclaims merge garbage,
+  * exactly like Iceberg table compaction; merges stay Θ(batch).
+  */
+object Compactor {
+
+  /** Squash the current snapshot's layers into a new single-layer snapshot.
+    *
+    * @param fix when given, docs present in this corpus (matched on
+    *   (conv_id, turn_idx); ids are PRESERVED) get their postings and
+    *   doc_stats rebuilt from the corpus text — search results afterwards
+    *   equal a fresh full build of the current truth. Docs in `fix` that
+    *   were never indexed are ignored (compaction never assigns ids). */
+  def compact(spark: SparkSession, root: String,
+      conf: EngineConf = EngineConf.default,
+      fix: Option[Dataset[Turn]] = None): IndexMeta = {
+    import spark.implicits._
+    val store = new IndexStore(root)
+    val oldV = store.currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot to compact at $root"))
+    val v = store.nextVersion
+    val dir = store.snapshotDir(v)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val done = store.completedStages(v)
+    val P = conf.shufflePartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+
+    def stage(name: String)(f: => Unit): Unit =
+      if (!done.contains(name)) {
+        val t0 = System.nanoTime()
+        f
+        store.recordStage(v, name, -1L, (System.nanoTime() - t0) / 1000000L)
+      }
+
+    // resolved (doc_id, text) of the fix corpus — empty when fix is None
+    def fixDocs: Dataset[(Long, String)] = fix match {
+      case None => spark.emptyDataset[(Long, String)]
+      case Some(corpus) =>
+        corpus.dropDuplicates(Seq("conv_id", "turn_idx"))
+          .select($"conv_id", $"turn_idx", $"text")
+          .join(store.docsAt(spark, oldV), Seq("conv_id", "turn_idx"))
+          .select($"doc_id", $"text").as[(Long, String)]
+    }
+
+    stage("docs") {
+      store.docsAt(spark, oldV)
+        .repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+    }
+
+    stage("doc_stats") {
+      val base = store.docStatsAt(spark, oldV)
+      val out = fix match {
+        case None => base
+        case Some(_) =>
+          val fresh = fixDocs.map { case (id, text) =>
+            val st = Tokenizer.stats(text)
+            (id, st.wordCount, st.dl)
+          }.toDF("doc_id", "word_count", "dl")
+          base.join(fresh.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(fresh)
+      }
+      out.repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")
+    }
+
+    stage("postings") {
+      val cur = store.postingsAt(spark, oldV)
+      fix match {
+        case None =>
+          // pure squash: masked-union rows already carry dense part
+          // numbering per term — rewrite as one layer
+          IndexBuilder.writeParts(cur, s"$dir/postings", P)
+        case Some(_) =>
+          // decode everything, drop rows of fixed docs, union their fresh
+          // tokens, re-encode — the one full-rewrite pass compaction owns
+          val fd = fixDocs
+          val fixedIds = fd.select($"doc_id")
+          val fresh = fd.flatMap { case (id, text) =>
+            val st = Tokenizer.stats(text)
+            st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
+          }.toDF("term", "doc_id", "tf", "dl")
+          val decoded = cur
+            .select($"term", $"bytes")
+            .as[(String, Array[Byte])]
+            .flatMap { case (term, bytes) =>
+              Codec.decodeAll(bytes).iterator
+                .map(p => (term, p.docId, p.tf, p.dl))
+            }.toDF("term", "doc_id", "tf", "dl")
+            .join(fixedIds, Seq("doc_id"), "left_anti")
+          val tokens = decoded.unionByName(fresh)
+            .select($"term", $"doc_id", $"tf", $"dl")
+          val span = store.meta(oldV).maxDocId + 1
+          val hot: Map[String, Int] = tokens.groupBy($"term")
+            .agg(count(lit(1)).as("df"))
+            .filter($"df" > conf.maxPostingsPerPart)
+            .as[(String, Long)].collect()
+            .map { case (t, df) =>
+              t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
+            .toMap
+          IndexBuilder.writeParts(
+            IndexBuilder.encodeParts(spark, tokens, span, hot, conf, P),
+            s"$dir/postings", P)
+      }
+    }
+
+    stage("dict") {
+      spark.read.parquet(s"$dir/postings")
+        .groupBy($"letter", $"term")
+        .agg(sum($"df").as("df"), count(lit(1)).cast("int").as("parts"))
+        .repartitionByRange(math.max(1, P / 4), $"term")
+        .sortWithinPartitions($"term")
+        .write.mode(SaveMode.Overwrite).partitionBy("letter")
+        .parquet(s"$dir/dict")
+    }
+
+    store.writeLayers(v, Seq(TableLayer(v, s"v$v/docs", s"v$v/doc_stats",
+      s"v$v/postings", s"v$v/dict", None)))
+    val stats = store.docStatsAt(spark, v)
+    val (numDocs, totalTokens, maxId) = stats
+      .agg(count(lit(1)), sum($"dl"), max($"doc_id"))
+      .as[(Long, Long, Long)].head()
+    val numTerms = store.dictAt(spark, v).select($"term").distinct().count()
+    val meta = IndexMeta(v, numDocs, maxId, totalTokens,
+      if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
+      numTerms, conf.k1, conf.b, conf.blockSize)
+    store.writeMeta(v, meta)
+    store.recordStage(v, "meta", numDocs, 0L,
+      Map("compactedFrom" -> s"v$oldV", "fix" -> fix.nonEmpty,
+        "numTerms" -> numTerms))
+    store.commit(v)
+    meta
+  }
+}
