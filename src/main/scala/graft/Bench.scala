@@ -147,7 +147,40 @@ object Bench {
     // pre-build the fts indexes so per-query times measure the query, not
     // the one-time build; report build time as its own metric
     val (_, ftsBuildSec) = timed(EntryQueries.indexDirFull(spark, sfDir))
-    val (_, ftsMergeSec) = timed(EntryQueries.indexDirMerged(spark, sfDir))
+    val (mergedDir, _) = timed(EntryQueries.indexDirMerged(spark, sfDir))
+    // merge economy, measured on its own: merge a SMALL fresh batch into
+    // the full index — wall seconds of the merge call alone, plus the
+    // byte ratio (delta dirs written / index data bytes), the number that
+    // stays meaningful at any scale
+    val (mergeSec, deltaRatio) = {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-mg")
+        .toString
+      val corpus = EntryQueries.docsCorpus(spark, sfDir)
+      IndexBuilder.build(spark, corpus, root)
+      def bytes(p: java.nio.file.Path): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+      val fullBytes = bytes(java.nio.file.Paths.get(s"$root/v1"))
+      // a fresh 2% batch: new conv ids appended after the corpus
+      val batch = corpus.limit(math.max(
+          1, (new IndexStore(root).currentMeta.numDocs / 50).toInt))
+        .map(t => t.copy(conv_id = "z" + t.conv_id))
+      val (_, sec) = timed(graft.index.IndexMerger.merge(spark, batch, root))
+      val r = bytes(java.nio.file.Paths.get(s"$root/v2")).toDouble / fullBytes
+      // posting ENTRIES written vs total — the data-proportional economy
+      // number (the byte ratio is floored by per-letter parquet file
+      // overhead on the tiny-vocabulary testdata)
+      def entries(p: String): Long = spark.read.parquet(p)
+        .agg(org.apache.spark.sql.functions.sum($"df")).as[Long].head()
+      val er = entries(s"$root/v2/postings").toDouble /
+        (entries(s"$root/v1/postings") + entries(s"$root/v2/postings"))
+      IndexBuilder.deleteRecursive(java.nio.file.Paths.get(root))
+      (sec, (r, er))
+    }
     val times = mutable.LinkedHashMap.empty[String, Double]
     EntryQueries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (_, sec) = timed {
@@ -159,6 +192,7 @@ object Bench {
     }
 
     // -- BM25 latency p50 over the sf documents index ---------------------
+    val _ = mergedDir
     val idxDir = EntryQueries.indexDirFull(spark, sfDir)
     val searcher = new Searcher(spark, new IndexStore(idxDir))
     val bm25Queries = Seq("customer stream window", "spark query merge",
@@ -179,7 +213,9 @@ object Bench {
     println(
       f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":$qs,"sf":"$sfDir","bm25_p50_sec":$p50%.4f,""" +
-      f""""fts_build_sec":$ftsBuildSec%.3f,"fts_merge_build_sec":$ftsMergeSec%.3f,""" +
+      f""""fts_build_sec":$ftsBuildSec%.3f,"fts_merge_sec":$mergeSec%.3f,""" +
+      f""""fts_merge_delta_byte_ratio":${deltaRatio._1}%.4f,""" +
+      f""""fts_merge_delta_postings_ratio":${deltaRatio._2}%.4f,""" +
       s""""scaling":$scalingJson,"scaling_low":$scaling2Json}""")
     spark.stop()
   }

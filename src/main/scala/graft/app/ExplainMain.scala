@@ -24,6 +24,16 @@ object ExplainMain {
         case None => System.err.println(s"unknown query: $n")
       }
     }
+    // layered-read audit: a dictionary prefix lookup against the MERGED
+    // (two-layer) snapshot must still show letter= partition pruning and a
+    // pushed StartsWith in every layer's scan
+    println(s"\n================ merged dict prefix lookup ================")
+    import org.apache.spark.sql.functions.{col, substring}
+    val mergedStore = new graft.index.IndexStore(
+      EntryQueries.indexDirMerged(spark, sfDir))
+    mergedStore.dict(spark)
+      .filter(col("letter") === "s" && col("term").startsWith("strea"))
+      .explain("formatted")
     spark.stop()
   }
 }

@@ -112,12 +112,17 @@ object IndexBuilder {
     // the cell count within ±1 of exact — harmless either way.
     val sampleRate = 0.02
     stage("hot_terms") {
-      prep.select($"text").sample(withReplacement = false, sampleRate, 42L)
-        .as[String]
-        .flatMap(Tokenizer.tokens(_))
-        .groupBy($"value".as("term")).agg(count(lit(1)).as("df_sample"))
-        .filter($"df_sample" * (1.0 / sampleRate) > conf.maxPostingsPerPart / 2)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_hot_terms")
+      // no term's df can exceed numDocs: a corpus smaller than half a part
+      // cannot produce a hot term, so skip the sampling job (the encoder's
+      // hard run cap bounds memory regardless; salting only adds
+      // parallelism). The count reads parquet footers, not rows.
+      if (prep.count() > conf.maxPostingsPerPart / 2)
+        prep.select($"text").sample(withReplacement = false, sampleRate, 42L)
+          .as[String]
+          .flatMap(Tokenizer.tokens(_))
+          .groupBy($"value".as("term")).agg(count(lit(1)).as("df_sample"))
+          .filter($"df_sample" * (1.0 / sampleRate) > conf.maxPostingsPerPart / 2)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/_hot_terms")
       -1L
     }
 
@@ -126,12 +131,20 @@ object IndexBuilder {
     // sort-based streaming encode.
     stage("postings") {
       val maxDocId = docs.agg(max($"doc_id")).as[Long].head()
-      val hot: Map[String, Int] = spark.read.parquet(s"$dir/_hot_terms")
-        .as[(String, Long)].collect()
-        .map { case (t, dfS) =>
-          t -> math.max(1, math.ceil(
-            dfS * (1.0 / sampleRate) / conf.maxPostingsPerPart).toInt) }
-        .toMap
+      val hotPath = java.nio.file.Paths.get(s"$dir/_hot_terms")
+      val hotHasData = java.nio.file.Files.isDirectory(hotPath) && {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(hotPath).iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+      }
+      val hot: Map[String, Int] =
+        if (!hotHasData) Map.empty
+        else spark.read.parquet(s"$dir/_hot_terms")
+          .as[(String, Long)].collect()
+          .map { case (t, dfS) =>
+            t -> math.max(1, math.ceil(
+              dfS * (1.0 / sampleRate) / conf.maxPostingsPerPart).toInt) }
+          .toMap
       val tokens = prep.select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) =>
           val st = Tokenizer.stats(text)
@@ -254,11 +267,14 @@ object IndexBuilder {
   }
 
   /** Range-partition by term and write letter-partitioned, term-sorted —
-    * parquet min/max stats on `term` per file give the jump-table pruning. */
+    * parquet min/max stats on `term` per file give the jump-table pruning.
+    * No explicit partition count: AQE sizes the output by bytes, so a small
+    * merge delta coalesces to a few files while a full build still splits
+    * wide (explicit N would pin tiny deltas to N near-empty files). */
   private[index] def writeParts(parts: DataFrame, path: String, p: Int): Unit = {
     val spark = parts.sparkSession
     import spark.implicits._
-    parts.repartitionByRange(p, $"term", $"part")
+    parts.repartitionByRange($"term", $"part")
       .sortWithinPartitions($"term", $"part")
       .write.mode(SaveMode.Overwrite).partitionBy("letter")
       .parquet(path)

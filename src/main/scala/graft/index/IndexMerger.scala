@@ -102,12 +102,17 @@ object IndexMerger {
     // docs table is scanned once with the batch keys broadcast (map-side
     // semi/inner); every other frame here is batch-sized.
     stage("batch_prep") {
+      // both the deduped batch (its shuffle) and the old-docs lookup are
+      // consumed by three downstream jobs (anti, zipWithIndex's count, the
+      // write) — persist so each computes ONCE
       val batch = corpus.dropDuplicates(Seq("conv_id", "turn_idx"))
         .select($"conv_id", $"turn_idx", $"text")
+        .persist()
       val keys = batch.select($"conv_id", $"turn_idx")
       val known = store.docsAt(spark, oldV)
         .join(broadcast(keys), Seq("conv_id", "turn_idx"))
         .select($"doc_id", $"conv_id", $"turn_idx", lit(false).as("is_new"))
+        .persist()
       val fresh = keys
         .join(known.select($"conv_id", $"turn_idx"),
           Seq("conv_id", "turn_idx"), "left_anti")
@@ -129,6 +134,8 @@ object IndexMerger {
         .toDF("doc_id", "conv_id", "turn_idx", "text", "is_new",
           "word_count", "dl")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/_batch")
+      known.unpersist(blocking = false)
+      batch.unpersist(blocking = false)
     }
     val batchPrep = spark.read.parquet(s"$dir/_batch")
 
@@ -136,7 +143,7 @@ object IndexMerger {
     stage("docs") {
       batchPrep.filter($"is_new")
         .select($"doc_id", $"conv_id", $"turn_idx")
-        .repartitionByRange(math.max(1, P / 4), $"doc_id")
+        .repartitionByRange($"doc_id")
         .sortWithinPartitions($"doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     }
@@ -145,7 +152,7 @@ object IndexMerger {
     // precedence at read time is the M1 stats overwrite)
     stage("doc_stats") {
       batchPrep.select($"doc_id", $"word_count", $"dl")
-        .repartitionByRange(math.max(1, P / 4), $"doc_id")
+        .repartitionByRange($"doc_id")
         .sortWithinPartitions($"doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")
     }
@@ -159,15 +166,23 @@ object IndexMerger {
           st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
         }
         .toDF("term", "doc_id", "tf", "dl")
-      val span = oldMeta.maxDocId + 1 +
-        batchPrep.filter($"is_new").count()
-      val hot: Map[String, Int] = tokens.groupBy($"term")
-        .agg(count(lit(1)).as("df"))
-        .filter($"df" > conf.maxPostingsPerPart)
-        .as[(String, Long)].collect()
-        .map { case (t, df) =>
-          t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
-        .toMap
+      // batch row count from parquet footer metadata (no scan); a term's
+      // batch df is bounded by it, so small batches skip the hot-term
+      // detection pass entirely (the encoder's hard run cap still bounds
+      // memory either way — salting only adds parallelism)
+      val batchRows = batchPrep.count()
+      val span = 1 + math.max(oldMeta.maxDocId,
+        spark.read.parquet(s"$dir/docs").agg(max($"doc_id"))
+          .as[Option[Long]].head().getOrElse(0L))
+      val hot: Map[String, Int] =
+        if (batchRows <= conf.maxPostingsPerPart) Map.empty
+        else tokens.groupBy($"term")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" > conf.maxPostingsPerPart)
+          .as[(String, Long)].collect()
+          .map { case (t, df) =>
+            t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
+          .toMap
       IndexBuilder.writeParts(
         IndexBuilder.encodeParts(spark, tokens, span, hot, conf, P),
         s"$dir/_segment", P)
@@ -235,7 +250,7 @@ object IndexMerger {
       spark.read.parquet(s"$dir/postings")
         .groupBy($"letter", $"term")
         .agg(sum($"df").as("df"), count(lit(1)).cast("int").as("parts"))
-        .repartitionByRange(math.max(1, P / 4), $"term")
+        .repartitionByRange($"term")
         .sortWithinPartitions($"term")
         .write.mode(SaveMode.Overwrite).partitionBy("letter")
         .parquet(s"$dir/dict")

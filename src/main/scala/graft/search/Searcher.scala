@@ -74,10 +74,24 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     else branches.reduce(_ unionByName _)
   }
 
+  /** Coarse postings-scan predicate derived from the query words alone —
+    * letter equality (partition pruning) plus the pushable equals /
+    * startsWith per word (parquet min/max file skipping). None when no
+    * word can match. */
+  private def coarsePred(searchWords: Seq[(String, Boolean)])
+      : Option[Column] = {
+    val cs = searchWords.flatMap { case (t, e) => matchCond(t, e) }
+    if (cs.isEmpty) None else Some(cs.reduce(_ || _))
+  }
+
   /** Exploded postings of all matched words:
-    * (term_idx, word, df, doc_id, tf, dl). */
-  def matchedPostings(matched: DataFrame): DataFrame = {
-    val p = postings.select($"letter", $"term".as("word"), $"bytes")
+    * (term_idx, word, df, doc_id, tf, dl). `coarse` pre-prunes the
+    * postings scan (letter partitions + pushed term predicates) before the
+    * join refines to the exact matched-word set. */
+  def matchedPostings(matched: DataFrame,
+      coarse: Option[Column] = None): DataFrame = {
+    val p = coarse.map(postings.filter).getOrElse(postings)
+      .select($"letter", $"term".as("word"), $"bytes")
     matched
       .withColumn("letter", substring($"word", 1, 1))
       .join(p, Seq("letter", "word"))
@@ -127,7 +141,8 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   def searchCount(query: String): DataFrame = {
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid) return emptyResult("cnt")
-    val mp = matchedPostings(matchedWords(parsed.searchWords))
+    val mp = matchedPostings(matchedWords(parsed.searchWords),
+      coarsePred(parsed.searchWords))
     // per search word: docs counted once per matched dictionary word (Q6)
     val perTerm = mp.groupBy($"term_idx", $"doc_id")
       .agg(count(lit(1)).cast("double").as("v"))
@@ -166,14 +181,14 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .select($"word",
         (log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
           $"mult").as("weight"))
-    // query-word first letters — known without running a job; prunes the
-    // letter= partitions of the postings scan
-    val letters = parsed.searchWords
-      .collect { case (t, _) if t.nonEmpty && t.head >= 'a' && t.head <= 'z' =>
-        t.substring(0, 1) }
-      .distinct
-    val top = Wand.topK(spark, postings, words, letters, meta.maxDocId + 1,
-      meta.avgdl, conf, k)
+    // coarse scan predicate from the query words alone (no job): letter
+    // equality prunes the letter= partitions, equals/startsWith push to
+    // parquet min/max file skipping; the broadcast join refines to the
+    // exact matched-word set with its weight
+    val coarse = coarsePred(parsed.searchWords)
+    if (coarse.isEmpty) return emptyResult("score")
+    val top = Wand.topK(spark, postings.filter(coarse.get), words,
+      meta.maxDocId + 1, meta.avgdl, conf, k)
     // the top-k side is k rows — broadcast it so resolving doc keys is a
     // map-side lookup over the docs scan, not a sort-merge join
     broadcast(top).join(docs, Seq("doc_id"))
@@ -183,7 +198,8 @@ final class Searcher(spark: SparkSession, store: IndexStore,
 
   private def searchBm25Df(parsed: QueryParser.Parsed, query: String,
       k: Int): DataFrame = {
-    val mp = matchedPostings(matchedWords(parsed.searchWords))
+    val mp = matchedPostings(matchedWords(parsed.searchWords),
+      coarsePred(parsed.searchWords))
     val n = lit(meta.numDocs.toDouble)
     val idf = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
     val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)

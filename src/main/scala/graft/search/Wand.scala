@@ -28,21 +28,22 @@ object Wand {
       first_doc: Long, bytes: Array[Byte])
   final case class Cand(doc_id: Long, score: Double)
 
-  /** Top-k over `postings` for the matched dictionary words.
+  /** Top-k over `postings` (pass it PRE-FILTERED with the query's coarse
+    * dictionary predicate — letter equality for partition pruning plus the
+    * pushable equals/startsWith per search word) for the matched words.
     *
     * `weightedWords` is a DataFrame (word, weight) with weight = idf × term
-    * multiplicity — it is broadcast-JOINED against the letter-pruned
-    * postings scan, so a short prefix matching 10⁴⁺ dictionary words never
-    * becomes a driver-side In-list or a collected Map (r1 verdict: the
-    * driver bottleneck on wide wildcards). `letters` (the first letters of
-    * the query's search words, known without any job) prunes the letter=
-    * partitions of the scan. */
+    * multiplicity — it is broadcast-JOINED against the pruned postings
+    * scan, so a short prefix matching 10⁴⁺ dictionary words never becomes
+    * a driver-side In-list or a collected Map (r1 verdict: the driver
+    * bottleneck on wide wildcards); the coarse scan predicate keeps the
+    * parquet min/max file skipping an In-list used to give. */
   def topK(spark: SparkSession, postings: DataFrame,
-      weightedWords: DataFrame, letters: Seq[String], span: Long,
+      weightedWords: DataFrame, span: Long,
       avgdl: Double, conf: EngineConf, k: Int,
       numShardsOpt: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    if (letters.isEmpty || span <= 0)
+    if (span <= 0)
       return spark.emptyDataset[Cand].toDF()
     val numShards = numShardsOpt.getOrElse(
       math.max(spark.sparkContext.defaultParallelism, 1))
@@ -50,7 +51,6 @@ object Wand {
     val k1 = conf.k1; val b = conf.b
 
     val parts = postings
-      .filter($"letter".isin(letters: _*))
       .join(org.apache.spark.sql.functions.broadcast(weightedWords),
         $"term" === $"word")
       .select($"term", $"weight", $"first_doc", $"last_doc", $"bytes")
