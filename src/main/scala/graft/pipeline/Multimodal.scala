@@ -3,16 +3,82 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Pluggable media codec: the ONE seam between the (real, tested) Spark
+  * plumbing and an actual decoder library. Implementations must be
+  * serializable — the codec object ships to executors; per-partition native
+  * context (library handles, GPU sessions) belongs in [[MediaCodec.Session]],
+  * opened once per partition and closed when the partition drains.
+  */
+trait MediaCodec extends Serializable {
+  /** Width of the feature/embedding vectors this codec emits. */
+  def featureDim: Int
+  /** Open a per-partition decode context (called once per partition). */
+  def open(): MediaCodec.Session
+}
+
+object MediaCodec {
+  trait Session extends AutoCloseable {
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int)
+    def features(kind: String, bytes: Array[Byte]): Array[Float]
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]]
+    override def close(): Unit = ()
+  }
+}
+
+/** DETERMINISTIC FAKE codec — this container ships no image/audio/video
+  * libraries, so the decode step is a stable function of the payload bytes.
+  * It exists so the pipeline around it (schema, partitioning, batch shape,
+  * per-partition session lifecycle) is exercised EXACTLY; a real codec
+  * implements [[MediaCodec]] and plugs in without touching the pipeline. */
+object StubCodec extends MediaCodec {
+  val FeatureDim = 8
+  override def featureDim: Int = FeatureDim
+
+  /** "Decode" dims from the payload: stable function of the bytes. */
+  def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+    val n = bytes.length
+    (16 + (n % 64), 16 + ((n / 64) % 64))
+  }
+
+  /** "Feature-extract": 8 rolling byte-hash lanes, normalized. Stands in
+    * for an encoder forward pass; deterministic in the payload. */
+  def features(bytes: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      val lane = i % FeatureDim
+      acc(lane) = (acc(lane) * 31 + (bytes(i) & 0xff)) % 1048576L
+      i += 1
+    }
+    acc.map(v => v.toFloat / 1048576.0f)
+  }
+
+  /** "Frame-sample" a video payload: every strideth 256-byte chunk. */
+  def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+    bytes.grouped(256).zipWithIndex.collect {
+      case (chunk, i) if i % stride == 0 => chunk
+    }.toSeq
+
+  override def open(): MediaCodec.Session = new MediaCodec.Session {
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int) =
+      StubCodec.decodeDims(bytes)
+    def features(kind: String, bytes: Array[Byte]): Array[Float] =
+      StubCodec.features(bytes)
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+      StubCodec.sampleFrames(bytes, stride)
+  }
+}
+
 /** Multimodal-column plumbing: image/audio/video carried as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in batched
-  * per-partition passes.
+  * per-partition passes through a pluggable [[MediaCodec]].
   *
   * The Spark side is real and tested: schema, partitioning, the
-  * mapPartitions batch shape (decode amortized per partition, not per row),
-  * and the feature-column contract. The actual media decode is a STUB —
-  * this container has no image/audio codecs — replaced by a deterministic
-  * fake ([[StubCodec]]) so tests are exact; swapping in a real decoder
-  * changes only the function body, not the pipeline.
+  * mapPartitions batch shape (codec session opened once per partition, not
+  * per row — the `mapInPandas` batching semantics), and the feature-column
+  * contract. The default codec is the deterministic [[StubCodec]] fake (no
+  * media libraries ship in this container); tests also drive a custom
+  * codec through the same pipeline.
   */
 object Multimodal {
 
@@ -24,37 +90,6 @@ object Multimodal {
   /** Extracted features: fixed-width embedding + decoded dims. */
   final case class MediaFeatures(doc_id: Long, kind: String, width: Int,
       height: Int, n_bytes: Long, features: Array[Float])
-
-  /** DETERMINISTIC FAKE of a media codec. A real implementation would call
-    * an image/audio library here; everything around it stays unchanged. */
-  object StubCodec {
-    val FeatureDim = 8
-
-    /** "Decode" dims from the payload: stable function of the bytes. */
-    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      val n = bytes.length
-      (16 + (n % 64), 16 + ((n / 64) % 64))
-    }
-
-    /** "Feature-extract": 8 rolling byte-hash lanes, normalized. Stands in
-      * for an encoder forward pass; deterministic in the payload. */
-    def features(bytes: Array[Byte]): Array[Float] = {
-      val acc = new Array[Long](FeatureDim)
-      var i = 0
-      while (i < bytes.length) {
-        val lane = i % FeatureDim
-        acc(lane) = (acc(lane) * 31 + (bytes(i) & 0xff)) % 1048576L
-        i += 1
-      }
-      acc.map(v => v.toFloat / 1048576.0f)
-    }
-
-    /** "Frame-sample" a video payload: every strideth 256-byte chunk. */
-    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
-      bytes.grouped(256).zipWithIndex.collect {
-        case (chunk, i) if i % stride == 0 => chunk
-      }.toSeq
-  }
 
   /** Attach a synthetic media payload to a text corpus (deterministic in the
     * text — the sandbox stand-in for reading a real media column). */
@@ -74,30 +109,48 @@ object Multimodal {
       }
   }
 
+  /** One codec session per partition wrapped around a row iterator; the
+    * session closes when the partition drains. */
+  private def withSession[T](codec: MediaCodec, rows: Iterator[MediaRow])(
+      f: (MediaCodec.Session, MediaRow) => T): Iterator[T] = {
+    val session = codec.open()
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h) session.close()
+        h
+      }
+      def next(): T = f(session, rows.next())
+    }
+  }
+
   /** Batched decode + feature extraction: one mapPartitions pass (the shape
     * a real codec needs — per-partition init cost amortized across rows,
-    * bounded batch memory; mirrors `mapInPandas` batching semantics). */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * bounded batch memory). */
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // a real decoder would initialize its codec context HERE, once
-      rows.map { r =>
-        val (w, h) = StubCodec.decodeDims(r.media)
+      withSession(codec, rows) { (s, r) =>
+        val (w, h) = s.decodeDims(r.kind, r.media)
         MediaFeatures(r.doc_id, r.kind, w, h, r.media.length.toLong,
-          StubCodec.features(r.media))
+          s.features(r.kind, r.media))
       }
     }
   }
 
   /** Video frame sampling as a table op: (doc_id, frame_no, frame_bytes). */
-  def sampleVideoFrames(media: Dataset[MediaRow], stride: Int = 2): DataFrame = {
+  def sampleVideoFrames(media: Dataset[MediaRow], stride: Int = 2,
+      codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
-      StubCodec.sampleFrames(r.media, stride).zipWithIndex.map {
-        case (f, i) => (r.doc_id, i, f)
-      }
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      withSession(codec, rows) { (s, r) =>
+        s.sampleFrames(r.media, stride).zipWithIndex.map {
+          case (f, i) => (r.doc_id, i, f)
+        }
+      }.flatten
     }.toDF("doc_id", "frame_no", "frame_bytes")
   }
 

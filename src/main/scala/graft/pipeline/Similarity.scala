@@ -114,14 +114,19 @@ object Similarity {
     * (tiny) centroid table broadcasts. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
       nProbe: Int = 4, id: String = "vec_id",
-      vec: String = "embedding"): DataFrame = {
+      vec: String = "embedding", fitSample: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val featured = corpus.withColumn("features",
       array_to_vector(col(vec).cast("array<double>")))
+    // at 100-TB corpus scale the quantizer fits on a SEED-STABLE sample
+    // (coarse centroids need ~100-1000 points per list, not the corpus);
+    // assignment below still runs over every row
+    val fitInput = if (fitSample >= 1.0) featured
+      else featured.sample(withReplacement = false, fitSample, 42L)
     val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("features").fit(featured)
+      .setFeaturesCol("features").fit(fitInput)
     val lists = model.transform(featured)
       .select(col("prediction").as("list_id"), col(id).as("neighbor_id"),
         col(vec).as("cv"), norm2Col(col(vec)).as("cn"))

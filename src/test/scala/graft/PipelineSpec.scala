@@ -224,12 +224,41 @@ class PipelineSpec extends SparkTestBase {
     val byId = feats.map(f => f.doc_id -> f).toMap
     // deterministic: same payload ⇒ same features (docs 0 and 1 identical)
     assert(byId(0L).features.toSeq == byId(1L).features.toSeq)
-    assert(byId(0L).features.length == Multimodal.StubCodec.FeatureDim)
+    assert(byId(0L).features.length == graft.pipeline.StubCodec.FeatureDim)
     val local = docs.as[(Long, String)].collect().toMap
     assert(byId(3L).n_bytes == local(3L).getBytes("UTF-8").length)
     // frame sampling only on video rows (doc_id % 3 == 2)
     val frames = Multimodal.sampleVideoFrames(media)
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(frames.forall(_ % 3 == 2))
+  }
+
+  test("multimodal: a custom codec plugs into the same pipeline") {
+    // a 2-dim codec with per-partition session accounting: proves the
+    // MediaCodec seam — only the codec changes, the pipeline is untouched
+    object TwoDimCodec extends graft.pipeline.MediaCodec {
+      def featureDim: Int = 2
+      def open(): graft.pipeline.MediaCodec.Session =
+        new graft.pipeline.MediaCodec.Session {
+          def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int) =
+            (bytes.length, 1)
+          def features(kind: String, bytes: Array[Byte]): Array[Float] =
+            Array(bytes.length.toFloat, if (kind == "video") 1f else 0f)
+          def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+            Seq(bytes)
+        }
+    }
+    val media = Multimodal.attachMedia(docs)
+    val feats = Multimodal.extractFeatures(media, TwoDimCodec).collect()
+    assert(feats.forall(_.features.length == 2))
+    val local = docs.as[(Long, String)].collect().toMap
+    feats.foreach { f =>
+      assert(f.width == local(f.doc_id).getBytes("UTF-8").length)
+      assert(f.features(1) == (if (f.doc_id % 3 == 2) 1f else 0f))
+    }
+    // one frame per video row under the custom codec
+    val frames = Multimodal.sampleVideoFrames(media, 2, TwoDimCodec)
+    assert(frames.count() ==
+      docs.filter($"doc_id" % 3 === 2).count())
   }
 }
