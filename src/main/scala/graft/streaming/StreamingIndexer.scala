@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.index.{IndexBuilder, IndexMerger, IndexStore}
+import graft.index.{Compactor, IndexBuilder, IndexMerger, IndexStore}
 import graft.model.{EngineConf, Turn}
 
 /** Structured Streaming ingest: a stream of transcript turns is folded into
@@ -29,11 +29,16 @@ object StreamingIndexer {
     * @param watermark max lateness of `ts` used to expire the per-key
     *   dedup state (the streaming analog of the reference's
     *   mark-before-scan watermark)
+    * @param maxLayers each micro-batch merge adds one snapshot layer;
+    *   when the layer count reaches this bound a squash compaction runs
+    *   (result-identical), keeping layered-read amplification O(1) over an
+    *   unbounded stream — the streaming analog of LSM compaction
     */
   def start(spark: SparkSession, turns: Dataset[Turn], root: String,
       checkpointDir: String, watermark: String = "1 hour",
       conf: EngineConf = EngineConf.default,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxLayers: Int = 8): StreamingQuery = {
     require(turns.isStreaming, "turns must be a streaming Dataset")
     turns
       .withWatermark("ts", watermark)
@@ -46,8 +51,11 @@ object StreamingIndexer {
           val store = new IndexStore(root)
           if (store.currentVersion.isEmpty)
             IndexBuilder.build(batch.sparkSession, batch, root, conf)
-          else
+          else {
             IndexMerger.merge(batch.sparkSession, batch, root, conf)
+            if (store.layers(store.currentVersion.get).length >= maxLayers)
+              Compactor.compact(batch.sparkSession, root, conf)
+          }
           ()
         }
       }

@@ -55,4 +55,36 @@ class StreamingSpec extends SparkTestBase {
     assert(sa == oneShot.docStats(spark).count())
     assert(IndexCheck.healthy(spark, streamed))
   }
+
+  test("layer count stays bounded over many micro-batches (auto-compaction)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft-stream-compact")
+    val ckpt = tmpDir("graft-stream-compact-ckpt")
+    val source = MemoryStream[graft.model.Turn]
+    val q = StreamingIndexer.start(spark, source.toDS(), root, ckpt,
+      watermark = "10 minutes", conf = conf,
+      trigger = Trigger.ProcessingTime(0), maxLayers = 3)
+    try {
+      // 6 micro-batches of 3 conversations each: without compaction that
+      // is 6 layers; with maxLayers=3 a squash fires whenever the bound
+      // is reached
+      for (g <- 0 until 6) {
+        source.addData(
+          (g.toLong * 3 until g.toLong * 3 + 3).flatMap(TranscriptGen.genConv))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val store = new IndexStore(root)
+    assert(store.layers(store.currentVersion.get).length <= 3)
+    // still equivalent to the one-shot build over the same 18 conversations
+    val oneShotRoot = tmpDir("graft-stream-compact-oneshot")
+    IndexBuilder.build(spark, TranscriptGen.dataset(spark, 18), oneShotRoot,
+      conf)
+    val a = store.dict(spark).select("term", "df")
+      .as[(String, Long)].collect().toMap
+    val b = new IndexStore(oneShotRoot).dict(spark).select("term", "df")
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+    assert(IndexCheck.healthy(spark, store))
+  }
 }
