@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.TranscriptGen
+import graft.index.{IndexBuilder, IndexMerger, IndexStore}
+import graft.model.EngineConf
+import graft.search.Searcher
+
+/** Physical-plan regression guards: the predicates the search and dict
+  * paths rely on must actually REACH the parquet scans (partition filters
+  * on letter=, pushed term predicates for min/max file skipping). A r2
+  * refactor silently dropped the pushed term filter from the WAND path and
+  * tripled BM25 p50 — these assertions make that class of regression a
+  * test failure instead of a bench surprise. */
+class PlanSpec extends SparkTestBase {
+
+  private val conf = EngineConf.default.copy(maxPostingsPerPart = 64,
+    blockSize = 16)
+
+  private lazy val indexDir: String = {
+    val dir = tmpDir("graft-plan-idx")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, 40, partitions = 4), dir, conf)
+    // second layer so the assertions cover the LAYERED read path
+    IndexMerger.merge(spark,
+      TranscriptGen.batch2Dataset(spark, 40, extra = 10, overlap = 0),
+      dir, conf)
+    dir
+  }
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("dict prefix lookup: letter partition pruning + pushed StartsWith in every layer") {
+    val store = new IndexStore(indexDir)
+    val plan = formatted(store.dict(spark)
+      .filter(col("letter") === "w" && col("term").startsWith("whi")))
+    val scans = plan.split("\\(\\d+\\) Scan parquet").length - 1
+    assert(scans >= 2, s"expected scans of both layers:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*letter[^\\]]* = w".r
+      .findAllIn(plan).length >= 2, plan)
+    assert("StringStartsWith\\(term,whi\\)".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("WAND BM25 plan: coarse term predicate pushed to the postings scan") {
+    val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+    val plan = formatted(searcher.searchBm25("which would", 10))
+    // wildcard words push startsWith; the letter= equality prunes partitions
+    assert(plan.contains("StringStartsWith(term,which)"), plan)
+    assert(plan.contains("StringStartsWith(term,would)"), plan)
+    assert(plan.contains("letter"), plan)
+    // and the word weights arrive via a broadcast join, not an In-list
+    assert(!plan.contains("term#") || !plan.contains(" IN ("),
+      "dispatch must not be an In-list")
+    searcher.close()
+  }
+
+  test("count search plan: coarse predicate on the postings scan too") {
+    val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+    val plan = formatted(searcher.searchCount("\"which\" AND would"))
+    // exact term pushes EqualTo, wildcard pushes StartsWith
+    assert(plan.contains("EqualTo(term,which)"), plan)
+    assert(plan.contains("StringStartsWith(term,would)"), plan)
+    searcher.close()
+  }
+
+  test("relational scan: filter and projection reach the parquet reader") {
+    val df = graft.app.EntryQueries.all("q_agg_pushdown")(
+      spark, "/root/testdata/sf0.001")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    // column pruning: the read schema holds only the referenced columns
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(read.contains("l_shipdate") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"), read)
+  }
+}
