@@ -84,7 +84,10 @@ object BuildIndexMain {
   * rebuild the postings of docs present in the corpus from their current
   * text, dropping the stale postings additive merges keep (SURVEY.md §4.2).
   *
-  * Usage: CompactIndexMain <indexDir> [corpusParquetDir | gen:<nConvs>] */
+  * `--gc` afterwards reclaims snapshot versions the compacted CURRENT no
+  * longer references (Iceberg snapshot-expiration analog).
+  *
+  * Usage: CompactIndexMain <indexDir> [corpusParquetDir | gen:<nConvs>] [--gc] */
 object CompactIndexMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
@@ -98,7 +101,7 @@ object CompactIndexMain {
       System.err.println(s"no index snapshot at ${args(0)}")
       spark.stop(); sys.exit(1)
     }
-    val fix = args.lift(1).map { src =>
+    val fix = args.drop(1).filterNot(_.startsWith("--")).headOption.map { src =>
       if (src.startsWith("gen:"))
         TranscriptGen.dataset(spark, src.stripPrefix("gen:").toLong,
           partitions = spark.sparkContext.defaultParallelism)
@@ -106,9 +109,13 @@ object CompactIndexMain {
     }
     val nLayers = store.layers(store.currentVersion.get).length
     val meta = graft.index.Compactor.compact(spark, args(0), fix = fix)
+    val gced =
+      if (args.contains("--gc")) store.gc() else Seq.empty
     println(s"compacted $nLayers layer(s) into snapshot v${meta.version}: " +
       s"docs=${meta.numDocs} terms=${meta.numTerms} " +
-      s"fix=${fix.nonEmpty}")
+      s"fix=${fix.nonEmpty}" +
+      (if (gced.nonEmpty) s" gc=[${gced.map(v => s"v$v").mkString(",")}]"
+       else ""))
     spark.stop()
   }
 }

@@ -212,6 +212,32 @@ final class IndexStore(val root: String) {
     }
   }
 
+  /** Reclaim snapshot versions no longer reachable: a version dir is live
+    * iff it is the CURRENT version, newer than CURRENT (a staging build),
+    * or referenced by CURRENT's layer list (a merge chain keeps its
+    * ancestors live; compaction makes them garbage). Returns the versions
+    * deleted. Safe against readers of the CURRENT snapshot; readers pinned
+    * to older versions must finish before gc (single-writer assumption, as
+    * with Iceberg snapshot expiration). */
+  def gc(): Seq[Int] = {
+    val cur = currentVersion.getOrElse(return Seq.empty)
+    val referenced = layers(cur).flatMap { l =>
+      (Seq(l.docs, l.docStats, l.postings, l.dict) ++ l.replaced.toSeq)
+        .flatMap(_.split("/").headOption)
+        .filter(_.startsWith("v")).map(_.stripPrefix("v").toInt)
+    }.toSet + cur
+    val deletable = Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit))
+      .map(_.stripPrefix("v").toInt)
+      .filter(v => v < cur && !referenced.contains(v))
+      .toSeq.sorted
+    deletable.foreach { v =>
+      IndexBuilder.deleteRecursive(Paths.get(snapshotDir(v)))
+    }
+    deletable
+  }
+
   // ---- table readers ------------------------------------------------------
   // Single-layer snapshots read their directory directly (zero overhead);
   // layered snapshots union the layers with the masking rules documented on

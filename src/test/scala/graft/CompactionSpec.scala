@@ -56,6 +56,29 @@ class CompactionSpec extends SparkTestBase {
     assert(IndexCheck.healthy(spark, store))
   }
 
+  test("gc reclaims versions a compacted snapshot no longer references") {
+    val dir = tmpDir("graft-compact-gc")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, N, partitions = 4), dir, conf)
+    IndexMerger.merge(spark,
+      TranscriptGen.batch2Dataset(spark, N, Extra, Overlap), dir, conf)
+    val store = new IndexStore(dir)
+    // the merge chain keeps v1 live: gc must delete NOTHING yet
+    assert(store.gc() == Seq.empty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store.snapshotDir(1))))
+
+    Compactor.compact(spark, dir, conf)
+    val got = store.gc()
+    assert(got == Seq(1, 2), s"gc deleted: $got")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store.snapshotDir(1))))
+    // the compacted snapshot still answers and checks out
+    val s = new Searcher(spark, store, conf)
+    assert(counts(s, "which").nonEmpty)
+    assert(IndexCheck.healthy(spark, store))
+  }
+
   test("fix compaction: equals a fresh full build of the current truth") {
     val dir = tmpDir("graft-compact-fix")
     IndexBuilder.build(spark,
