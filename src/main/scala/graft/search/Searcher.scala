@@ -41,9 +41,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     cachedPerTerm = None
   }
 
-  private val decodeUdf = udf { bytes: Array[Byte] =>
-    Codec.decodeAll(bytes).map(p => PostingRow(p.docId, p.tf, p.dl)).toSeq
-  }
+  // the posting decoder as a native Catalyst generator (graft_postings):
+  // InternalRows straight from the varint decoder, no UDF boundary
+  graft.tokenize.GraftFunctions.register(spark)
 
   /** Dictionary match predicate for one search word (Q4 semantics including
     * the wildcard min-length quirk, SURVEY.md §7.1.4). Letter equality makes
@@ -95,10 +95,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     matched
       .withColumn("letter", substring($"word", 1, 1))
       .join(p, Seq("letter", "word"))
-      .select($"term_idx", $"word", $"df",
-        explode(decodeUdf($"bytes")).as("p"))
-      .select($"term_idx", $"word", $"df", $"p.doc_id".as("doc_id"),
-        $"p.tf".as("tf"), $"p.dl".as("dl"))
+      .select($"term_idx", $"word", $"df", expr("graft_postings(bytes)"))
   }
 
   private def emptyDf(fields: (String, org.apache.spark.sql.types.DataType)*)

@@ -63,16 +63,23 @@ object GraftTokenize {
 
 /** SparkSessionExtensions hook: registers the engine's SQL functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_tokenize"),
       GraftTokenize.info, GraftTokenize.builder _))
+    ext.injectFunction((FunctionIdentifier("graft_postings"),
+      graft.index.GraftPostings.info, graft.index.GraftPostings.builder _))
+  }
 }
 
-/** Imperative registration for an already-running session (same builder as
+/** Imperative registration for an already-running session (same builders as
   * [[GraftExtensions]]). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_tokenize"), GraftTokenize.info,
       GraftTokenize.builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_postings"), graft.index.GraftPostings.info,
+      graft.index.GraftPostings.builder _)
+  }
 }
