@@ -7,9 +7,6 @@ import org.apache.spark.storage.StorageLevel
 import graft.index.{Codec, IndexMeta, IndexStore}
 import graft.model.EngineConf
 
-/** One decoded posting row (explode target). */
-final case class PostingRow(doc_id: Long, tf: Int, dl: Int)
-
 /** Query execution over the index tables.
   *
   * Spark shape (SURVEY.md §3.2): term list (tiny, driver) → dictionary
