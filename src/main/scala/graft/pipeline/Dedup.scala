@@ -73,6 +73,15 @@ object Dedup {
       case Some(cap) =>
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
+        // no silent caps: dropping hot shingles bounds the worst join key
+        // but can lose pairs whose ONLY shared shingles are hot — log what
+        // was excluded so a recall investigation has the number
+        val nHot = hot.count()
+        if (nHot > 0)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"jaccardPairs: dropped $nHot shingles with df > $cap " +
+              "from pair generation (skew cap); pairs sharing only hot " +
+              "shingles are not candidates")
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => sh
     }
