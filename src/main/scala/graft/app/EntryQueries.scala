@@ -379,6 +379,23 @@ object EntryQueries {
         .orderBy(col("check_name"))
     }),
 
+    "q_fts_merge_check" -> ((s, d) => {
+      // all 16 structural invariants must hold on the LAYERED (build-half +
+      // merge-half) snapshot too — part numbering, ranges, and dict df are
+      // asserted across layer boundaries
+      graft.verify.IndexCheck.run(s, new IndexStore(indexDirMerged(s, d)))
+        .orderBy(col("check_name"))
+    }),
+
+    "q_fts_merge_search" -> ((s, d) => {
+      // layered-read search parity: the merged snapshot indexes the same
+      // corpus as the full build, so the same oracle applies
+      searcher(s, indexDirMerged(s, d))
+        .searchCount(""""customer" AND "filter" NOT "vector"""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_fts_bm25_bool" -> ((s, d) => {
       // boolean-structured BM25 (AND + default-OR wildcard): exercises the
       // DataFrame algebra path rather than WAND

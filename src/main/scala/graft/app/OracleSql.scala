@@ -421,6 +421,21 @@ object OracleSql {
     // a healthy snapshot reports zero violations for every check
     "q_fts_index_check" -> graft.verify.IndexCheck.CheckNames.sorted
       .map(n => s"SELECT '$n' AS check_name, 0::BIGINT AS violations")
-      .mkString(" UNION ALL ")
+      .mkString(" UNION ALL "),
+
+    // the layered merge snapshot must be just as healthy...
+    "q_fts_merge_check" -> graft.verify.IndexCheck.CheckNames.sorted
+      .map(n => s"SELECT '$n' AS check_name, 0::BIGINT AS violations")
+      .mkString(" UNION ALL "),
+
+    // ...and answer searches identically to the one-shot build
+    "q_fts_merge_search" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT a.doc_id, 2::BIGINT AS cnt
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+      ORDER BY doc_id"""
   )
 }
