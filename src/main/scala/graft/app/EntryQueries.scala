@@ -247,6 +247,41 @@ object EntryQueries {
         .orderBy(col("user_id"))
     }),
 
+    "q_events_sessions_stream" -> ((s, d) => {
+      // the same sessionization computed STREAMING with custom state
+      // (flatMapGroupsWithState): the events table replays through a
+      // memory stream in three ts-ordered micro-batches; the last update
+      // per user must equal the batch oracle (same SQL as
+      // q_events_sessions). The driver-side replay is the test harness —
+      // production input is readStream on the events source.
+      import s.implicits._
+      import graft.streaming.StreamingSessions
+      implicit val sqlCtx = s.sqlContext
+      val all = t(s, d, "events")
+        .select(col("user_id").cast("long"), col("ts"))
+        .orderBy(col("ts"))
+        .as[StreamingSessions.UserEvent].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamingSessions.UserEvent]
+      val name = s"sess_stream_${System.identityHashCode(source)}"
+      val q = StreamingSessions.sessionCounts(
+          source.toDS().withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+          source.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(name)
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"n_sessions")).as("s"))
+        .select($"user_id", $"s.n_events".as("n_events"),
+          $"s.n_sessions".as("n_sessions"))
+        .orderBy($"user_id")
+    }),
+
     // -- text-analysis pipeline ---------------------------------------------
     "q_text_token_counts" -> ((s, d) =>
       TextStats.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))),

@@ -282,6 +282,18 @@ object OracleSql {
                AS n_sessions
       FROM g GROUP BY 1 ORDER BY 1""",
 
+    // the streaming fold's cumulative totals equal the batch sessionization
+    "q_events_sessions_stream" -> """
+      WITH g AS (SELECT user_id,
+                        epoch(ts)::BIGINT -
+                          lag(epoch(ts)::BIGINT) OVER
+                            (PARTITION BY user_id ORDER BY ts) AS gap
+                 FROM events)
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)::BIGINT
+               AS n_sessions
+      FROM g GROUP BY 1 ORDER BY 1""",
+
     "q_text_token_counts" -> s"""
       SELECT doc_id, len($WsToks)::BIGINT AS n_ws_tokens,
              len(regexp_extract_all(text,

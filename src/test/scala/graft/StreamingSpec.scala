@@ -56,6 +56,51 @@ class StreamingSpec extends SparkTestBase {
     assert(IndexCheck.healthy(spark, streamed))
   }
 
+  test("flatMapGroupsWithState sessionization equals the batch computation") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event stream: 8 users, bursts separated by > and <
+    // the 600 s gap, delivered across THREE micro-batches in ts order
+    val rnd = new scala.util.Random(99)
+    val all = (for {
+      u <- 0L until 8L
+      i <- 0 until 40
+    } yield {
+      val base = 1_700_000_000L + u * 13L
+      // jump far (new session) every ~7 events, else a short hop
+      val t = base + i * 90L + (i / 7) * 5000L + rnd.nextInt(30)
+      UserEvent(u, new java.sql.Timestamp(t * 1000L))
+    }).sortBy(_.ts.getTime)
+
+    val source = MemoryStream[UserEvent]
+    val q = StreamingSessions.sessionCounts(
+        source.toDS().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sess_updates")
+      .outputMode("update").start()
+    try {
+      all.grouped((all.size + 2) / 3).foreach { chunk =>
+        source.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the LAST update per user is the cumulative total
+    val streamed = spark.table("sess_updates")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"n_events", $"n_sessions"))
+        .as("s"))
+      .select($"user_id", $"s.n_events", $"s.n_sessions")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val batch = StreamingSessions.batchSessionCounts(
+        spark.createDataset(all).toDF())
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed == batch)
+    assert(batch.values.forall { case (_, s) => s >= 2 }) // real sessions split
+  }
+
   test("layer count stays bounded over many micro-batches (auto-compaction)") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("graft-stream-compact")
