@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
 
 /** `graft_postings(bytes)` — decode one compressed posting part into
   * (doc_id, tf, dl) rows as a native Catalyst [[Generator]] (the explode
-  * family). Replaces the r1 Scala-UDF-returning-Seq[Product] + explode on
-  * the search path: the generator emits InternalRows straight from the
-  * delta+varint decoder with no external-row conversion and no UDF
-  * serialization boundary.
+  * family). The Spark-side analog of the reference's posting-chain walk at
+  * query time (reference: app/Index/Index_Search.cpp:13-45 reading the
+  * reversed block then its additional-block chain per word id). Replaces the r1
+  * Scala-UDF-returning-Seq[Product] + explode on the search path: the
+  * generator emits InternalRows straight from the delta+varint decoder with
+  * no external-row conversion and no UDF serialization boundary.
   *
   * Registered alongside `graft_tokenize` by
   * [[graft.tokenize.GraftExtensions]] / [[graft.tokenize.GraftFunctions]].
