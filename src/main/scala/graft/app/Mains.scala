@@ -33,13 +33,18 @@ object Mains {
   * snapshot's watermark are indexed; the watermark is promoted to the max
   * `ts` actually indexed after a successful commit.
   *
-  * Usage: BuildIndexMain <indexDir> <corpusParquetDir | gen:<nConvs>>
+  * Sources: a parquet dir of Turn rows, `gen:<nConvs>` (the deterministic
+  * synthetic corpus), or `fs:<dir>` — the reference's own input, a
+  * directory tree of .txt/.md files ([[graft.sources.FileCorpus]];
+  * `--updated-only` then reproduces the reference's mtime incremental scan).
+  *
+  * Usage: BuildIndexMain <indexDir> <corpusParquetDir | gen:<nConvs> | fs:<dir>>
   *        [--updated-only] */
 object BuildIndexMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: BuildIndexMain <indexDir> <corpusParquet|gen:N> [--updated-only]")
+        "usage: BuildIndexMain <indexDir> <corpusParquet|gen:N|fs:dir> [--updated-only]")
       sys.exit(2)
     }
     val Array(indexDir, src) = args.take(2)
@@ -51,6 +56,8 @@ object BuildIndexMain {
       if (src.startsWith("gen:"))
         TranscriptGen.dataset(spark, src.stripPrefix("gen:").toLong,
           partitions = spark.sparkContext.defaultParallelism)
+      else if (src.startsWith("fs:"))
+        graft.sources.FileCorpus.read(spark, src.stripPrefix("fs:"))
       else spark.read.parquet(src).as[graft.model.Turn]
     val store = new IndexStore(indexDir)
     val wm = if (updatedOnly) store.currentWatermark else None
