@@ -99,7 +99,7 @@ object Bench {
     * steal, and a noisy episode during a one-level-at-a-time sequence
     * skews the ratio by 2x; interleaving samples the noise symmetrically. */
   private def scalePair(nLo: Int, nHi: Int, nConvs: Long): String = {
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
     val runs = (1 to rounds).flatMap { _ =>
       Seq(nLo -> buildOnce(nLo, nConvs), nHi -> buildOnce(nHi, nConvs))
     }
