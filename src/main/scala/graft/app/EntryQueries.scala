@@ -210,6 +210,22 @@ object EntryQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_quality_quantiles" -> ((s, d) => {
+      // quantile sketch over a curation score (approx_percentile =
+      // Greenwald-Khanna): the thresholding tool for filter-by-quality at
+      // corpus scale. Sketch values are engine-specific -> rows-only;
+      // PipelineSpec bounds the rank error vs the exact percentiles.
+      TextStats.quality(t(s, d, "documents"))
+        .groupBy(floor(col("n_chars") / 300).as("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          approx_percentile(col("mean_word_len"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+            .as("mwl_quantiles"),
+          approx_percentile(col("stop_ratio"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("stop_quantiles"))
+        .orderBy(col("len_bucket"))
+    }),
+
     "q_distinct_agg" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),

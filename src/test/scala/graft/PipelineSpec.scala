@@ -205,6 +205,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile matches exact quantiles within accuracy bound") {
+    val rnd = new scala.util.Random(31)
+    val vals = (0 until 5000).map(_ => rnd.nextGaussian() * 10 + 50)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val fracs = Seq(0.25, 0.5, 0.75, 0.95)
+    val approx = df.agg(org.apache.spark.sql.functions.approx_percentile(
+        $"v", org.apache.spark.sql.functions.array(fracs.map(
+          org.apache.spark.sql.functions.lit(_)): _*),
+        org.apache.spark.sql.functions.lit(10000)).as("q"))
+      .as[Seq[Double]].head()
+    val sorted = vals.sorted
+    fracs.zip(approx).foreach { case (f, got) =>
+      // accuracy 10000 => rank error <= n/10000 < 1 here, so the sketch
+      // value must be an element within one rank of the exact position
+      val pos = (f * (sorted.length - 1)).toInt
+      val window = sorted.slice(math.max(0, pos - 2), pos + 3)
+      assert(window.contains(got), s"q$f: $got not near ${window.toList}")
+    }
+  }
+
   test("language ID picks profile with most marker hits") {
     val d = Seq(
       (0L, "the cat and the dog of the house"),
