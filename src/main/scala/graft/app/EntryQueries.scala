@@ -266,7 +266,7 @@ object EntryQueries {
     "q_events_sessions_stream" -> ((s, d) => {
       // the same sessionization computed STREAMING with custom state
       // (flatMapGroupsWithState): the events table replays through a
-      // memory stream in three ts-ordered micro-batches; the last update
+      // memory stream in two ts-ordered micro-batches; the last update
       // per user must equal the batch oracle (same SQL as
       // q_events_sessions). The driver-side replay is the test harness —
       // production input is readStream on the events source.
@@ -285,7 +285,7 @@ object EntryQueries {
         .writeStream.format("memory").queryName(name)
         .outputMode("update").start()
       try {
-        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+        all.grouped(math.max(1, (all.length + 1) / 2)).foreach { chunk =>
           source.addData(chunk.toSeq)
           q.processAllAvailable()
         }
