@@ -343,8 +343,11 @@ object EntryQueries {
 
     "q_sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // fitSample: the coarse quantizer fits on a seed-stable half sample —
+      // the shape the quantizer uses at corpus scale (assignment still
+      // covers every row); probe sets are engine-specific -> rows-only
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-          nLists = 16, nProbe = 4)
+          nLists = 16, nProbe = 4, fitSample = 0.5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
