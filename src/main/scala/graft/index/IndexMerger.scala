@@ -83,6 +83,9 @@ object IndexMerger {
     val oldV = store.currentVersion.getOrElse(
       throw new IllegalStateException(s"no snapshot to merge into at $root"))
     val oldMeta = store.meta(oldV)
+    // an empty batch is a no-op: keep the current snapshot, write nothing
+    // (the streaming path also guards this, but direct callers may not)
+    if (corpus.isEmpty) return oldMeta
     val v = store.nextVersion
     val dir = store.snapshotDir(v)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -192,7 +195,18 @@ object IndexMerger {
     // space append with part numbers offset past the old count; terms that
     // DO reach into old ids (re-indexed docs) get the old-wins regroup, and
     // their old-layer rows are masked via replaced_terms
-    stage("postings") {
+    def dirHasParquet(p: String): Boolean = {
+      val path = java.nio.file.Paths.get(p)
+      java.nio.file.Files.isDirectory(path) && {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(path)
+        try walk.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+    }
+
+    stage("postings") { if (dirHasParquet(s"$dir/_segment")) {
       val newP = spark.read.parquet(s"$dir/_segment")
       val affected = newP.filter($"first_doc" <= oldMeta.maxDocId)
         .select($"term").distinct().persist()
@@ -241,12 +255,12 @@ object IndexMerger {
       affected.unpersist()
       store.recordStage(v, "postings_lineage", nAffected, 0L,
         Map("affectedTerms" -> nAffected, "appendOnly" -> (nAffected == 0)))
-    }
+    } } // a tokenless batch (all-empty texts) writes no postings delta
 
     // -- dict delta: derived from the delta postings alone (regrouped terms
     // carry their FULL df here and mask the base row; appended terms sum
     // with the base row at read)
-    stage("dict") {
+    stage("dict") { if (dirHasParquet(s"$dir/postings")) {
       spark.read.parquet(s"$dir/postings")
         .groupBy($"letter", $"term")
         .agg(sum($"df").as("df"), count(lit(1)).cast("int").as("parts"))
@@ -254,7 +268,7 @@ object IndexMerger {
         .sortWithinPartitions($"term")
         .write.mode(SaveMode.Overwrite).partitionBy("letter")
         .parquet(s"$dir/dict")
-    }
+    } }
 
     // -- layer list, meta, commit
     val replaced =

@@ -173,6 +173,42 @@ class MergeSpec extends SparkTestBase {
     assert(got == o.searchCount("which").toMap)
   }
 
+  test("an empty batch merge is a no-op: no new snapshot, meta unchanged") {
+    val dir = tmpDir("graft-merge-empty")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, 10, partitions = 2), dir, conf)
+    val st = new IndexStore(dir)
+    val before = st.currentMeta
+    import spark.implicits._
+    val meta = IndexMerger.merge(spark,
+      spark.emptyDataset[graft.model.Turn], dir, conf)
+    assert(meta == before)
+    assert(st.currentVersion.contains(1))
+  }
+
+  test("a tokenless batch (all-empty texts) merges: doc rows kept, no postings delta") {
+    val dir = tmpDir("graft-merge-tokenless")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, 10, partitions = 2), dir, conf)
+    val st = new IndexStore(dir)
+    val termsBefore = st.dict(spark).count()
+    import spark.implicits._
+    val blank = (0 until 5).map(i => graft.model.Turn(
+      f"conv-blank-$i%03d", 0, "doc", "", null,
+      java.sql.Timestamp.valueOf("2026-04-01 00:00:00")))
+    IndexMerger.merge(spark, spark.createDataset(blank), dir, conf)
+    assert(st.currentVersion.contains(2))
+    val meta = st.currentMeta
+    assert(meta.numDocs == st.docs(spark).count())
+    // the S6 quirk at merge time: doc rows + zero-stats, dictionary unchanged
+    assert(st.dict(spark).count() == termsBefore)
+    val zeroStats = st.docStats(spark).join(st.docs(spark), "doc_id")
+      .filter($"conv_id".startsWith("conv-blank"))
+      .select($"word_count", $"dl").as[(Int, Int)].collect()
+    assert(zeroStats.length == 5 && zeroStats.forall(_ == ((0, 0))))
+    assert(graft.verify.IndexCheck.healthy(spark, st))
+  }
+
   test("merge is resumable: re-merging the same batch is a no-op on content") {
     val _ = indexDir
     val before = store.currentMeta
