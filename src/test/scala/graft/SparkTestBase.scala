@@ -14,9 +14,12 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // GRAFT_TEST_CPUS: rerun the whole suite at a different parallelism
+      // to flush partition-count-dependent assumptions
+      .master(s"local[${sys.env.getOrElse("GRAFT_TEST_CPUS", "4")}]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_TEST_CPUS", "4"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
