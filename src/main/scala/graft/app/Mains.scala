@@ -38,18 +38,41 @@ object Mains {
   * directory tree of .txt/.md files ([[graft.sources.FileCorpus]];
   * `--updated-only` then reproduces the reference's mtime incremental scan).
   *
+  * `--config=<file>` reads the reference's `key=value` config.txt
+  * ([[ConfigFile]]): `index_path` and `config_path_to_scan` stand in for the
+  * positional args (CLI positionals override), `config_updated_files_only`
+  * (reference default TRUE) drives the watermark scan,
+  * `config_scan_dot_paths` the hidden-path filter, `config_threads_to_use`
+  * the local parallelism — so `BuildIndexMain --config=config.txt` behaves
+  * like the reference binary pointed at the same file.
+  *
   * Usage: BuildIndexMain <indexDir> <corpusParquetDir | gen:<nConvs> | fs:<dir>>
-  *        [--updated-only] */
+  *        [--updated-only] [--config=<file>] */
 object BuildIndexMain {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
+    val cfg = ConfigFile.fromArgs(args)
+    val pos = args.filterNot(_.startsWith("--"))
+    val indexDirOpt = pos.headOption
+      .orElse(cfg.map(_("index_path")).filter(_.nonEmpty))
+    val srcOpt = pos.lift(1).orElse(
+      cfg.map(_("config_path_to_scan")).filter(_.nonEmpty).map("fs:" + _))
+    if (indexDirOpt.isEmpty || srcOpt.isEmpty) {
+      // the reference's validate(): index_path + path_to_scan must come
+      // from the CLI or the config file (Config.cpp:53-60)
       System.err.println(
-        "usage: BuildIndexMain <indexDir> <corpusParquet|gen:N|fs:dir> [--updated-only]")
+        "usage: BuildIndexMain <indexDir> <corpusParquet|gen:N|fs:dir> " +
+          "[--updated-only] [--config=<file>]")
       sys.exit(2)
     }
-    val Array(indexDir, src) = args.take(2)
-    val updatedOnly = args.contains("--updated-only")
-    val spark = Mains.session("graft-build")
+    val (indexDir, src) = (indexDirOpt.get, srcOpt.get)
+    val updatedOnly = args.contains("--updated-only") ||
+      cfg.exists(ConfigFile.bool(_, "config_updated_files_only"))
+    val engineConf = cfg.map(ConfigFile.engineConf)
+      .getOrElse(graft.model.EngineConf.default)
+    val spark = Mains.session("graft-build",
+      cfg.map(c => ConfigFile.int(c, "config_threads_to_use").toString)
+        .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
+    cfg.foreach(c => spark.sparkContext.setLogLevel(ConfigFile.logLevel(c)))
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max}
     val full =
@@ -57,7 +80,8 @@ object BuildIndexMain {
         TranscriptGen.dataset(spark, src.stripPrefix("gen:").toLong,
           partitions = spark.sparkContext.defaultParallelism)
       else if (src.startsWith("fs:"))
-        graft.sources.FileCorpus.read(spark, src.stripPrefix("fs:"))
+        graft.sources.FileCorpus.read(spark, src.stripPrefix("fs:"),
+          includeHidden = cfg.exists(ConfigFile.bool(_, "config_scan_dot_paths")))
       else spark.read.parquet(src).as[graft.model.Turn]
     val store = new IndexStore(indexDir)
     val wm = if (updatedOnly) store.currentWatermark else None
@@ -71,8 +95,8 @@ object BuildIndexMain {
     }
     val meta =
       if (store.currentVersion.isEmpty)
-        IndexBuilder.build(spark, corpus, indexDir)
-      else graft.index.IndexMerger.merge(spark, corpus, indexDir)
+        IndexBuilder.build(spark, corpus, indexDir, engineConf)
+      else graft.index.IndexMerger.merge(spark, corpus, indexDir, engineConf)
     val maxTs = corpus.agg(max($"ts")).as[java.sql.Timestamp].head()
     val promoted = store.watermark(meta.version - 1) match {
       case Some(prev) if prev.after(maxTs) => prev
@@ -163,28 +187,43 @@ object CheckIndexMain {
   * = config_min_char_for_match (wildcard terms shorter than or equal to N
   * match nothing).
   *
+  * `--config=<file>` reads the reference's config.txt ([[ConfigFile]]):
+  * `config_exact_match` / `config_min_char_for_match` feed the search conf
+  * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
+  * stand in for the positional index dir.
+  *
   * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25] [--k=10]
-  *        [--exact] [--min-char=N] */
+  *        [--exact] [--min-char=N] [--config=<file>] */
 object SearchMain {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
+    val cfg = ConfigFile.fromArgs(args)
+    val pos = args.filterNot(_.startsWith("--"))
+    val (indexDirOpt, queryOpt) = pos.toSeq match {
+      case Seq(d, q, _*) => (Some(d), Some(q))
+      case Seq(q) => (cfg.map(_("index_path")).filter(_.nonEmpty), Some(q))
+      case _ => (None, None)
+    }
+    if (indexDirOpt.isEmpty || queryOpt.isEmpty) {
       System.err.println("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|bm25] [--k=10] [--exact] [--min-char=N]")
+        "[--mode=count|bm25] [--k=10] [--exact] [--min-char=N] " +
+        "[--config=<file>]")
       sys.exit(2)
     }
-    val indexDir = args(0)
-    val query = args(1)
+    val indexDir = indexDirOpt.get
+    val query = queryOpt.get
     val mode = args.collectFirst { case s if s.startsWith("--mode=") =>
       s.stripPrefix("--mode=") }.getOrElse("count")
     val k = args.collectFirst { case s if s.startsWith("--k=") =>
       s.stripPrefix("--k=").toInt }.getOrElse(10)
-    val conf = EngineConf.default.copy(
-      exactMatch = args.contains("--exact"),
+    val base = cfg.map(ConfigFile.engineConf).getOrElse(EngineConf.default)
+    val conf = base.copy(
+      exactMatch = args.contains("--exact") || base.exactMatch,
       minCharForMatch = args.collectFirst {
         case s if s.startsWith("--min-char=") =>
           s.stripPrefix("--min-char=").toInt
-      }.getOrElse(EngineConf.default.minCharForMatch))
+      }.getOrElse(base.minCharForMatch))
     val spark = Mains.session("graft-search")
+    cfg.foreach(c => spark.sparkContext.setLogLevel(ConfigFile.logLevel(c)))
     val store = new IndexStore(indexDir)
     if (store.currentVersion.isEmpty) {
       System.err.println(s"no index snapshot at $indexDir")
@@ -206,7 +245,10 @@ object SearchMain {
     }
 
     if (query == "-i") {
-      // the reference's REPL loop: prompt, search, repeat until q/quit/exit
+      // the reference's REPL loop: prompt, search, repeat until q/quit/exit;
+      // pin the dictionary up front (words.index-mmap parity) so repeat
+      // queries skip the dict parquet scan
+      searcher.warm()
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(System.in))
       var line: String = null

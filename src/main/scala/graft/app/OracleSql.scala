@@ -283,12 +283,13 @@ object OracleSql {
       FROM g GROUP BY 1 ORDER BY 1""",
 
     // the streaming fold's cumulative totals equal the batch sessionization
+    // (restricted to the bounded replay slice, user_id < 100)
     "q_events_sessions_stream" -> """
       WITH g AS (SELECT user_id,
                         epoch(ts)::BIGINT -
                           lag(epoch(ts)::BIGINT) OVER
                             (PARTITION BY user_id ORDER BY ts) AS gap
-                 FROM events)
+                 FROM events WHERE user_id < 100)
       SELECT user_id, count(*) AS n_events,
              sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)::BIGINT
                AS n_sessions
@@ -336,6 +337,13 @@ object OracleSql {
       FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_jaccard" -> JaccardPairs,
+
+    // the capped entry drops hot shingles from pair GENERATION only; on the
+    // driver corpora every qualifying pair still surfaces through its cold
+    // shingles, so the id set equals the exact pairs (inter/uni omitted:
+    // capped intersections are lower bounds, not the exact values)
+    "q_dedup_jaccard_capped" ->
+      s"SELECT id_a, id_b FROM ($JaccardPairs) ORDER BY id_a, id_b",
 
     // LSH candidates are exact-jaccard-verified (precision 1 by
     // construction), so the oracle is the exact-pairs query. Recall is

@@ -142,6 +142,18 @@ object IndexMerger {
     }
     val batchPrep = spark.read.parquet(s"$dir/_batch")
 
+    // ONE aggregate job over the (batch-sized) prep frame feeds everything
+    // the driver used to learn from four separate jobs (r2: batch count,
+    // fresh-docs max, doc_stats totals, numDocs): row count, fresh-doc
+    // count/max-id, token totals, re-indexed count
+    val (batchRows, nNew, maxNewId, batchDl, nReidx) = batchPrep.agg(
+        count(lit(1)),
+        sum(when($"is_new", 1L).otherwise(0L)),
+        max(when($"is_new", $"doc_id")),
+        sum($"dl".cast("long")),
+        sum(when(!$"is_new", 1L).otherwise(0L)))
+      .as[(Long, Long, Option[Long], Long, Long)].head()
+
     // -- docs delta: ONLY the fresh docs; old docs ride along by reference
     stage("docs") {
       batchPrep.filter($"is_new")
@@ -169,14 +181,11 @@ object IndexMerger {
           st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
         }
         .toDF("term", "doc_id", "tf", "dl")
-      // batch row count from parquet footer metadata (no scan); a term's
-      // batch df is bounded by it, so small batches skip the hot-term
-      // detection pass entirely (the encoder's hard run cap still bounds
-      // memory either way — salting only adds parallelism)
-      val batchRows = batchPrep.count()
-      val span = 1 + math.max(oldMeta.maxDocId,
-        spark.read.parquet(s"$dir/docs").agg(max($"doc_id"))
-          .as[Option[Long]].head().getOrElse(0L))
+      // a term's batch df is bounded by the batch row count (from the fused
+      // prep aggregate), so small batches skip the hot-term detection pass
+      // entirely (the encoder's hard run cap still bounds memory either
+      // way — salting only adds parallelism)
+      val span = 1 + math.max(oldMeta.maxDocId, maxNewId.getOrElse(0L))
       val hot: Map[String, Int] =
         if (batchRows <= conf.maxPostingsPerPart) Map.empty
         else tokens.groupBy($"term")
@@ -206,13 +215,34 @@ object IndexMerger {
       }
     }
 
+    // letters present in a letter=? partitioned delta dir — from the
+    // directory listing, no Spark job; used to letter-prune the old dict
+    // scans below (the batch's vocabulary usually touches a subset)
+    def deltaLetters(p: String): Seq[String] = {
+      val path = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.isDirectory(path)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(path)
+        try ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("letter=")).map(_.stripPrefix("letter="))
+          .toSeq
+        finally ls.close()
+      }
+    }
+
     stage("postings") { if (dirHasParquet(s"$dir/_segment")) {
       val newP = spark.read.parquet(s"$dir/_segment")
       val affected = newP.filter($"first_doc" <= oldMeta.maxDocId)
         .select($"term").distinct().persist()
-      val nAffected = affected.count()
+      // one job: affected-term count AND their letters (r2 ran two)
+      val (nAffected, letters) = affected
+        .agg(count(lit(1)), collect_set(substring($"term", 1, 1)))
+        .as[(Long, Seq[String])].head()
 
+      val segLetters = deltaLetters(s"$dir/_segment")
       val oldDict = store.dictAt(spark, oldV)
+        .filter($"letter".isin(segLetters: _*))
         .select($"term", $"parts".as("old_parts"))
       val appended = newP.join(broadcast(affected), Seq("term"), "left_anti")
         .join(oldDict, Seq("term"), "left")
@@ -221,9 +251,6 @@ object IndexMerger {
         .drop("old_parts")
 
       val regrouped = if (nAffected == 0) spark.emptyDataFrame else {
-        val letters = affected
-          .select(substring($"term", 1, 1).as("l")).distinct()
-          .as[String].collect().toSeq
         val oldAffected = store.postingsAt(spark, oldV)
           .filter($"letter".isin(letters: _*))
           .join(broadcast(affected), Seq("term"))
@@ -279,12 +306,33 @@ object IndexMerger {
     store.writeLayers(v, store.layers(oldV) :+ TableLayer(v, s"v$v/docs",
       s"v$v/doc_stats", s"v$v/postings", s"v$v/dict", replaced))
 
-    val stats = store.docStatsAt(spark, v)
-    val (numDocs, totalTokens, maxId) = stats
-      .agg(count(lit(1)), sum($"dl"), max($"doc_id"))
-      .as[(Long, Long, Long)].head()
-    val numTerms = store.dictAt(spark, v)
-      .select($"term").distinct().count()
+    // -- meta, computed INCREMENTALLY from the old meta + batch aggregates
+    // (r2 recomputed numDocs/totalTokens/numTerms from the full layered
+    // doc_stats and dict unions — Θ(index) reads for a Θ(batch) merge):
+    //   numDocs     += fresh docs (known ids were already counted)
+    //   totalTokens += batch dl − the re-indexed docs' PREVIOUS dl (their
+    //                  delta doc_stats row wins at read, M1 overwrite);
+    //                  pure-append batches skip the old doc_stats read
+    //   numTerms    += delta-dict terms absent from the (letter-pruned)
+    //                  old dict; regrouped terms existed before, so they
+    //                  never change the count
+    val reindexedOldDl: Long =
+      if (nReidx == 0) 0L
+      else store.docStatsAt(spark, oldV)
+        .join(broadcast(batchPrep.filter(!$"is_new").select($"doc_id")),
+          Seq("doc_id"))
+        .agg(coalesce(sum($"dl".cast("long")), lit(0L))).as[Long].head()
+    val newTerms: Long =
+      if (!dirHasParquet(s"$dir/dict")) 0L
+      else spark.read.parquet(s"$dir/dict").select($"letter", $"term")
+        .join(store.dictAt(spark, oldV)
+          .filter($"letter".isin(deltaLetters(s"$dir/dict"): _*))
+          .select($"term"), Seq("term"), "left_anti")
+        .count()
+    val numDocs = oldMeta.numDocs + nNew
+    val totalTokens = oldMeta.totalTokens + batchDl - reindexedOldDl
+    val maxId = math.max(oldMeta.maxDocId, maxNewId.getOrElse(Long.MinValue))
+    val numTerms = oldMeta.numTerms + newTerms
     val meta = IndexMeta(v, numDocs, maxId, totalTokens,
       if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
       numTerms, conf.k1, conf.b, conf.blockSize)

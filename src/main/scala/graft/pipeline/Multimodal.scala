@@ -109,15 +109,23 @@ object Multimodal {
       }
   }
 
-  /** One codec session per partition wrapped around a row iterator; the
-    * session closes when the partition drains. */
+  /** One codec session per partition wrapped around a row iterator. The
+    * session closes exactly once: on drain, AND via a task-completion
+    * listener so early termination (limit/take, downstream exception) can't
+    * leak a native session — drain-detection alone misses those paths and
+    * can double-close (ADVICE r2). */
   private def withSession[T](codec: MediaCodec, rows: Iterator[MediaRow])(
       f: (MediaCodec.Session, MediaRow) => T): Iterator[T] = {
     val session = codec.open()
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; session.close() }
+    // no TaskContext when driven as a plain local iterator (unit tests)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[T] {
       def hasNext: Boolean = {
         val h = rows.hasNext
-        if (!h) session.close()
+        if (!h) closeOnce()
         h
       }
       def next(): T = f(session, rows.next())

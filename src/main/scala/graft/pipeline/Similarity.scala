@@ -201,7 +201,10 @@ object Similarity {
       .select(col(id).cast("long").as("id"),
         col(vec).cast("array<double>").as("v"), norm2Col(col(vec)).as("n2"))
       .as[(Long, Seq[Double], Double)]
-      .groupByKey { case (i, _, _) => (i % nTiles).toInt }
+      // floor-mod: ids may be negative; with sparse ids some residue tiles
+      // can be empty or uneven (bounded skew) — the pair loop below skips
+      // absent tiles rather than assuming a dense id space
+      .groupByKey { case (i, _, _) => (((i % nTiles) + nTiles) % nTiles).toInt }
       .mapGroups { (bid, rows) =>
         val rs = rows.toArray.sortBy(_._1)
         val d = if (rs.isEmpty) 0 else rs.head._2.length
@@ -224,8 +227,18 @@ object Similarity {
     routed.groupByKey(_._1).flatMapGroups { (key, it) =>
       val (a, b) = key
       val ts = it.map(_._2).toArray
-      val ta = ts.find(_.bid == a).get
-      val tb = if (a == b) ta else ts.find(_.bid == b).get
+      // either tile of the pair may be absent (empty residue class under
+      // sparse ids): no rows on that side, so no pairs
+      val ta = ts.find(_.bid == a).orNull
+      val tb = if (a == b) ta else ts.find(_.bid == b).orNull
+      if (ta == null || tb == null) Iterator.empty
+      else emitTilePairs(a, b, ta, tb, minCos)
+    }.toDF("id_a", "id_b", "cos")
+  }
+
+  /** Cache-friendly primitive dot loop over one (unordered) tile pair. */
+  private def emitTilePairs(a: Int, b: Int, ta: SimTile, tb: SimTile,
+      minCos: Double): Iterator[(Long, Long, Double)] = {
       val d = if (ta.ids.nonEmpty) ta.data.length / ta.ids.length else 0
       val out = Seq.newBuilder[(Long, Long, Double)]
       var i = 0
@@ -246,7 +259,6 @@ object Similarity {
         i += 1
       }
       out.result().iterator
-    }.toDF("id_a", "id_b", "cos")
   }
 
   /** Embedding near-duplicate pairs: cosine >= minCos, LSH-blocked with

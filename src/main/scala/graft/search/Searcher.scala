@@ -32,10 +32,24 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   // a long-lived Searcher no longer accumulates persisted plans (r1 leak)
   private var cachedPerTerm: Option[DataFrame] = None
 
+  private var dictWarmed = false
+
+  /** REPL warm path: pin the dictionary in executor memory (the analog of
+    * the reference's always-mmapped words.index, docs/Disk-Structure.md).
+    * The dictionary is vocabulary-sized — orders of magnitude smaller than
+    * postings — so pinning is safe at any corpus scale; postings stay on
+    * parquet where letter pruning + min/max skipping bound each query's
+    * read. Repeat queries then skip the dict parquet scan entirely. */
+  def warm(): Unit = if (!dictWarmed) {
+    dict.persist(StorageLevel.MEMORY_AND_DISK).count()
+    dictWarmed = true
+  }
+
   /** Release cached per-query state. */
   def close(): Unit = {
     cachedPerTerm.foreach(_.unpersist(blocking = false))
     cachedPerTerm = None
+    if (dictWarmed) { dict.unpersist(blocking = false); dictWarmed = false }
   }
 
   // the posting decoder as a native Catalyst generator (graft_postings):

@@ -19,7 +19,21 @@ import graft.model.Turn
   *     `get_words` returns words only for `.txt`): an `.md` file keeps its
   *     doc row but contributes ZERO tokens (word_count/dl = 0) —
   *     reproduced by blanking its text; disable via `mdEmptyQuirk = false`
-  *     to actually index markdown content.
+  *     to actually index markdown content;
+  *   - filename tokenization (T3, Indexer.cpp:92-111): a `.txt` file's
+  *     FILENAME words join its word set (interior rule 5-14; the filename's
+  *     trailing token gets the final rule 4-19 — always `txt` here, len 3,
+  *     so never kept), so `networking` finds `networking-guide.txt` even
+  *     when the body never says it. Carried by appending
+  *     [[graft.tokenize.Tokenizer.FileEnd]] + basename to the body text:
+  *     the marker finalizes the body's last token with its own end-of-file
+  *     rule first, exactly the reference's two independent streams. Under
+  *     the quirk `.md` contributes no filename words either (get_words
+  *     short-circuits before the utf8 path); with `mdEmptyQuirk = false`
+  *     (our extension that indexes markdown) the filename applies too.
+  *     tf semantics (our extension — the reference keeps a SET): a filename
+  *     occurrence counts like a body occurrence (tf/dl +1); the distinct
+  *     word set is identical to the reference's union either way.
   *
   * Spark shape: the built-in `binaryFile` source (distributed listing +
   * read; at 100 TB the listing parallelizes and files stream per task —
@@ -45,12 +59,20 @@ object FileCorpus {
     val visible =
       if (includeHidden) base
       else base.filter(!col("path").contains("/."))
+    // body + FileEnd + basename: the marker preserves the body-final token's
+    // end-of-file rule while the filename words tokenize as their own stream
+    val fname = substring_index(col("path"), "/", -1)
+    val withName = concat(col("content").cast("string"),
+      lit(graft.tokenize.Tokenizer.FileEnd.toString), fname)
     val emptied =
-      if (!mdEmptyQuirk) col("content").cast("string")
+      if (!mdEmptyQuirk) withName
       else when(col("path").endsWith(".md"), lit(""))
-        .otherwise(col("content").cast("string"))
+        .otherwise(withName)
     visible.select(
-        regexp_replace(col("path"), lit(rootPrefix), lit("")).as("conv_id"),
+        // positional strip (not a regex): the root may contain regex
+        // metacharacters, and the prefix must strip at position 0 only
+        col("path").substr(lit(rootPrefix.length + 1), length(col("path")))
+          .as("conv_id"),
         lit(0).as("turn_idx"),
         lit("file").as("role"),
         emptied.as("text"),

@@ -19,6 +19,16 @@ import scala.collection.mutable
   */
 object Tokenizer {
 
+  /** End-of-body marker: flushes the pending token with the FINAL rule
+    * (4..19) and continues tokenizing. [[graft.sources.FileCorpus]] appends
+    * `FileEnd + filename` to a file's body so ONE text carries the
+    * reference's two independently-finalized token streams (body words at
+    * EOF + filename words, reference app/Indexer/Indexer.cpp:84-111): the
+    * body's last word keeps its end-of-file rule and the filename's last
+    * word gets its own. U+0000 never occurs in real text; a text without the
+    * marker tokenizes exactly as before. */
+  final val FileEnd: Char = '\u0000'
+
   /** All kept tokens in order of appearance (with duplicates → tf). */
   def tokens(text: String): mutable.ArrayBuffer[String] = {
     val out = new mutable.ArrayBuffer[String]()
@@ -27,12 +37,19 @@ object Tokenizer {
     var i = 0
     val n = text.length
     while (i < n) {
-      val f = CharFold.fold(text.charAt(i))
-      if (f == CharFold.Sep) {
+      val c = text.charAt(i)
+      if (c == FileEnd) {
         val len = sb.length
-        if (len > 4 && len < 15) out += sb.toString
+        if (len > 3 && len < 20) out += sb.toString // final rule mid-stream
         sb.setLength(0)
-      } else sb.append(f)
+      } else {
+        val f = CharFold.fold(c)
+        if (f == CharFold.Sep) {
+          val len = sb.length
+          if (len > 4 && len < 15) out += sb.toString
+          sb.setLength(0)
+        } else sb.append(f)
+      }
       i += 1
     }
     val len = sb.length
@@ -64,12 +81,19 @@ object Tokenizer {
     var i = 0
     val n = text.length
     while (i < n) {
-      val f = CharFold.fold(text.charAt(i))
-      if (f == CharFold.Sep) {
+      val c = text.charAt(i)
+      if (c == FileEnd) {
         val len = sb.length
-        if (len > 4 && len < 15) keep(sb.toString)
+        if (len > 3 && len < 20) keep(sb.toString) // final rule mid-stream
         sb.setLength(0)
-      } else sb.append(f)
+      } else {
+        val f = CharFold.fold(c)
+        if (f == CharFold.Sep) {
+          val len = sb.length
+          if (len > 4 && len < 15) keep(sb.toString)
+          sb.setLength(0)
+        } else sb.append(f)
+      }
       i += 1
     }
     val len = sb.length

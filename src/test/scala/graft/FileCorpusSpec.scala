@@ -63,4 +63,44 @@ class FileCorpusSpec extends SparkTestBase {
     assert(full.filter(_.conv_id == "notes/bravo.md").head().text
       .contains("marked"))
   }
+
+  test("filename tokenization (T3): .txt filename words join the word set") {
+    val dir = tmpDir("graft-fs-fname")
+    // body never contains 'networking'; only the filename does
+    write(dir, "networking-guide.txt", "zebra wombat searching indexes")
+    // .md: the reference's get_words never reaches the filename either
+    write(dir, "elephant-notes.md", "ignored body")
+    // body-final token of 4 chars must KEEP its end-of-file rule even with
+    // the filename appended ('wxyz' is kept only by the final 4..19 rule)
+    write(dir, "shortend.txt", "searching ends with wxyz")
+
+    val idx = tmpDir("graft-fs-fname-idx")
+    IndexBuilder.build(spark, FileCorpus.read(spark, dir), idx, conf)
+    val s = new Searcher(spark, new IndexStore(idx), conf)
+    def hits(q: String): Set[String] =
+      s.searchCount(q).collect().map(_.getString(0)).toSet
+    // a query matching only the filename finds the file (reference
+    // Indexer.cpp:92-111)
+    assert(hits("networking") == Set("networking-guide.txt"))
+    assert(hits("guide") == Set("networking-guide.txt"))
+    // .md filenames contribute nothing under the quirk
+    assert(hits("elephant") == Set.empty)
+    // body-final rule preserved: 'wxyz' (len 4) still indexed (quoted =
+    // exact match, since 4-char wildcards are dropped by the min-char quirk)
+    assert(hits(""""wxyz"""") == Set("shortend.txt"))
+    // the filename base itself indexes ('shortend', interior 5-14)
+    assert(hits("shortend") == Set("shortend.txt"))
+    s.close()
+  }
+
+  test("root path with regex metacharacters strips positionally") {
+    // '(', '+', '.' are regex metacharacters (the r2 regexp_replace strip
+    // threw or mis-stripped on them) but legal in Hadoop path globs —
+    // '[', '{', '*' are glob chars Hadoop itself rejects, out of scope
+    val base = tmpDir("graft-fs-meta")
+    val dir = java.nio.file.Paths.get(base, "w(e+i).rd").toString
+    write(dir, "sub/alpha.txt", "zebra wombat indexes")
+    val rows = FileCorpus.read(spark, dir).collect()
+    assert(rows.map(_.conv_id).toSet == Set("sub/alpha.txt"))
+  }
 }

@@ -61,6 +61,24 @@ class PipelineSpec extends SparkTestBase {
     assert(expected.contains((0L, 1L))) // sanity: planted pairs exist
   }
 
+  test("capped jaccardPairs: precision 1, full recall on the driver corpus") {
+    // the scale config (hot-shingle skew cap) on the real testdata: dropped
+    // shingles only remove CANDIDATE routes and lower the counted
+    // intersection, so pairs are a subset of exact; with cap ≈ 1% of the
+    // corpus the planted near-dups all survive via cold shingles — the
+    // property the q_dedup_jaccard_capped gate entry relies on
+    val driverDocs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Dedup.jaccardPairs(driverDocs, n = 3, minPct = 80)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardPairs(driverDocs, n = 3, minPct = 80,
+        hotShingleCap = Some(5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact)) // capped inter is a lower bound
+    assert(capped == exact, s"recall ${capped.size}/${exact.size}")
+    assert(exact.nonEmpty)
+  }
+
   test("minhash LSH pairs: precision 1.0 and full recall on planted dups") {
     val exact = Dedup.jaccardPairs(docs, n = 3, minPct = 60)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -148,6 +166,22 @@ class PipelineSpec extends SparkTestBase {
       assert(blocked == brute, s"tileRows=$tileRows") // incl. exact cos bits
     }
     assert(brute.exists { case (a, b, _) => a == 0L && b == 300L })
+  }
+
+  test("blocked near-dup pairs: sparse and negative vec_ids") {
+    // all-even ids leave odd residue tiles empty; negative ids exercise the
+    // floor-mod tile assignment (ADVICE r2: raw modulo + .get crashed here)
+    val rnd = new scala.util.Random(23)
+    val ids = (0 until 120).map(i => i.toLong * 2 - 40) // negatives + even-only
+    val vecs = ids.map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteNearDupPairs(vecs, minCos = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.blockedNearDupPairs(vecs, minCos = 0.3,
+      tileRows = 16).as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty) // threshold low enough that pairs exist
   }
 
   test("IVF ANN: coarse-quantized probing with good recall on clustered data") {

@@ -59,6 +59,23 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.tokens(null) == Seq())
   }
 
+  test("FileEnd marker: finalizes the pending token with the 4..19 rule") {
+    val M = Tokenizer.FileEnd.toString
+    // body-final 'word' (4) keeps its end-of-file rule despite the appended
+    // filename stream; filename interior 'guide' (5..14) kept; trailing
+    // 'txt' (3) dropped by the filename's own final rule
+    assert(Tokenizer.tokens(s"hello word${M}guide.txt") ==
+      Seq("hello", "word", "guide"))
+    // body-final token of 16 chars: final rule keeps it, interior would not
+    assert(Tokenizer.tokens(s"${"a" * 16}${M}alpha.txt") ==
+      Seq("a" * 16, "alpha"))
+    // marker with empty pending token is a no-op separator
+    assert(Tokenizer.tokens(s"hello ${M}alpha.txt") == Seq("hello", "alpha"))
+    // stats: filename occurrences add tf/dl like body occurrences
+    val st = Tokenizer.stats(s"guide words here${M}guide.txt")
+    assert(st.tf("guide") == 2 && st.dl == 4 && st.wordCount == 3)
+  }
+
   test("tf and stats") {
     val st = Tokenizer.stats("hello world hello there worlds")
     assert(st.tf("hello") == 2)
