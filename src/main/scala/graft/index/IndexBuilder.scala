@@ -205,21 +205,28 @@ object IndexBuilder {
   private[index] def encodeParts(spark: SparkSession, tokens: DataFrame,
       span: Long, hot: Map[String, Int], conf: EngineConf, p: Int): DataFrame = {
     import spark.implicits._
-    // cell assignment in built-in expressions, not a UDF (r2 verdict: every
-    // token paid the UDF boundary for a usually-empty map lookup). The
-    // common case — no hot terms — is a constant 0 with no join at all; with
-    // hot terms, a broadcast left-join of the tiny (term, ncells) frame
-    // keeps the dominant map stage fully inside whole-stage codegen.
-    // cell = doc_id div ceil(span / ncells)  (integer arithmetic, identical
-    // to the r2 UDF: ncells <= 1 lands every doc in cell 0 since ids < span)
+    // cell assignment: constant 0 with NO per-row work when the hot set is
+    // empty (the common case — and the whole-stage-codegen path); a
+    // broadcast-map UDF lookup only when hot terms exist. The r3 attempt to
+    // replace the UDF with a broadcast LEFT JOIN of a (term, ncells) frame
+    // REGRESSED the postings stage ~35-80% on the hot-term bench corpus
+    // (local[32] 500k-conv build: 15.5s UDF vs 20-28s join, A/B same day,
+    // best-of-2 each) — the join's probe on a 50M-row stream costs more
+    // than the boxed lookup it saves; measured, reverted.
     val withCell =
       if (hot.isEmpty) tokens.withColumn("cell", lit(0))
-      else tokens
-        .join(broadcast(hot.toSeq.toDF("term", "ncells")), Seq("term"), "left")
-        .withColumn("nc", coalesce($"ncells".cast("long"), lit(1L)))
-        .withColumn("cell", expr(
-          s"cast(doc_id div greatest(1L, (cast($span as bigint) + nc - 1) div nc) as int)"))
-        .drop("ncells", "nc")
+      else {
+        val hotB = spark.sparkContext.broadcast(hot)
+        val cellOf = udf { (term: String, docId: Long) =>
+          val n = hotB.value.getOrElse(term, 1)
+          if (n <= 1) 0
+          else {
+            val width = math.max(1L, (span + n - 1) / n)
+            (docId / width).toInt
+          }
+        }
+        tokens.withColumn("cell", cellOf($"term", $"doc_id"))
+      }
     val blockSize = conf.blockSize
     // range partitioning (not hash) so the sampled key distribution spreads
     // the (term, cell) groups evenly across reducers even when the key

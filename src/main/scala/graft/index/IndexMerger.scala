@@ -83,9 +83,6 @@ object IndexMerger {
     val oldV = store.currentVersion.getOrElse(
       throw new IllegalStateException(s"no snapshot to merge into at $root"))
     val oldMeta = store.meta(oldV)
-    // an empty batch is a no-op: keep the current snapshot, write nothing
-    // (the streaming path also guards this, but direct callers may not)
-    if (corpus.isEmpty) return oldMeta
     val v = store.nextVersion
     val dir = store.snapshotDir(v)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -144,15 +141,26 @@ object IndexMerger {
 
     // ONE aggregate job over the (batch-sized) prep frame feeds everything
     // the driver used to learn from four separate jobs (r2: batch count,
-    // fresh-docs max, doc_stats totals, numDocs): row count, fresh-doc
+    // fresh-docs max, doc_stats totals, numDocs) PLUS the empty-batch
+    // check (r2: a separate corpus.isEmpty pre-job): row count, fresh-doc
     // count/max-id, token totals, re-indexed count
-    val (batchRows, nNew, maxNewId, batchDl, nReidx) = batchPrep.agg(
+    val (batchRows, nNewOpt, maxNewId, batchDlOpt, nReidxOpt) = batchPrep.agg(
         count(lit(1)),
         sum(when($"is_new", 1L).otherwise(0L)),
         max(when($"is_new", $"doc_id")),
         sum($"dl".cast("long")),
         sum(when(!$"is_new", 1L).otherwise(0L)))
-      .as[(Long, Long, Option[Long], Long, Long)].head()
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .head()
+    val (nNew, batchDl, nReidx) =
+      (nNewOpt.getOrElse(0L), batchDlOpt.getOrElse(0L), nReidxOpt.getOrElse(0L))
+
+    // an empty batch is a no-op: keep the current snapshot, drop the
+    // (empty) staging dir, commit nothing
+    if (batchRows == 0) {
+      IndexBuilder.deleteRecursive(java.nio.file.Paths.get(dir))
+      return oldMeta
+    }
 
     // -- docs delta: ONLY the fresh docs; old docs ride along by reference
     stage("docs") {
