@@ -356,6 +356,24 @@ object EntryQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents")).orderBy(col("doc_id"))),
 
+    "q_dedup_components" -> ((s, d) =>
+      // duplicate-CLUSTER survivor selection: connected components over the
+      // exact near-dup pairs (near-dup is not transitive — keeping one per
+      // PAIR over-deletes); rep_id = the component's minimum doc id
+      Dedup.components(Dedup.jaccardPairs(t(s, d, "documents"), n = 3,
+          minPct = 80))
+        .select(col("id").as("doc_id"), col("rep_id"))
+        .orderBy(col("doc_id"))),
+
+    "q_sample_stratified" -> ((s, d) =>
+      // deterministic per-language Bernoulli rebalancing: keep 10% of the
+      // dominant 'en' stratum, 60% of everything else; integer-hash keep
+      // decision = stable, engine-reproducible splits
+      TextStats.stratifiedSample(TextStats.langId(t(s, d, "documents")),
+          rates = Map("en" -> 10), defaultPct = 60)
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
+
     // -- embedding similarity ------------------------------------------------
     "q_sim_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")

@@ -356,6 +356,30 @@ object OracleSql {
 
     "q_dedup_simhash" -> simhashSql,
 
+    // components = min reachable id over the symmetric closure of the
+    // exact-pair edge list (recursive CTE); matches the engine's min-label
+    // propagation fixpoint exactly
+    "q_dedup_components" -> s"""
+      WITH RECURSIVE p AS ($JaccardPairs),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+            UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a AS id, a AS r FROM e
+        UNION
+        SELECT e.a AS id, reach.r AS r FROM e JOIN reach ON reach.id = e.b
+      )
+      SELECT id AS doc_id, min(r) AS rep_id FROM reach
+      GROUP BY 1 ORDER BY 1""",
+
+    // the integer-hash bucket arithmetic stays in int64: (id mod 2^31-1) *
+    // 2654435761 <= 5.7e18 < 2^63
+    "q_sample_stratified" -> s"""
+      WITH l AS ($langIdSql)
+      SELECT doc_id, lang_pred FROM l
+      WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 <
+            (CASE WHEN lang_pred = 'en' THEN 10 ELSE 60 END)
+      ORDER BY doc_id""",
+
     "q_sim_ann_brute" -> annBruteSql,
 
     "q_sim_neardup" -> s"""

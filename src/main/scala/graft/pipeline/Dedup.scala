@@ -103,6 +103,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** Connected components over a near-dup pair list → (id, rep_id) with
+    * rep = the component's minimum id: the survivor-selection step after
+    * ANY pair generator (exact, jaccard, minhash, simhash, embedding) —
+    * near-dup relations are not transitive, so keep-one-per-pair is wrong;
+    * keep-one-per-component is the standard pipeline step.
+    *
+    * Shape: iterative min-label propagation — each round every vertex
+    * takes the minimum label in its neighborhood (one edge join + one
+    * groupBy per round, nothing larger than the pair list is ever
+    * materialized). Rounds = graph diameter: dup clusters are near-cliques
+    * (1-2 rounds); if a corpus ever links long chains, the O(log n)
+    * large-star/small-star contraction is the drop-in upgrade, same I/O
+    * shape. Converges by fixpoint (changed-count = 0), capped at
+    * `maxIters` as a runaway guard. */
+  def components(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
+      val stepped = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), col("rep").as("old"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .persist()
+      changed = stepped.filter(col("rep") < col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = stepped.select(col("id"), col("rep"))
+      iters += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("rep").as("rep_id"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Mersenne prime 2^31 - 1 for the universal-hash permutations. */

@@ -122,4 +122,28 @@ object TextStats {
 
   /** Word hash used by [[Dedup.simhash]]: same rolling hash per word. */
   def wordHashCol(word: Column): Column = fingerprintCol(word)
+
+  /** Deterministic per-stratum Bernoulli sampling — the corpus-rebalancing
+    * step of a training-data pipeline (downsample the dominant language or
+    * source, keep the tail). The keep decision is pure integer hash
+    * arithmetic on the id: reproducible across runs/engines (no RNG
+    * state), map-only (no shuffle), and the split is STABLE under corpus
+    * growth — a doc's fate never changes when other docs arrive, unlike
+    * `sample()`. All arithmetic stays within int64 (id folded mod 2^31-1
+    * before the multiply) so any SQL oracle reproduces it bit-for-bit.
+    *
+    * `rates`: stratum value → percent kept (0-100); `defaultPct` for
+    * unlisted strata. The stratum column may itself be a projection like
+    * [[langId]]'s `lang_pred` — the whole thing stays one codegen stage. */
+  def stratifiedSample(df: DataFrame, rates: Map[String, Int],
+      defaultPct: Int = 100, stratum: String = "lang_pred",
+      id: String = "doc_id"): DataFrame = {
+    val bucket =
+      pmod(pmod(col(id).cast("long"), lit(2147483647L)) * lit(2654435761L),
+        lit(2147483647L)) % lit(100)
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(col(stratum) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < pct)
+  }
 }

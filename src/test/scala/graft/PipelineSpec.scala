@@ -88,6 +88,50 @@ class PipelineSpec extends SparkTestBase {
     assert(lsh.contains((0L, 1L)) && lsh.contains((0L, 2L)))
   }
 
+  test("connected components: min-label fixpoint equals local union-find") {
+    // a chain a-b, b-c where a-c may NOT be a pair (non-transitivity):
+    // components must still group all three
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 9L), (9L, 7L), (7L, 5L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    // local union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = parent.keySet ++ got.keySet
+    val expected = ids.map(i => i -> find(i)).toMap
+    assert(got == expected)
+    assert(got(2L) == 0L && got(7L) == 5L && got(11L) == 10L)
+  }
+
+  test("stratified sample: deterministic, stable under corpus growth") {
+    val lang = TextStats.langId(docs)
+    val rates = Map("en" -> 50)
+    val s1 = TextStats.stratifiedSample(lang, rates, defaultPct = 100)
+      .select("doc_id").as[Long].collect().toSet
+    // same call twice -> identical (no RNG state)
+    val s2 = TextStats.stratifiedSample(lang, rates, defaultPct = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // a doc's fate is independent of the rest of the corpus
+    val half = TextStats.stratifiedSample(
+        TextStats.langId(docs.filter($"doc_id" < 4)), rates, defaultPct = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half == s1.filter(_ < 4L))
+    // local recomputation of the bucket arithmetic
+    val langLocal = lang.as[(Long, String, Long)].collect()
+    val expected = langLocal.collect { case (id, lp, _)
+        if ((id % 2147483647L) * 2654435761L) % 2147483647L % 100 <
+          (if (lp == "en") 50 else 100) => id }.toSet
+    assert(s1 == expected)
+  }
+
   test("simhash: identical texts agree; near dups within small hamming") {
     val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(sig(0L) == sig(1L))
