@@ -116,11 +116,48 @@ object Dedup {
     * (1-2 rounds); if a corpus ever links long chains, the O(log n)
     * large-star/small-star contraction is the drop-in upgrade, same I/O
     * shape. Converges by fixpoint (changed-count = 0), capped at
-    * `maxIters` as a runaway guard. */
+    * `maxIters` as a runaway guard.
+    *
+    * Adaptive small-graph path (the broadcast-join move): a pair list at
+    * or under `localThreshold` edges collects to the driver and runs
+    * union-find there — one job instead of per-iteration jobs, bounded
+    * driver memory (16 bytes/edge ≈ 16 MB at the 2^20 default). Near-dup
+    * pair lists are SELECTIVE outputs (the dups, not the corpus), so this
+    * is the common case even at large corpus scale; a corpus where it
+    * isn't takes the iterative path automatically.
+    *
+    * The returned frame from the iterative path is PERSISTED (it was
+    * materialized by the last convergence check; its inputs are already
+    * unpersisted) — call `.unpersist()` when done with it. */
   def components(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      idB: String = "id_b", maxIters: Int = 50,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // materialize the pair list ONCE: both paths read it more than once,
+    // and an expensive upstream generator (the inverted shingle join) must
+    // not recompute per read — nor per iteration
+    val p = pairs.persist()
+    val nEdges = p.count()
+    if (nEdges <= localThreshold) {
+      val es = p.select(col(idA).cast("long"), col(idB).cast("long"))
+        .as[(Long, Long)].collect()
+      p.unpersist(blocking = false)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val px = parent.getOrElse(x, x)
+        if (px == x) x else { val r = find(px); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      return ids.toSeq.sorted.map(i => (i, find(i)))
+        .toDF("id", "rep_id")
+    }
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(p.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")).persist()
@@ -141,6 +178,7 @@ object Dedup {
       iters += 1
     }
     edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     labels.select(col("id"), col("rep").as("rep_id"))
   }
 

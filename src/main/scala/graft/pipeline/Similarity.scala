@@ -106,34 +106,102 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
   }
 
-  /** IVF (inverted-file) ANN top-k: a seeded KMeans coarse quantizer
-    * (Spark MLlib) buckets the corpus into nLists inverted lists; each query
-    * probes its nProbe nearest centroids and reranks exactly (cosine) within
-    * those lists — the classic IVF-Flat layout. At scale the lists are the
+  /** Deterministic Lloyd k-means with k-means++ seeding over a local point
+    * set (the coarse-quantizer fit — points are the bounded fit sample,
+    * never the corpus). */
+  private[pipeline] def kmeansFit(points: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans fit needs at least one point")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val cents = scala.collection.mutable.ArrayBuffer(
+      points(rnd.nextInt(points.length)).clone())
+    while (cents.length < k) {
+      val dists = points.map(p => cents.map(c => d2(p, c)).min)
+      val total = dists.sum
+      if (total <= 0) cents += points(rnd.nextInt(points.length)).clone()
+      else {
+        var r = rnd.nextDouble() * total; var i = 0
+        while (i < points.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        cents += points(i).clone()
+      }
+    }
+    val c = cents.toArray
+    // Lloyd iterations; an emptied cluster keeps its previous centroid
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bd = d2(p, c(0)); var j = 1
+        while (j < k) { val dj = d2(p, c(j)); if (dj < bd) { bd = dj; best = j }; j += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var i = 0
+          while (i < dim) { c(j)(i) = sums(j)(i) / counts(j); i += 1 }
+        }
+        j += 1
+      }
+    }
+    c
+  }
+
+  /** IVF (inverted-file) ANN top-k: a seeded k-means++ coarse quantizer
+    * buckets the corpus into nLists inverted lists; each query probes its
+    * nProbe nearest centroids and reranks exactly (cosine) within those
+    * lists — the classic IVF-Flat layout. At scale the lists are the
     * partitioning key: a query touches nProbe/nLists of the corpus, and the
-    * (tiny) centroid table broadcasts. */
+    * (tiny) centroid table broadcasts.
+    *
+    * The quantizer fits on a SEED-STABLE sample capped at `maxFitRows`
+    * (coarse centroids need ~100-1000 points per list, not the corpus) and
+    * the fit runs driver-local in one collect — at ANY corpus size the fit
+    * cost is bounded by the cap, and the per-row work (assignment) is one
+    * broadcast argmin pass, the same shape FAISS's IVF training uses
+    * (r2 shipped this as a 10-iteration MLlib fit: ~20 driver-coordinated
+    * jobs of launch overhead for the same bounded sample). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
       nProbe: Int = 4, id: String = "vec_id",
-      vec: String = "embedding", fitSample: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      vec: String = "embedding", fitSample: Double = 1.0,
+      maxFitRows: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
-    val featured = corpus.withColumn("features",
-      array_to_vector(col(vec).cast("array<double>")))
-    // at 100-TB corpus scale the quantizer fits on a SEED-STABLE sample
-    // (coarse centroids need ~100-1000 points per list, not the corpus);
-    // assignment below still runs over every row
-    val fitInput = if (fitSample >= 1.0) featured
-      else featured.sample(withReplacement = false, fitSample, 42L)
-    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("features").fit(fitInput)
-    val lists = model.transform(featured)
-      .select(col("prediction").as("list_id"), col(id).as("neighbor_id"),
+    import spark.implicits._
+    val fitInput = if (fitSample >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitSample, 42L)
+    val sample = fitInput.select(col(vec).cast("array<double>"))
+      .limit(maxFitRows).as[Seq[Double]].collect().map(_.toArray)
+    val centroids = kmeansFit(sample, nLists, iters = 10, seed = 42L)
+    val centB = spark.sparkContext.broadcast(centroids)
+    val assignList = udf { (v: Seq[Float]) =>
+      val cs = centB.value
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < cs.length) {
+        var s = 0.0; var i = 0
+        while (i < cs(j).length) {
+          val d = v(i) - cs(j)(i); s += d * d; i += 1
+        }
+        if (s < bd) { bd = s; best = j }
+        j += 1
+      }
+      best
+    }
+    val lists = corpus
+      .select(assignList(col(vec)).as("list_id"), col(id).as("neighbor_id"),
         col(vec).as("cv"), norm2Col(col(vec)).as("cn"))
     // centroid table is tiny: ship to a broadcast join against the queries
     val cents = spark.createDataFrame(
-      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat))
+      centroids.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.map(_.toFloat))
       }).toDF("list_id", "centroid")
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
       norm2Col(col(vec)).as("qn"))

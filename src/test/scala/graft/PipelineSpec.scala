@@ -93,7 +93,12 @@ class PipelineSpec extends SparkTestBase {
     // components must still group all three
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 9L), (9L, 7L), (7L, 5L),
       (10L, 11L)).toDF("id_a", "id_b")
+    // both execution paths must agree: driver union-find (small graphs)
+    // and the distributed min-label iteration (forced via threshold 0)
     val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val gotDist = Dedup.components(pairs, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == gotDist)
     // local union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
