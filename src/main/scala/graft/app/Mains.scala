@@ -49,30 +49,51 @@ object Mains {
   * Usage: BuildIndexMain <indexDir> <corpusParquetDir | gen:<nConvs> | fs:<dir>>
   *        [--updated-only] [--config=<file>] */
 object BuildIndexMain {
-  def main(args: Array[String]): Unit = {
+
+  /** Fully-resolved build invocation (CLI positionals over config values
+    * over reference defaults). */
+  final case class Resolved(indexDir: String, src: String,
+      updatedOnly: Boolean, engineConf: EngineConf, cpus: String,
+      includeHidden: Boolean, logLevel: Option[String])
+
+  /** Pure arg + config resolution — testable without a SparkSession.
+    * Left = usage error (the reference's validate(): index_path +
+    * path_to_scan must come from the CLI or the config file,
+    * Config.cpp:53-60). */
+  def resolve(args: Array[String], envCpus: String): Either[String, Resolved] = {
     val cfg = ConfigFile.fromArgs(args)
     val pos = args.filterNot(_.startsWith("--"))
     val indexDirOpt = pos.headOption
       .orElse(cfg.map(_("index_path")).filter(_.nonEmpty))
     val srcOpt = pos.lift(1).orElse(
       cfg.map(_("config_path_to_scan")).filter(_.nonEmpty).map("fs:" + _))
-    if (indexDirOpt.isEmpty || srcOpt.isEmpty) {
-      // the reference's validate(): index_path + path_to_scan must come
-      // from the CLI or the config file (Config.cpp:53-60)
-      System.err.println(
+    (indexDirOpt, srcOpt) match {
+      case (Some(indexDir), Some(src)) => Right(Resolved(
+        indexDir, src,
+        updatedOnly = args.contains("--updated-only") ||
+          cfg.exists(ConfigFile.bool(_, "config_updated_files_only")),
+        engineConf = cfg.map(ConfigFile.engineConf)
+          .getOrElse(EngineConf.default),
+        cpus = cfg.map(c => ConfigFile.int(c, "config_threads_to_use").toString)
+          .getOrElse(envCpus),
+        includeHidden = cfg.exists(ConfigFile.bool(_, "config_scan_dot_paths")),
+        logLevel = cfg.map(ConfigFile.logLevel)))
+      case _ => Left(
         "usage: BuildIndexMain <indexDir> <corpusParquet|gen:N|fs:dir> " +
           "[--updated-only] [--config=<file>]")
-      sys.exit(2)
     }
-    val (indexDir, src) = (indexDirOpt.get, srcOpt.get)
-    val updatedOnly = args.contains("--updated-only") ||
-      cfg.exists(ConfigFile.bool(_, "config_updated_files_only"))
-    val engineConf = cfg.map(ConfigFile.engineConf)
-      .getOrElse(graft.model.EngineConf.default)
-    val spark = Mains.session("graft-build",
-      cfg.map(c => ConfigFile.int(c, "config_threads_to_use").toString)
-        .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
-    cfg.foreach(c => spark.sparkContext.setLogLevel(ConfigFile.logLevel(c)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val r = resolve(args, sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")) match {
+      case Left(usage) => System.err.println(usage); sys.exit(2); return
+      case Right(r) => r
+    }
+    val (indexDir, src) = (r.indexDir, r.src)
+    val updatedOnly = r.updatedOnly
+    val engineConf = r.engineConf
+    val spark = Mains.session("graft-build", r.cpus)
+    r.logLevel.foreach(spark.sparkContext.setLogLevel)
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max}
     val full =
@@ -81,7 +102,7 @@ object BuildIndexMain {
           partitions = spark.sparkContext.defaultParallelism)
       else if (src.startsWith("fs:"))
         graft.sources.FileCorpus.read(spark, src.stripPrefix("fs:"),
-          includeHidden = cfg.exists(ConfigFile.bool(_, "config_scan_dot_paths")))
+          includeHidden = r.includeHidden)
       else spark.read.parquet(src).as[graft.model.Turn]
     val store = new IndexStore(indexDir)
     val wm = if (updatedOnly) store.currentWatermark else None
@@ -195,7 +216,13 @@ object CheckIndexMain {
   * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25] [--k=10]
   *        [--exact] [--min-char=N] [--config=<file>] */
 object SearchMain {
-  def main(args: Array[String]): Unit = {
+
+  /** Fully-resolved search invocation (CLI flags over config values). */
+  final case class Resolved(indexDir: String, query: String, mode: String,
+      k: Int, conf: EngineConf, logLevel: Option[String])
+
+  /** Pure arg + config resolution — testable without a SparkSession. */
+  def resolve(args: Array[String]): Either[String, Resolved] = {
     val cfg = ConfigFile.fromArgs(args)
     val pos = args.filterNot(_.startsWith("--"))
     val (indexDirOpt, queryOpt) = pos.toSeq match {
@@ -203,27 +230,39 @@ object SearchMain {
       case Seq(q) => (cfg.map(_("index_path")).filter(_.nonEmpty), Some(q))
       case _ => (None, None)
     }
-    if (indexDirOpt.isEmpty || queryOpt.isEmpty) {
-      System.err.println("usage: SearchMain <indexDir> <query|-i> " +
+    (indexDirOpt, queryOpt) match {
+      case (Some(indexDir), Some(query)) =>
+        val base = cfg.map(ConfigFile.engineConf).getOrElse(EngineConf.default)
+        Right(Resolved(indexDir, query,
+          mode = args.collectFirst { case s if s.startsWith("--mode=") =>
+            s.stripPrefix("--mode=") }.getOrElse("count"),
+          k = args.collectFirst { case s if s.startsWith("--k=") =>
+            s.stripPrefix("--k=").toInt }.getOrElse(10),
+          conf = base.copy(
+            exactMatch = args.contains("--exact") || base.exactMatch,
+            minCharForMatch = args.collectFirst {
+              case s if s.startsWith("--min-char=") =>
+                s.stripPrefix("--min-char=").toInt
+            }.getOrElse(base.minCharForMatch)),
+          logLevel = cfg.map(ConfigFile.logLevel)))
+      case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
         "[--mode=count|bm25] [--k=10] [--exact] [--min-char=N] " +
         "[--config=<file>]")
-      sys.exit(2)
     }
-    val indexDir = indexDirOpt.get
-    val query = queryOpt.get
-    val mode = args.collectFirst { case s if s.startsWith("--mode=") =>
-      s.stripPrefix("--mode=") }.getOrElse("count")
-    val k = args.collectFirst { case s if s.startsWith("--k=") =>
-      s.stripPrefix("--k=").toInt }.getOrElse(10)
-    val base = cfg.map(ConfigFile.engineConf).getOrElse(EngineConf.default)
-    val conf = base.copy(
-      exactMatch = args.contains("--exact") || base.exactMatch,
-      minCharForMatch = args.collectFirst {
-        case s if s.startsWith("--min-char=") =>
-          s.stripPrefix("--min-char=").toInt
-      }.getOrElse(base.minCharForMatch))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val r = resolve(args) match {
+      case Left(usage) => System.err.println(usage); sys.exit(2); return
+      case Right(r) => r
+    }
+    val indexDir = r.indexDir
+    val query = r.query
+    val mode = r.mode
+    val k = r.k
+    val conf = r.conf
     val spark = Mains.session("graft-search")
-    cfg.foreach(c => spark.sparkContext.setLogLevel(ConfigFile.logLevel(c)))
+    r.logLevel.foreach(spark.sparkContext.setLogLevel)
     val store = new IndexStore(indexDir)
     if (store.currentVersion.isEmpty) {
       System.err.println(s"no index snapshot at $indexDir")

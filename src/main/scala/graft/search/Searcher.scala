@@ -33,16 +33,27 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   private var cachedPerTerm: Option[DataFrame] = None
 
   private var dictWarmed = false
+  private var docsWarmed = false
 
   /** REPL warm path: pin the dictionary in executor memory (the analog of
     * the reference's always-mmapped words.index, docs/Disk-Structure.md).
     * The dictionary is vocabulary-sized — orders of magnitude smaller than
     * postings — so pinning is safe at any corpus scale; postings stay on
     * parquet where letter pruning + min/max skipping bound each query's
-    * read. Repeat queries then skip the dict parquet scan entirely. */
-  def warm(): Unit = if (!dictWarmed) {
-    dict.persist(StorageLevel.MEMORY_AND_DISK).count()
-    dictWarmed = true
+    * read. Repeat queries then skip the dict parquet scan entirely.
+    *
+    * `includeDocs` additionally pins the doc-key table (the paths.index
+    * analog — one row per doc, MEMORY_AND_DISK so an executor short on
+    * memory degrades to local disk instead of evicting). */
+  def warm(includeDocs: Boolean = false): Unit = {
+    if (!dictWarmed) {
+      dict.persist(StorageLevel.MEMORY_AND_DISK).count()
+      dictWarmed = true
+    }
+    if (includeDocs && !docsWarmed) {
+      docs.persist(StorageLevel.MEMORY_AND_DISK).count()
+      docsWarmed = true
+    }
   }
 
   /** Release cached per-query state. */
@@ -50,6 +61,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     cachedPerTerm.foreach(_.unpersist(blocking = false))
     cachedPerTerm = None
     if (dictWarmed) { dict.unpersist(blocking = false); dictWarmed = false }
+    if (docsWarmed) { docs.unpersist(blocking = false); docsWarmed = false }
   }
 
   // the posting decoder as a native Catalyst generator (graft_postings):
