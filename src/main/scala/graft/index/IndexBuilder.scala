@@ -130,7 +130,10 @@ object IndexBuilder {
     // term shuffle (no token materialization round-trip), then salted
     // sort-based streaming encode.
     stage("postings") {
-      val maxDocId = docs.agg(max($"doc_id")).as[Long].head()
+      // Option: an EMPTY corpus has no max (a first build may legitimately
+      // see zero docs; -1 makes the span 0)
+      val maxDocId = docs.agg(max($"doc_id")).as[Option[Long]].head()
+        .getOrElse(-1L)
       val hotPath = java.nio.file.Paths.get(s"$dir/_hot_terms")
       val hotHasData = java.nio.file.Files.isDirectory(hotPath) && {
         import scala.jdk.CollectionConverters._
@@ -158,7 +161,9 @@ object IndexBuilder {
 
     // -- stage: dict — the words.index analog; letter partitions + parquet
     // min/max stats replace the words_f jump table (SURVEY.md §4.1).
-    stage("dict") {
+    // An empty corpus writes no posting files; the dict dir then stays
+    // fileless too and readers fall back to the typed empty frame.
+    stage("dict") { if (IndexStore.dirHasParquet(s"$dir/postings")) {
       val postings = spark.read.parquet(s"$dir/postings")
       postings.groupBy($"letter", $"term")
         .agg(sum($"df").as("df"), count(lit(1)).cast("int").as("parts"))
@@ -166,15 +171,16 @@ object IndexBuilder {
         .sortWithinPartitions($"term")
         .write.mode(SaveMode.Overwrite).partitionBy("letter")
         .parquet(s"$dir/dict")
-      -1L
-    }
+    }; -1L }
 
-    // -- stage: meta + commit.
+    // -- stage: meta + commit (sum/max are null over an empty corpus).
     val stats = spark.read.parquet(s"$dir/doc_stats")
-    val (numDocs, totalTokens, maxId) = stats
+    val (numDocs, totalTokensOpt, maxIdOpt) = stats
       .agg(count(lit(1)), sum($"dl"), max($"doc_id"))
-      .as[(Long, Long, Long)].head()
-    val numTerms = spark.read.parquet(s"$dir/dict")
+      .as[(Long, Option[Long], Option[Long])].head()
+    val (totalTokens, maxId) =
+      (totalTokensOpt.getOrElse(0L), maxIdOpt.getOrElse(-1L))
+    val numTerms = store.dictAt(spark, v)
       .select($"term").distinct().count()
     val meta = IndexMeta(v, numDocs, maxId, totalTokens,
       if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,

@@ -93,6 +93,20 @@ object TableLayer {
   *   - postings/dict: rows of layer i are masked for terms a later layer
   *     regrouped (`replaced`); everything else unions additively (M2-M5).
   */
+object IndexStore {
+  /** True iff the local directory holds at least one parquet file
+    * (recursive — letter= partition subdirs included). */
+  def dirHasParquet(p: String): Boolean = {
+    val path = Paths.get(p)
+    Files.isDirectory(path) && {
+      val walk = Files.walk(path)
+      try walk.iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+  }
+}
+
 final class IndexStore(val root: String) {
   private val rootPath: Path = Paths.get(root)
 
@@ -252,16 +266,26 @@ final class IndexStore(val root: String) {
     postingsAt(spark, currentVersion.get)
   def dict(spark: SparkSession): DataFrame = dictAt(spark, currentVersion.get)
 
+  /** Typed empty frame for a table whose directories hold no parquet files
+    * yet — a first build over an EMPTY corpus commits fileless dirs, and
+    * readers must still see the schema. */
+  private def emptyTable[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.Encoders.product[T].schema)
+
   def docsAt(spark: SparkSession, v: Int): DataFrame = {
     val paths = layers(v).map(l => absPath(l.docs)).filter(hasData(spark, _))
-    spark.read.parquet(
-      (if (paths.nonEmpty) paths else Seq(absPath(layers(v).head.docs))): _*)
+    if (paths.isEmpty) emptyTable[graft.model.DocRow](spark)
+    else spark.read.parquet(paths: _*)
   }
 
   def docStatsAt(spark: SparkSession, v: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val ls = layers(v).filter(l => hasData(spark, absPath(l.docStats)))
-    if (ls.length == 1) spark.read.parquet(absPath(ls.head.docStats))
+    if (ls.isEmpty) emptyTable[graft.model.DocStats](spark)
+    else if (ls.length == 1) spark.read.parquet(absPath(ls.head.docStats))
     else ls.zipWithIndex.map { case (l, i) =>
       spark.read.parquet(absPath(l.docStats))
         .select(col("doc_id"), struct(lit(i).as("layer"),
@@ -286,12 +310,10 @@ final class IndexStore(val root: String) {
   }
 
   private def maskedUnion(spark: SparkSession, ls0: Seq[TableLayer],
-      dirOf: TableLayer => String): DataFrame = {
+      dirOf: TableLayer => String, empty: => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ls = {
-      val f = ls0.filter(l => hasData(spark, absPath(dirOf(l))))
-      if (f.nonEmpty) f else ls0.take(1)
-    }
+    val ls = ls0.filter(l => hasData(spark, absPath(dirOf(l))))
+    if (ls.isEmpty) return empty
     if (ls.length == 1) return spark.read.parquet(absPath(dirOf(ls.head)))
     val head = spark.read.parquet(absPath(dirOf(ls.head)))
     val cols = head.columns.toSeq
@@ -309,12 +331,14 @@ final class IndexStore(val root: String) {
   }
 
   def postingsAt(spark: SparkSession, v: Int): DataFrame =
-    maskedUnion(spark, layers(v), _.postings)
+    maskedUnion(spark, layers(v), _.postings,
+      emptyTable[graft.model.PostingPart](spark))
 
   def dictAt(spark: SparkSession, v: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val ls = layers(v)
-    val base = maskedUnion(spark, ls, _.dict)
+    val base = maskedUnion(spark, ls, _.dict,
+      emptyTable[graft.model.DictEntry](spark))
     if (ls.length == 1) base
     // additive df across layers (a term indexed by several batches has one
     // dict row per layer); filters on term/letter push below the agg

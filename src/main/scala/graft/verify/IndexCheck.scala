@@ -58,7 +58,9 @@ object IndexCheck {
       one("docs_duplicate_keys",
         count(lit(1)) - countDistinct($"conv_id", $"turn_idx"), docs),
       one("docs_ids_dense",
-        when(count(lit(1)) === max($"doc_id") + 1, 0L).otherwise(1L), docs))
+        // coalesce: an EMPTY docs table is vacuously dense (max is null)
+        when(count(lit(1)) === coalesce(max($"doc_id") + 1, lit(0L)), 0L)
+          .otherwise(1L), docs))
 
     // -- doc_stats: the referential join and the bounds in one pass
     val statsChecks = Seq(
