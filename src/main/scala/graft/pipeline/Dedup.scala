@@ -38,21 +38,21 @@ object Dedup {
 
   // ---- shingling ----------------------------------------------------------
 
-  /** Distinct word n-gram shingles per doc: (id, shingle). Built with a
-    * window lead over exploded tokens — at scale the window partitions by
-    * doc (bounded by doc length), never globally. */
+  /** Distinct word n-gram shingles per doc: (id, shingle) — computed
+    * entirely MAP-SIDE: a sliding `slice` over the token array with
+    * `array_distinct` BEFORE the explode. Zero shuffles (r2 built this
+    * with posexplode + a per-doc window of n-1 leads + a distinct after
+    * the explode — one doc-keyed shuffle for the window and a full
+    * shuffle for the distinct, both gone); at 100 TB the shingle frame
+    * goes straight from the scan into the inverted join's exchange. */
   def shingles(df: DataFrame, n: Int = 3, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val toks = df.select(col(id),
-      posexplode(TextStats.wsTokens(col(text))).as(Seq("pos", "tok")))
-    val leads = (1 until n).foldLeft(toks) { (d, i) =>
-      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
-    }
-    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
-    leads.filter(col(s"t${n - 1}").isNotNull)
-      .select(col(id), concat_ws(" ", parts: _*).as("shingle"))
-      .distinct()
+    val toks = TextStats.wsTokens(col(text))
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    df.select(col(id),
+        explode(when(size(toks) >= n, array_distinct(grams))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
   }
 
   /** Exact integer-threshold test `inter/union >= pct/100` without float

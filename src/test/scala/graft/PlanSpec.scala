@@ -67,6 +67,18 @@ class PlanSpec extends SparkTestBase {
     searcher.close()
   }
 
+  test("shingle generation is map-side: zero exchanges before the join") {
+    // r3 rewrote shingles from posexplode + per-doc window + post-explode
+    // distinct (two shuffles) to a sliding array transform with
+    // array_distinct before the explode — at scale the shingle frame must
+    // go straight from the scan into the inverted join's exchange
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Dedup.shingles(docs, 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).isEmpty, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("relational scan: filter and projection reach the parquet reader") {
     val df = graft.app.EntryQueries.all("q_agg_pushdown")(
       spark, "/root/testdata/sf0.001")
