@@ -265,23 +265,31 @@ object Dedup {
     * assembled signature stay in exact int64 range for any SQL oracle. */
   val SimhashBits: Int = 31
 
-  /** SimHash signatures: (id, simhash) — tf-weighted sign sum per bit of the
-    * rolling word hash, assembled into a 31-bit int. Pure built-in
-    * expressions (one groupBy(id) aggregation). */
+  /** SimHash signatures: (id, simhash) — tf-weighted sign sum per bit of
+    * the rolling word hash, assembled into a 31-bit int. Computed entirely
+    * MAP-SIDE: the tf-weighted per-word sum Σ_w tf(w)·sign_i(w) equals the
+    * plain per-OCCURRENCE sum Σ_tok sign_i(tok), so per doc it is one
+    * `transform` (token → hash) plus one `aggregate` per bit over the hash
+    * array — zero shuffles (r2 exploded tokens through a (doc, word)
+    * groupBy and a second groupBy(doc), two full shuffles of the token
+    * stream). Same integer math, same oracle. */
   def simhash(df: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val toks = df.select(col(id),
-        explode(TextStats.wsTokens(col(text))).as("w"))
-      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
-      .withColumn("h", TextStats.wordHashCol(col("w")))
+    val hashes = transform(TextStats.wsTokens(col(text)),
+      t => TextStats.wordHashCol(t))
     val bitSums = (0 until SimhashBits).map { i =>
-      sum(when((shiftright(col("h"), i) % 2) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$i")
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when((shiftright(h, i) % 2) === 1, 1L).otherwise(-1L))
+        .as(s"b$i")
     }
     val sig = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    df.select(col(id), hashes.as("hs"))
+      // docs with zero tokens had no groupBy row in the r2 shape — keep
+      // that contract (the oracle groups over exploded tokens)
+      .filter(size(col("hs")) > 0)
+      .select((col(id) +: bitSums): _*)
       .select(col(id), sig.as("simhash"))
   }
 
