@@ -2,7 +2,7 @@ package graft.app
 
 import org.apache.spark.sql.SparkSession
 
-import graft.index.{IndexBuilder, IndexMerger, IndexStore}
+import graft.index.IndexStore
 import graft.model.Turn
 import graft.search.Searcher
 
@@ -131,8 +131,7 @@ object AppMain {
     }
 
     def doIndex(): Unit = if (requirePaths(needScan = true)) {
-      import spark.implicits._
-      import org.apache.spark.sql.functions.{col, max}
+      import org.apache.spark.sql.functions.col
       val store = new IndexStore(indexPath)
       val full: org.apache.spark.sql.Dataset[Turn] =
         graft.sources.FileCorpus.read(spark, scanPath,
@@ -146,16 +145,8 @@ object AppMain {
         println(s"nothing newer than watermark ${wm.orNull}; index unchanged")
         return
       }
-      val meta =
-        if (store.currentVersion.isEmpty)
-          IndexBuilder.build(spark, corpus, indexPath, conf)
-        else IndexMerger.merge(spark, corpus, indexPath, conf)
-      val maxTs = corpus.agg(max($"ts")).as[java.sql.Timestamp].head()
-      val promoted = store.watermark(meta.version - 1) match {
-        case Some(prev) if prev.after(maxTs) => prev
-        case _ => maxTs
-      }
-      store.writeWatermark(meta.version, promoted)
+      val (meta, _) =
+        Mains.indexAndPromote(spark, store, corpus, indexPath, conf)
       println(s"indexed snapshot v${meta.version}: docs=${meta.numDocs} " +
         s"terms=${meta.numTerms}")
     }
@@ -171,15 +162,13 @@ object AppMain {
         }
       }
 
-    def doSearch(q: String): Unit = withSearcher { searcher =>
+    def countOnce(searcher: Searcher, q: String): Unit = {
       val t0 = System.nanoTime()
       val rows = searcher.searchCount(q).collect()
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(s"\nSearch Results (${rows.length}, ${f"$ms%.0f"} ms):")
-      rows.zipWithIndex.foreach { case (r, i) =>
-        println(s" $i. ${r.get(0)}:${r.get(1)} -> ${r.get(2)}")
-      }
+      Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)
     }
+
+    def doSearch(q: String): Unit = withSearcher(countOnce(_, q))
 
     def doRepl(): Unit = withSearcher { searcher =>
       searcher.warm()
@@ -190,15 +179,7 @@ object AppMain {
         "exit by sending 'q' or 'quit':")
       while ({ line = in.readLine(); line != null } &&
           !Set("q", "quit", "exit").contains(line.trim)) {
-        if (line.trim.nonEmpty) {
-          val t0 = System.nanoTime()
-          val rows = searcher.searchCount(line.trim).collect()
-          val ms = (System.nanoTime() - t0) / 1e6
-          println(s"\nSearch Results (${rows.length}, ${f"$ms%.0f"} ms):")
-          rows.zipWithIndex.foreach { case (r, i) =>
-            println(s" $i. ${r.get(0)}:${r.get(1)} -> ${r.get(2)}")
-          }
-        }
+        if (line.trim.nonEmpty) countOnce(searcher, line.trim)
       }
     }
 

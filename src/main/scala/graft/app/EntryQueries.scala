@@ -89,8 +89,15 @@ object EntryQueries {
   private val searcherCache = new ConcurrentHashMap[(String, Int), Searcher]()
   private def searcher(spark: SparkSession, indexDir: String): Searcher = {
     val store = new IndexStore(indexDir)
-    searcherCache.computeIfAbsent(
-      (indexDir, store.currentVersion.getOrElse(0)),
+    val version = store.currentVersion.getOrElse(0)
+    // evict (and CLOSE — releasing its persisted per-term frame) any
+    // searcher pinned to a superseded version of this dir, so long-lived
+    // JVMs don't accumulate one leaked cache entry per merge/compact
+    searcherCache.forEach { (k, s) =>
+      if (k._1 == indexDir && k._2 != version &&
+          searcherCache.remove(k, s)) s.close()
+    }
+    searcherCache.computeIfAbsent((indexDir, version),
       _ => new Searcher(spark, store))
   }
 
@@ -224,19 +231,25 @@ object EntryQueries {
       // Greenwald-Khanna): the thresholding tool for filter-by-quality at
       // corpus scale. Sketch values are engine-specific -> rows-only;
       // PipelineSpec bounds the rank error vs the exact percentiles.
-      // One SCALAR column per requested rank (not array<double>) so the
-      // driver harness can sort/hash the frame (r2: ERR on unhashable
-      // ndarray cells).
-      def mwlQ(p: Double) =
-        approx_percentile(col("mean_word_len"), lit(p), lit(10000))
-      def stopQ(p: Double) =
-        approx_percentile(col("stop_ratio"), lit(p), lit(10000))
+      // One SCALAR column per requested rank in the OUTPUT (the r2 driver
+      // harness crashed on array<double> cells) — but only ONE sketch per
+      // input column: the array-form aggregate shares a single GK summary
+      // across its ranks, and element_at splits to scalars after the agg.
       TextStats.quality(t(s, d, "documents"))
         .groupBy(floor(col("n_chars") / 300).as("len_bucket"))
         .agg(count(lit(1)).as("n"),
-          mwlQ(0.25).as("mwl_q25"), mwlQ(0.5).as("mwl_q50"),
-          mwlQ(0.75).as("mwl_q75"), mwlQ(0.95).as("mwl_q95"),
-          stopQ(0.5).as("stop_q50"), stopQ(0.9).as("stop_q90"))
+          approx_percentile(col("mean_word_len"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+            .as("mq"),
+          approx_percentile(col("stop_ratio"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("sq"))
+        .select(col("len_bucket"), col("n"),
+          element_at(col("mq"), 1).as("mwl_q25"),
+          element_at(col("mq"), 2).as("mwl_q50"),
+          element_at(col("mq"), 3).as("mwl_q75"),
+          element_at(col("mq"), 4).as("mwl_q95"),
+          element_at(col("sq"), 1).as("stop_q50"),
+          element_at(col("sq"), 2).as("stop_q90"))
         .orderBy(col("len_bucket"))
     }),
 

@@ -24,6 +24,45 @@ object Mains {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Build (no snapshot yet) or merge `corpus` into `indexDir`, then
+    * promote the mtime watermark (S4) on the NEW snapshot: max(ts, previous
+    * watermark). An EMPTY corpus has no max ts (and a no-op merge commits
+    * no new version) — nothing is written, no NPE (r3 review finding).
+    * Returns the meta and the watermark now in effect. */
+  private[graft] def indexAndPromote(spark: SparkSession, store: IndexStore,
+      corpus: org.apache.spark.sql.Dataset[graft.model.Turn],
+      indexDir: String, conf: EngineConf)
+      : (graft.index.IndexMeta, Option[java.sql.Timestamp]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    val prevV = store.currentVersion
+    val meta =
+      if (prevV.isEmpty) IndexBuilder.build(spark, corpus, indexDir, conf)
+      else graft.index.IndexMerger.merge(spark, corpus, indexDir, conf)
+    if (prevV.contains(meta.version)) // no-op merge: nothing indexed
+      (meta, store.watermark(meta.version))
+    else {
+      val maxTs = corpus.agg(max($"ts"))
+        .as[Option[java.sql.Timestamp]].head()
+      val prev = store.watermark(meta.version - 1)
+      val promoted = (prev, maxTs) match {
+        case (Some(p), Some(t)) => Some(if (p.after(t)) p else t)
+        case (p, t) => t.orElse(p)
+      }
+      promoted.foreach(store.writeWatermark(meta.version, _))
+      (meta, promoted)
+    }
+  }
+
+  /** The reference's result listing (one format, every CLI). */
+  private[graft] def printResults(rows: Array[org.apache.spark.sql.Row],
+      ms: Double): Unit = {
+    println(s"\nSearch Results (${rows.length}, ${f"$ms%.0f"} ms):")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      println(s" $i. ${r.get(0)}:${r.get(1)} -> ${r.get(2)}")
+    }
+  }
 }
 
 /** Build (or incrementally merge into) an index.
@@ -95,7 +134,7 @@ object BuildIndexMain {
     val spark = Mains.session("graft-build", r.cpus)
     r.logLevel.foreach(spark.sparkContext.setLogLevel)
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, max}
+    import org.apache.spark.sql.functions.col
     val full =
       if (src.startsWith("gen:"))
         TranscriptGen.dataset(spark, src.stripPrefix("gen:").toLong,
@@ -114,19 +153,11 @@ object BuildIndexMain {
       println(s"nothing newer than watermark ${wm.orNull}; index unchanged")
       spark.stop(); return
     }
-    val meta =
-      if (store.currentVersion.isEmpty)
-        IndexBuilder.build(spark, corpus, indexDir, engineConf)
-      else graft.index.IndexMerger.merge(spark, corpus, indexDir, engineConf)
-    val maxTs = corpus.agg(max($"ts")).as[java.sql.Timestamp].head()
-    val promoted = store.watermark(meta.version - 1) match {
-      case Some(prev) if prev.after(maxTs) => prev
-      case _ => maxTs
-    }
-    store.writeWatermark(meta.version, promoted)
+    val (meta, promoted) =
+      Mains.indexAndPromote(spark, store, corpus, indexDir, engineConf)
     println(s"built snapshot v${meta.version}: docs=${meta.numDocs} " +
       s"terms=${meta.numTerms} avgdl=${f"${meta.avgdl}%.3f"} " +
-      s"watermark=$promoted")
+      s"watermark=${promoted.orNull}")
     spark.stop()
   }
 }
@@ -276,11 +307,7 @@ object SearchMain {
         case "bm25" => searcher.searchBm25(q, k).collect()
         case _ => searcher.searchCount(q).collect()
       }
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(s"\nSearch Results (${rows.length}, ${f"$ms%.0f"} ms):")
-      rows.zipWithIndex.foreach { case (r, i) =>
-        println(s" $i. ${r.get(0)}:${r.get(1)} -> ${r.get(2)}")
-      }
+      Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)
     }
 
     if (query == "-i") {

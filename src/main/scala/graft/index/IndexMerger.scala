@@ -212,16 +212,7 @@ object IndexMerger {
     // space append with part numbers offset past the old count; terms that
     // DO reach into old ids (re-indexed docs) get the old-wins regroup, and
     // their old-layer rows are masked via replaced_terms
-    def dirHasParquet(p: String): Boolean = {
-      val path = java.nio.file.Paths.get(p)
-      java.nio.file.Files.isDirectory(path) && {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(path)
-        try walk.iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".parquet"))
-        finally walk.close()
-      }
-    }
+    def dirHasParquet(p: String): Boolean = IndexStore.dirHasParquet(p)
 
     // letters present in a letter=? partitioned delta dir — from the
     // directory listing, no Spark job; used to letter-prune the old dict

@@ -177,6 +177,13 @@ object Dedup {
       labels = stepped.select(col("id"), col("rep"))
       iters += 1
     }
+    // no silent caps: a diameter beyond maxIters means the labels have NOT
+    // reached the fixpoint — say so instead of returning wrong rep_ids
+    if (changed > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"components: NOT converged after $maxIters iterations " +
+          s"($changed labels still changing) — rep_ids are upper bounds, " +
+          "not component minima; raise maxIters for this graph")
     edges.unpersist(blocking = false)
     p.unpersist(blocking = false)
     labels.select(col("id"), col("rep").as("rep_id"))

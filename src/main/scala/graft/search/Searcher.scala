@@ -35,6 +35,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   private var dictWarmed = false
   private var docsWarmed = false
 
+  /** Test hook: whether the warm-path dictionary pin is still in effect. */
+  private[graft] def warmed: Boolean = dictWarmed
+
   /** REPL warm path: pin the dictionary in executor memory (the analog of
     * the reference's always-mmapped words.index, docs/Disk-Structure.md).
     * The dictionary is vocabulary-sized — orders of magnitude smaller than
@@ -56,10 +59,19 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     }
   }
 
-  /** Release cached per-query state. */
-  def close(): Unit = {
+  /** Drop the previous query's cached per-term frame ONLY — the between-
+    * queries release. The warmed dict/docs survive: they are the point of
+    * [[warm]] (r3 review: routing this through close() silently unpersisted
+    * the dictionary on the FIRST query, defeating the REPL warm path). */
+  private[search] def dropPerTerm(): Unit = {
     cachedPerTerm.foreach(_.unpersist(blocking = false))
     cachedPerTerm = None
+  }
+
+  /** Release ALL cached state (per-term frame AND warmed tables) — call
+    * when done with the Searcher. */
+  def close(): Unit = {
+    dropPerTerm()
     if (dictWarmed) { dict.unpersist(blocking = false); dictWarmed = false }
     if (docsWarmed) { docs.unpersist(blocking = false); docsWarmed = false }
   }
@@ -148,7 +160,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty)
       return new DfAlgebra(_ => null).empty
-    close()
+    dropPerTerm()
     val cached = perTermValue.persist(StorageLevel.MEMORY_AND_DISK)
     cachedPerTerm = Some(cached)
     val alg = new DfAlgebra(i => cached.filter($"term_idx" === i)

@@ -73,6 +73,41 @@ class EdgeCasesSpec extends SparkTestBase {
     s.close()
   }
 
+  test("indexAndPromote: empty corpus writes no watermark, no NPE") {
+    val store1 = new IndexStore(tmpDir("graft-wm-empty"))
+    // empty FIRST build: max(ts) is null -> promoted None, nothing written
+    val (m1, wm1) = graft.app.Mains.indexAndPromote(spark, store1,
+      spark.emptyDataset[Turn], store1.root, conf)
+    assert(m1.numDocs == 0 && wm1.isEmpty)
+    assert(store1.currentWatermark.isEmpty)
+    // then a real batch merges in and promotes normally
+    val (m2, wm2) = graft.app.Mains.indexAndPromote(spark, store1,
+      Seq(turn("c1", "zebra wombat here")).toDS(), store1.root, conf)
+    assert(m2.numDocs == 1 && wm2.contains(ts(1)))
+    assert(store1.currentWatermark.contains(ts(1)))
+    // a no-op (empty) merge keeps the watermark and version
+    val (m3, wm3) = graft.app.Mains.indexAndPromote(spark, store1,
+      spark.emptyDataset[Turn], store1.root, conf)
+    assert(m3.version == m2.version && wm3.contains(ts(1)))
+  }
+
+  test("REPL warm path survives queries (close-in-evalQuery regression)") {
+    val dir = tmpDir("graft-warm")
+    IndexBuilder.build(spark, Seq(turn("c1", "zebra wombat here")).toDS(),
+      dir, conf)
+    val s = new Searcher(spark, new IndexStore(dir), conf)
+    s.warm()
+    assert(s.warmed)
+    // searchCount runs evalQuery, which drops the per-term cache — the
+    // warmed dict must SURVIVE (r3 review: close() there killed it)
+    assert(s.searchCount("zebra").collect().nonEmpty)
+    assert(s.warmed, "dict pin must survive a query")
+    assert(s.searchBm25(""""zebra" AND wombat""", 5).collect().nonEmpty)
+    assert(s.warmed, "dict pin must survive the boolean BM25 path")
+    s.close()
+    assert(!s.warmed)
+  }
+
   test("components and stratified sample on empty inputs") {
     import org.apache.spark.sql.functions.col
     val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
