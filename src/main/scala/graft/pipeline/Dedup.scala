@@ -39,20 +39,17 @@ object Dedup {
   // ---- shingling ----------------------------------------------------------
 
   /** Distinct word n-gram shingles per doc: (id, shingle) — computed
-    * entirely MAP-SIDE: a sliding `slice` over the token array with
-    * `array_distinct` BEFORE the explode. Zero shuffles (r2 built this
-    * with posexplode + a per-doc window of n-1 leads + a distinct after
-    * the explode — one doc-keyed shuffle for the window and a full
-    * shuffle for the distinct, both gone); at 100 TB the shingle frame
-    * goes straight from the scan into the inverted join's exchange. */
+    * entirely MAP-SIDE by the native codegen [[GraftShingles]] expression
+    * (one string pass, dedup before the explode). Zero shuffles and zero
+    * interpreted lambdas (r2 paid a doc-keyed window shuffle plus a
+    * post-explode distinct shuffle; the intermediate r3 HOF rewrite paid
+    * non-codegen `transform` evaluation); at 100 TB the shingle frame goes
+    * straight from the scan into the inverted join's exchange. */
   def shingles(df: DataFrame, n: Int = 3, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val toks = TextStats.wsTokens(col(text))
-    val grams = transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
     df.select(col(id),
-        explode(when(size(toks) >= n, array_distinct(grams))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
+      explode(expr(s"graft_shingles($text, $n)")).as("shingle"))
   }
 
   /** Exact integer-threshold test `inter/union >= pct/100` without float

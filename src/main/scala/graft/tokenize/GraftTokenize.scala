@@ -68,6 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftTokenize.info, GraftTokenize.builder _))
     ext.injectFunction((FunctionIdentifier("graft_postings"),
       graft.index.GraftPostings.info, graft.index.GraftPostings.builder _))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      graft.pipeline.GraftShingles.info, graft.pipeline.GraftShingles.builder _))
   }
 }
 
@@ -81,5 +83,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_postings"), graft.index.GraftPostings.info,
       graft.index.GraftPostings.builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles"), graft.pipeline.GraftShingles.info,
+      graft.pipeline.GraftShingles.builder _)
   }
 }
