@@ -214,6 +214,7 @@ object Dedup {
     val r = numHashes / bands
     val as = Array.tabulate(numHashes)(permA)
     val bs = Array.tabulate(numHashes)(permB)
+    graft.tokenize.GraftFunctions.register(spark)
     val sigs = shingles(df, n, id, text)
       .select(col(id).cast("long"), TextStats.fingerprintCol(col("shingle")))
       .as[(Long, Long)]
@@ -279,6 +280,7 @@ object Dedup {
     * stream). Same integer math, same oracle. */
   def simhash(df: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
     val hashes = transform(TextStats.wsTokens(col(text)),
       t => TextStats.wordHashCol(t))
     val bitSums = (0 until SimhashBits).map { i =>

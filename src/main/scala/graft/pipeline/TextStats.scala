@@ -107,18 +107,23 @@ object TextStats {
   val FpMod: Long = 1L << 31
 
   /** Rolling polynomial hash of a string column (document fingerprint):
-    * left fold (acc*31 + ascii(char)) mod 2^31 — whole-stage codegen via
-    * `aggregate`, no UDF; identical left fold is expressible in the oracle. */
+    * left fold (acc*31 + codepoint) mod 2^31 — the native codegen
+    * [[GraftFpHash]] expression (one string pass; the HOF
+    * `aggregate(split(text,''))` form evaluated the lambda interpreted and
+    * allocated one single-char string per character). The identical left
+    * fold is expressible in the SQL oracle via `ascii()`. Requires
+    * `graft_fphash` registered in the session
+    * ([[graft.tokenize.GraftFunctions.register]] — the DataFrame-level ops
+    * here do it themselves). */
   def fingerprintCol(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % FpMod)
+    call_function("graft_fphash", text)
 
   /** (id, fp) per row. */
   def fingerprint(df: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame =
+      text: String = "text"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
     df.select(col(id), fingerprintCol(col(text)).as("fp"))
+  }
 
   /** Word hash used by [[Dedup.simhash]]: same rolling hash per word. */
   def wordHashCol(word: Column): Column = fingerprintCol(word)

@@ -70,6 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.index.GraftPostings.info, graft.index.GraftPostings.builder _))
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       graft.pipeline.GraftShingles.info, graft.pipeline.GraftShingles.builder _))
+    ext.injectFunction((FunctionIdentifier("graft_fphash"),
+      graft.pipeline.GraftFpHash.info, graft.pipeline.GraftFpHash.builder _))
   }
 }
 
@@ -86,5 +88,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles"), graft.pipeline.GraftShingles.info,
       graft.pipeline.GraftShingles.builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_fphash"), graft.pipeline.GraftFpHash.info,
+      graft.pipeline.GraftFpHash.builder _)
   }
 }

@@ -88,6 +88,19 @@ class PipelineSpec extends SparkTestBase {
     assert(lsh.contains((0L, 1L)) && lsh.contains((0L, 2L)))
   }
 
+  test("graft_fphash == the HOF ascii-fold formula (incl. unicode)") {
+    graft.tokenize.GraftFunctions.register(spark)
+    val texts = Seq("", "a", "hello world", "Mixed CASE 123 !?",
+      "naïve façade Äpfel", "中文 and ascii", "😀 emoji pair",
+      "x" * 500).toDF("text")
+    // the r2 reference formula: aggregate over per-codepoint split
+    val hof = aggregate(filter(split(col("text"), ""), c => c =!= ""),
+      lit(0L), (acc, c) => (acc * 31 + ascii(c)) % TextStats.FpMod)
+    val rows = texts.select(TextStats.fingerprintCol(col("text")).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
   test("connected components: min-label fixpoint equals local union-find") {
     // a chain a-b, b-c where a-c may NOT be a pair (non-transitivity):
     // components must still group all three
