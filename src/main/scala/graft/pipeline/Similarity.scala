@@ -29,15 +29,24 @@ final case class SimTile(bid: Int, ids: Array[Long],
   */
 object Similarity {
 
-  /** Exact left-fold dot product of two float-array columns in double. */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def ensureRegistered(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.tokenize.GraftFunctions.register)
 
-  /** Exact left-fold squared norm. */
-  def norm2Col(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Exact left-fold dot product of two float-array columns in double —
+    * the native codegen [[GraftDot]] (the `aggregate(zip_with(...))` HOF
+    * form evaluated its lambdas interpreted, per element per candidate
+    * pair); identical fold order, so oracles stay bit-exact. */
+  def dotCol(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("graft_dot", a, b)
+  }
+
+  /** Exact left-fold squared norm ([[GraftNorm2]], same fold). */
+  def norm2Col(a: Column): Column = {
+    ensureRegistered()
+    call_function("graft_norm2", a)
+  }
 
   def cosineCol(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dotCol(a, b) / (sqrt(n2a) * sqrt(n2b))

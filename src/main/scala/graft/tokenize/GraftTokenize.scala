@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.pipeline.GraftShingles.info, graft.pipeline.GraftShingles.builder _))
     ext.injectFunction((FunctionIdentifier("graft_fphash"),
       graft.pipeline.GraftFpHash.info, graft.pipeline.GraftFpHash.builder _))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      graft.pipeline.GraftDot.info, graft.pipeline.GraftDot.builder _))
+    ext.injectFunction((FunctionIdentifier("graft_norm2"),
+      graft.pipeline.GraftNorm2.info, graft.pipeline.GraftNorm2.builder _))
   }
 }
 
@@ -91,5 +95,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_fphash"), graft.pipeline.GraftFpHash.info,
       graft.pipeline.GraftFpHash.builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"), graft.pipeline.GraftDot.info,
+      graft.pipeline.GraftDot.builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_norm2"), graft.pipeline.GraftNorm2.info,
+      graft.pipeline.GraftNorm2.builder _)
   }
 }
