@@ -48,8 +48,11 @@ object Dedup {
   def shingles(df: DataFrame, n: Int = 3, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     graft.tokenize.GraftFunctions.register(df.sparkSession)
+    // call_function, not SQL-text interpolation: the column name may need
+    // identifier quoting
     df.select(col(id),
-      explode(expr(s"graft_shingles($text, $n)")).as("shingle"))
+      explode(call_function("graft_shingles", col(text), lit(n)))
+        .as("shingle"))
   }
 
   /** Exact integer-threshold test `inter/union >= pct/100` without float

@@ -37,10 +37,14 @@ case class GraftShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object GraftShingles {
+  // compiled once: String.split(regex) has no fast path for multi-char
+  // patterns and would recompile per row on this hot path
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Static entry for generated code: distinct n-gram shingles in
     * first-occurrence order. */
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
+    val toks = Ws.split(s.toString).filter(_.nonEmpty)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
     val sb = new java.lang.StringBuilder(64)
@@ -70,9 +74,10 @@ object GraftShingles {
 
   private[graft] def builder(children: Seq[Expression]): Expression = {
     require(children.length == 2, "graft_shingles takes (text, n)")
+    require(children(1).foldable,
+      "graft_shingles n must be a constant expression")
     val n = children(1).eval() match {
-      case i: Int => i
-      case l: Long => l.toInt
+      case num: java.lang.Number => num.intValue()
       case other => throw new IllegalArgumentException(
         s"graft_shingles n must be an integer literal, got $other")
     }

@@ -25,8 +25,9 @@ private[pipeline] object GraftVecOps {
 }
 
 /** `graft_dot(a, b)` — left-fold dot product in double; null when the
-  * lengths differ (the zip_with form yields null there too: the null pad
-  * poisons the sum). */
+  * lengths differ OR any element is null (exact parity with the zip_with
+  * form, where the null pad or null product poisons the sum — a silent
+  * 0.0 would let a malformed vector compete in top-k). */
 case class GraftDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -40,17 +41,21 @@ case class GraftDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
-  private def lf = left.dataType.asInstanceOf[ArrayType]
+  private lazy val lf = left.dataType.asInstanceOf[ArrayType]
     .elementType == FloatType
-  private def rf = right.dataType.asInstanceOf[ArrayType]
+  private lazy val rf = right.dataType.asInstanceOf[ArrayType]
     .elementType == FloatType
+  private lazy val anyNulls =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    GraftDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+    GraftDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lf, rf, anyNulls)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""java.lang.Double r = graft.pipeline.GraftDot.dot($a, $b, $lf, $rf);
+      s"""java.lang.Double r = graft.pipeline.GraftDot.dot($a, $b, $lf, $rf, $anyNulls);
          |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
          |""".stripMargin
     })
@@ -60,14 +65,16 @@ case class GraftDot(left: Expression, right: Expression)
 }
 
 object GraftDot {
-  /** Static entry for generated code; null on length mismatch. */
-  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean)
-      : java.lang.Double = {
+  /** Static entry for generated code; null on length mismatch or (when the
+    * element type is nullable) any null element. */
+  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean,
+      checkNulls: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       acc += GraftVecOps.get(a, af, i) * GraftVecOps.get(b, bf, i)
       i += 1
     }
@@ -85,7 +92,8 @@ object GraftDot {
   }
 }
 
-/** `graft_norm2(a)` — left-fold squared norm in double. */
+/** `graft_norm2(a)` — left-fold squared norm in double; null when any
+  * element is null (parity with the transform+aggregate form). */
 case class GraftNorm2(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -93,28 +101,37 @@ case class GraftNorm2(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"graft_norm2 requires a float/double array, got ${child.dataType}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_norm2"
 
-  private def cf = child.dataType.asInstanceOf[ArrayType]
+  private lazy val cf = child.dataType.asInstanceOf[ArrayType]
     .elementType == FloatType
+  private lazy val anyNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any): Any =
-    GraftNorm2.norm2(a.asInstanceOf[ArrayData], cf)
+    GraftNorm2.norm2(a.asInstanceOf[ArrayData], cf, anyNulls)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.pipeline.GraftNorm2.norm2($c, $cf)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""java.lang.Double r = graft.pipeline.GraftNorm2.norm2($c, $cf, $anyNulls);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object GraftNorm2 {
-  /** Static entry for generated code. */
-  def norm2(a: ArrayData, af: Boolean): Double = {
+  /** Static entry for generated code; null on any null element (when the
+    * element type is nullable). */
+  def norm2(a: ArrayData, af: Boolean, checkNulls: Boolean): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && a.isNullAt(i)) return null
       val v = GraftVecOps.get(a, af, i)
       acc += v * v
       i += 1

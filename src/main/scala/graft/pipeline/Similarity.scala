@@ -56,6 +56,7 @@ object Similarity {
     * id asc). Output: (query_id, neighbor_id, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(id).as("query_id"),
       col(vec).as("qv"), norm2Col(col(vec)).as("qn")))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
@@ -93,6 +94,7 @@ object Similarity {
     * Output schema matches [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
       norm2Col(col(vec)).as("cn"), lshBucketCol(col(vec), bits).as("bucket"))
     // query probes: own bucket + all Hamming-1 buckets
@@ -185,6 +187,7 @@ object Similarity {
       maxFitRows: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    graft.tokenize.GraftFunctions.register(spark)
     val fitInput = if (fitSample >= 1.0) corpus
       else corpus.sample(withReplacement = false, fitSample, 42L)
     val sample = fitInput.select(col(vec).cast("array<double>"))
@@ -240,6 +243,7 @@ object Similarity {
     * [[cosineNearDupPairs]] for the LSH-blocked scale path). */
   def bruteNearDupPairs(corpus: DataFrame, minCos: Double,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
     val sig = corpus.select(col(id), col(vec), norm2Col(col(vec)).as("n2"))
     val l = sig.select(col(id).as("id_a"), col(vec).as("va"),
       col("n2").as("na"))
@@ -272,6 +276,7 @@ object Similarity {
       vec: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    graft.tokenize.GraftFunctions.register(spark)
     val n = corpus.count()
     val nTiles = math.max(1, ((n + tileRows - 1) / tileRows).toInt)
     val tiles = corpus
@@ -344,6 +349,7 @@ object Similarity {
     * [[blockedNearDupPairs]] for the exact path. */
   def cosineNearDupPairs(corpus: DataFrame, minCos: Double, bits: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
     val sig = corpus.select(col(id), col(vec),
       norm2Col(col(vec)).as("n2"), lshBucketCol(col(vec), bits).as("b0"))
     val probed = sig.withColumn("bucket",

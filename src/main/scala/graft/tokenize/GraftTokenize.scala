@@ -61,45 +61,37 @@ object GraftTokenize {
   }
 }
 
-/** SparkSessionExtensions hook: registers the engine's SQL functions. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_tokenize"),
-      GraftTokenize.info, GraftTokenize.builder _))
-    ext.injectFunction((FunctionIdentifier("graft_postings"),
-      graft.index.GraftPostings.info, graft.index.GraftPostings.builder _))
-    ext.injectFunction((FunctionIdentifier("graft_shingles"),
-      graft.pipeline.GraftShingles.info, graft.pipeline.GraftShingles.builder _))
-    ext.injectFunction((FunctionIdentifier("graft_fphash"),
-      graft.pipeline.GraftFpHash.info, graft.pipeline.GraftFpHash.builder _))
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      graft.pipeline.GraftDot.info, graft.pipeline.GraftDot.builder _))
-    ext.injectFunction((FunctionIdentifier("graft_norm2"),
-      graft.pipeline.GraftNorm2.info, graft.pipeline.GraftNorm2.builder _))
-  }
+/** The engine's native SQL functions — ONE table consumed by both
+  * registration paths, so the extension-configured and imperative routes
+  * can never drift. */
+object GraftFunctions {
+  private[tokenize] val all: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_tokenize", GraftTokenize.info, GraftTokenize.builder _),
+    ("graft_postings", graft.index.GraftPostings.info,
+      graft.index.GraftPostings.builder _),
+    ("graft_shingles", graft.pipeline.GraftShingles.info,
+      graft.pipeline.GraftShingles.builder _),
+    ("graft_fphash", graft.pipeline.GraftFpHash.info,
+      graft.pipeline.GraftFpHash.builder _),
+    ("graft_dot", graft.pipeline.GraftDot.info,
+      graft.pipeline.GraftDot.builder _),
+    ("graft_norm2", graft.pipeline.GraftNorm2.info,
+      graft.pipeline.GraftNorm2.builder _))
+
+  /** Imperative registration for an already-running session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
 }
 
-/** Imperative registration for an already-running session (same builders as
-  * [[GraftExtensions]]). */
-object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_tokenize"), GraftTokenize.info,
-      GraftTokenize.builder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_postings"), graft.index.GraftPostings.info,
-      graft.index.GraftPostings.builder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_shingles"), graft.pipeline.GraftShingles.info,
-      graft.pipeline.GraftShingles.builder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_fphash"), graft.pipeline.GraftFpHash.info,
-      graft.pipeline.GraftFpHash.builder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"), graft.pipeline.GraftDot.info,
-      graft.pipeline.GraftDot.builder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_norm2"), graft.pipeline.GraftNorm2.info,
-      graft.pipeline.GraftNorm2.builder _)
-  }
+/** SparkSessionExtensions hook (`--conf spark.sql.extensions=
+  * graft.tokenize.GraftExtensions`): same function table. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }

@@ -101,6 +101,51 @@ class PipelineSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
 
+  test("graft_shingles == the wsTokens sliding-window HOF form") {
+    graft.tokenize.GraftFunctions.register(spark)
+    val texts = Seq("", "a", "a b", "a b c", "a b c d e", "a  b\tc\nd",
+      "x y x y x y", "  leading and trailing  ", "unicode space here?",
+      "a b c a b c a b c").toDF("text")
+    for (n <- Seq(2, 3)) {
+      val toks = TextStats.wsTokens(col("text"))
+      val hof = when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+      val rows = texts.select(
+        call_function("graft_shingles", col("text"), lit(n)).as("native"),
+        hof.as("hof")).as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (nat, h) => assert(nat == h, s"n=$n") }
+    }
+  }
+
+  test("graft_dot/graft_norm2 == the zip_with HOF folds (nulls, mismatch)") {
+    graft.tokenize.GraftFunctions.register(spark)
+    val vecs: Seq[(Seq[java.lang.Float], Seq[java.lang.Float])] = Seq(
+      (Seq(1.0f, 2.5f, -3.0f), Seq(0.5f, -1.0f, 2.0f)),
+      (Seq(0.1f, 0.2f), Seq(0.3f, 0.4f)),
+      (Seq.empty[java.lang.Float], Seq.empty[java.lang.Float]),
+      (Seq(1.0f, 2.0f), Seq(1.0f)),                   // length mismatch
+      (Seq[java.lang.Float](1.0f, null), Seq(2.0f, 3.0f))) // null element
+    val df = vecs.toDF("a", "b")
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hofNorm = aggregate(
+      transform(col("a"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("nd"), hofDot.as("hd"),
+      call_function("graft_norm2", col("a")).as("nn"), hofNorm.as("hn"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"dot null parity: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"dot: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3), s"norm null parity: $r")
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3), s"norm: $r")
+    }
+  }
+
   test("connected components: min-label fixpoint equals local union-find") {
     // a chain a-b, b-c where a-c may NOT be a pair (non-transitivity):
     // components must still group all three
