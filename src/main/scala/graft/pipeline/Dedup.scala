@@ -67,7 +67,11 @@ object Dedup {
   def jaccardPairs(df: DataFrame, n: Int = 3, minPct: Int = 80,
       hotShingleCap: Option[Int] = None, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val sh = shingles(df, n, id, text).cache()
+    // shingles recompute map-side per consumer (native expression, cheap)
+    // instead of .cache(): no unbounded cached frame to leak per call, and
+    // at corpus scale caching the shingle explosion is infeasible anyway —
+    // recompute-over-materialize, same choice as the index build
+    val sh = shingles(df, n, id, text)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val joinable = hotShingleCap match {
       case Some(cap) =>
@@ -257,7 +261,7 @@ object Dedup {
     val cands = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val sh = shingles(df, n, id, text).cache()
+    val sh = shingles(df, n, id, text) // recompute-over-materialize (above)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col(id).as("id_a"), col("shingle"))
     val shB = sh.select(col(id).as("id_b"), col("shingle"))
@@ -307,7 +311,7 @@ object Dedup {
     * maxHamming. By pigeonhole this is exact for maxHamming <= 3. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sig = simhash(df, id, text).cache()
+    val sig = simhash(df, id, text) // map-side native hash: recompute
     val chunks = Seq((0, 8), (8, 8), (16, 8), (24, 7))
     val banded = chunks.zipWithIndex.map { case ((off, len), bi) =>
       sig.select(col(id), lit(bi).as("chunk"),
