@@ -357,18 +357,23 @@ object EntryQueries {
       Dedup.jaccardPairs(t(s, d, "documents"), n = 3, minPct = 80)
         .orderBy(col("id_a"), col("id_b"))),
 
-    "q_dedup_jaccard_capped" -> ((s, d) =>
-      // the SCALE configuration of the shingle join: hot shingles (df > 5
-      // here ≈ 1% of the sf0.01 corpus) are dropped from pair generation,
-      // bounding the worst join key (drops are logged). Output is the pair
-      // ids only: capped intersection counts are lower bounds, but every
-      // planted pair still shares enough cold shingles to pass, so the id
-      // set equals the exact oracle's (verified over the driver testdata;
-      // PipelineSpec asserts the recall too)
+    "q_dedup_jaccard_capped" -> ((s, d) => {
+      // the SCALE configuration of the shingle join: hot shingles are
+      // dropped from pair generation, bounding the worst join key (drops
+      // are logged). The cap is CORPUS-RELATIVE — df > max(5, 1% of docs):
+      // absolute shingle frequencies grow with the corpus, and a fixed cap
+      // that is right at one scale throttles everything at 10x (r3: cap 5
+      // produced 0 of 256 pairs at sf0.1). Output is the pair ids only:
+      // capped intersection counts are lower bounds, but every planted
+      // pair still shares enough cold shingles to pass, so the id set
+      // equals the exact oracle's at both the gate and bench scales
+      // (DuckDB-verified; PipelineSpec asserts the recall too)
+      val nDocs = t(s, d, "documents").count()
       Dedup.jaccardPairs(t(s, d, "documents"), n = 3, minPct = 80,
-          hotShingleCap = Some(5))
+          hotShingleCap = Some(math.max(5L, nDocs / 100).toInt))
         .select(col("id_a"), col("id_b"))
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), numHashes = 64, bands = 16,
