@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexMerger, IndexStore}
 import graft.model.Turn
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{CorpusFilters, Dedup, Multimodal, Similarity, TextStats}
 import graft.search.Searcher
 
 /** The driver-contract query catalog: one entry per operator family from
@@ -399,6 +399,39 @@ object EntryQueries {
           rates = Map("en" -> 10), defaultPct = 60)
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
+
+    // -- corpus hygiene ------------------------------------------------------
+    "q_text_pii" -> ((s, d) => {
+      // deterministic PII injection derived from doc_id (the synthetic
+      // corpus carries none), identically mirrored in the oracle — the
+      // redaction itself is exercised for real
+      val docs = t(s, d, "documents")
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" from 10.1."), (col("doc_id") % 256).cast("string"),
+              lit(".9"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" tel 555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+      CorpusFilters.piiRedact(injected).orderBy(col("doc_id"))
+    }),
+
+    "q_text_repetition" -> ((s, d) =>
+      CorpusFilters.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark = a deterministic 1/97 slice of the corpus standing in
+      // for the eval set; n = 3 because the synthetic vocabulary makes
+      // longer grams all-unique (production: n in 8..13, same plan)
+      val docs = t(s, d, "documents")
+      CorpusFilters.contaminationHits(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), n = 3)
+        .orderBy(col("doc_id"))
+    }),
 
     // -- embedding similarity ------------------------------------------------
     "q_sim_ann_brute" -> ((s, d) => {

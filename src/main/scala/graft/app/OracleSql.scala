@@ -1,6 +1,6 @@
 package graft.app
 
-import graft.pipeline.{Dedup, TextStats}
+import graft.pipeline.{CorpusFilters, Dedup, TextStats}
 
 /** DuckDB oracle SQL for every SQL-expressible entry of
   * [[EntryQueries.all]]. Column names, value arithmetic (integer, decimal,
@@ -379,6 +379,74 @@ object OracleSql {
       WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 <
             (CASE WHEN lang_pred = 'en' THEN 10 ELSE 60 END)
       ORDER BY doc_id""",
+
+    // single-quoted SQL strings are not escape-processed, so interpolating
+    // the Scala pattern constants hands DuckDB's RE2 the same bytes Java
+    // compiles; the patterns avoid non-RE2 syntax (CorpusFilters doc)
+    "q_text_pii" -> s"""
+      WITH inj AS (SELECT doc_id, text ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 4 = 0
+              THEN ' from 10.1.' || (doc_id % 256)::VARCHAR || '.9'
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0 THEN ' tel 555-123-4567' ELSE '' END)
+          AS text FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(text, '${CorpusFilters.EmailRe}'))::BIGINT
+               AS n_email,
+             len(regexp_extract_all(text, '${CorpusFilters.Ipv4Re}'))::BIGINT
+               AS n_ip,
+             len(regexp_extract_all(text, '${CorpusFilters.PhoneRe}'))::BIGINT
+               AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '${CorpusFilters.EmailRe}', '<EMAIL>', 'g'),
+               '${CorpusFilters.Ipv4Re}', '<IP>', 'g'),
+               '${CorpusFilters.PhoneRe}', '<PHONE>', 'g') AS clean_text
+      FROM inj ORDER BY doc_id""",
+
+    "q_text_repetition" -> s"""
+      WITH toks AS (SELECT doc_id, $WsToks AS t FROM documents),
+      base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                      len(list_distinct(t))::BIGINT AS n_uniq, t FROM toks),
+      w AS (SELECT doc_id, unnest(t) AS g FROM toks),
+      wc AS (SELECT doc_id, max(c)::BIGINT AS top_word FROM
+               (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2)
+             GROUP BY 1),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS g
+             FROM toks WHERE len(t) >= 2),
+      bc AS (SELECT doc_id, max(c)::BIGINT AS top_bigram FROM
+               (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+             GROUP BY 1),
+      r AS (SELECT b.doc_id, n_tokens, n_uniq,
+              CASE WHEN n_tokens > 0
+                   THEN n_uniq::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END
+                AS uniq_frac,
+              CASE WHEN n_tokens > 0
+                   THEN coalesce(wc.top_word, 0)::DOUBLE / n_tokens::DOUBLE
+                   ELSE 0.0 END AS top_word_frac,
+              CASE WHEN n_tokens > 1
+                   THEN coalesce(bc.top_bigram, 0)::DOUBLE /
+                        (n_tokens - 1)::DOUBLE
+                   ELSE 0.0 END AS top_bigram_frac
+            FROM base b LEFT JOIN wc USING (doc_id)
+                        LEFT JOIN bc USING (doc_id))
+      SELECT doc_id, n_tokens, n_uniq, uniq_frac, top_word_frac,
+             top_bigram_frac,
+             (uniq_frac >= 0.35 AND top_word_frac <= 0.15 AND
+              top_bigram_frac <= 0.08) AS keep
+      FROM r ORDER BY doc_id""",
+
+    "q_decontaminate" -> s"""
+      WITH $Shingles,
+      bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0)
+      SELECT s.doc_id, count(*)::BIGINT AS n_hit_grams
+      FROM s JOIN bench USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY 1 ORDER BY 1""",
 
     "q_sim_ann_brute" -> annBruteSql,
 

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for a large-scale training-data pipeline:
+  * PII redaction, Gopher-style repetition filtering, and benchmark
+  * decontamination. Like [[TextStats]], the per-row ops are zero-shuffle
+  * codegen projections; the one join op (decontamination) broadcasts the
+  * small side so the corpus never shuffles.
+  */
+object CorpusFilters {
+
+  /** RE2-compatible patterns (no backreferences/lookaround) so any SQL
+    * oracle's regex engine agrees with Java's character for character. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: per-doc match counts plus the redacted text
+    * (email → `<EMAIL>`, then IPv4 → `<IP>`, then phone → `<PHONE>` —
+    * counts are taken on the ORIGINAL text, and the replacement order is
+    * part of the contract since earlier passes can in principle change
+    * later matches). Pure regex projection: whole-stage codegen, no
+    * shuffle, scan pruned to (id, text) — at 100 TB this is a map-only
+    * pass. */
+  def piiRedact(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    df.select(col(id),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+        lit(PhoneRe), lit("<PHONE>")).as("clean_text"))
+  }
+
+  /** Gopher-style repetition quality filter: unique-token fraction, most
+    * frequent word/bigram occupancy, and a keep verdict. The per-doc
+    * counting runs inside the native [[GraftRepStats]] expression — one
+    * string pass, zero shuffle (the explode + double-groupBy alternative
+    * shuffles the full token stream twice for what is a per-document
+    * bounded reduction). All ratios are exact double divisions of integer
+    * counts, bit-identical in any SQL oracle. */
+  def repetition(df: DataFrame, id: String = "doc_id",
+      text: String = "text", minUniqFrac: Double = 0.35,
+      maxTopWordFrac: Double = 0.15,
+      maxTopBigramFrac: Double = 0.08): DataFrame = {
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
+    df.select(col(id), call_function("graft_repstats", col(text)).as("r"))
+      .select(col(id),
+        col("r.n_tokens").as("n_tokens"), col("r.n_uniq").as("n_uniq"),
+        when(col("r.n_tokens") > 0,
+          col("r.n_uniq").cast("double") / col("r.n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("uniq_frac"),
+        when(col("r.n_tokens") > 0,
+          col("r.top_word").cast("double") / col("r.n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("top_word_frac"),
+        when(col("r.n_tokens") > 1,
+          col("r.top_bigram").cast("double") /
+            (col("r.n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("uniq_frac") >= minUniqFrac &&
+          col("top_word_frac") <= maxTopWordFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+  }
+
+  /** Benchmark decontamination: docs of `corpus` sharing at least one word
+    * n-gram with `bench` (the eval/benchmark set), with the count of
+    * shared DISTINCT grams per doc. The standard pre-training step —
+    * production uses n in 8..13; the gate entry uses n = 3 because the
+    * synthetic corpus' tiny vocabulary makes longer grams all-unique.
+    *
+    * Scale shape: the benchmark side is always small (eval sets are MBs
+    * against a 100 TB corpus), so its distinct-gram set is broadcast and
+    * the corpus side stays entirely map-side — explode via the native
+    * [[GraftShingles]] expression (already distinct per doc), hash-probe
+    * the broadcast, then a combiner-heavy per-doc count. The corpus is
+    * never shuffled by gram.
+    */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(id),
+        explode(call_function("graft_shingles", col(text), lit(n))).as("g"))
+    val benchGrams = grams(bench).select(col("g")).distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+}

@@ -74,6 +74,8 @@ object GraftFunctions {
       graft.pipeline.GraftShingles.builder _),
     ("graft_fphash", graft.pipeline.GraftFpHash.info,
       graft.pipeline.GraftFpHash.builder _),
+    ("graft_repstats", graft.pipeline.GraftRepStats.info,
+      graft.pipeline.GraftRepStats.builder _),
     ("graft_dot", graft.pipeline.GraftDot.info,
       graft.pipeline.GraftDot.builder _),
     ("graft_norm2", graft.pipeline.GraftNorm2.info,

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusFilters, GraftRepStats}
+import graft.tokenize.GraftFunctions
+
+/** Corpus-hygiene operators: PII redaction, repetition quality filter
+  * (native graft_repstats kernel), benchmark decontamination — exactness
+  * checked against in-memory brute force. */
+class CorpusFiltersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (0L, "plain text with no pii at all just words"),
+    (1L, "reach me at jane.doe+spam@mail.example.org or bob@x.io thanks"),
+    (2L, "server 192.168.0.1 and backup 10.0.0.254 were unreachable"),
+    (3L, "call 555-123-4567 or 555-000-1111 after noon"),
+    (4L, "mixed a@b.co then 1.2.3.4 then 111-222-3333 in one line"),
+    (5L, "") // empty text
+  ).toDF("doc_id", "text")
+
+  // ---- PII redaction -------------------------------------------------------
+
+  test("piiRedact counts and redacts emails, ips, phones") {
+    val rows = CorpusFilters.piiRedact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("clean_text"))).toMap
+    assert(rows(0L) == ((0L, 0L, 0L, "plain text with no pii at all just words")))
+    assert(rows(1L)._1 == 2L && rows(1L)._4 ==
+      "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(rows(2L)._2 == 2L && rows(2L)._4 ==
+      "server <IP> and backup <IP> were unreachable")
+    assert(rows(3L)._3 == 2L && rows(3L)._4 ==
+      "call <PHONE> or <PHONE> after noon")
+    assert(rows(4L) == ((1L, 1L, 1L,
+      "mixed <EMAIL> then <IP> then <PHONE> in one line")))
+    assert(rows(5L) == ((0L, 0L, 0L, "")))
+  }
+
+  // ---- repetition stats ----------------------------------------------------
+
+  /** Brute-force repetition stats for one text. */
+  private def bruteRep(text: String): (Long, Long, Long, Long) = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val wc = toks.groupBy(identity).view.mapValues(_.length)
+    val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val bc = bigrams.groupBy(identity).view.mapValues(_.length)
+    (toks.length.toLong, wc.size.toLong,
+      if (wc.isEmpty) 0L else wc.values.max.toLong,
+      if (bc.isEmpty) 0L else bc.values.max.toLong)
+  }
+
+  private lazy val repTexts: Seq[(Long, String)] = Seq(
+    10L -> "a b c d e f g",
+    11L -> "spam spam spam spam spam",
+    12L -> "go go go stop go go go stop",
+    13L -> "one",
+    14L -> "",
+    15L -> "  padded   with   runs  of spaces padded with  ",
+    16L -> "naïve café naïve café naïve café", // non-ascii round trip
+    17L -> (1 to 20).map(i => s"word$i").mkString(" ") // long all-unique
+  )
+
+  test("graft_repstats equals brute force per doc") {
+    GraftFunctions.register(spark)
+    val got = repTexts.toDF("doc_id", "text")
+      .select($"doc_id", call_function("graft_repstats", $"text").as("r"))
+      .select($"doc_id", $"r.n_tokens", $"r.n_uniq", $"r.top_word",
+        $"r.top_bigram")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    for ((id, text) <- repTexts)
+      assert(got(id) == bruteRep(text), s"doc $id: '$text'")
+  }
+
+  test("graft_repstats agrees between codegen and interpreted eval") {
+    GraftFunctions.register(spark)
+    val df = repTexts.toDF("doc_id", "text")
+    def run(): Seq[String] = df.select($"doc_id",
+      call_function("graft_repstats", $"text").as("r"))
+      .collect().map(_.toString).sorted.toSeq
+    val withCg = run() // whole-stage codegen (default on)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == withCg)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("repetition verdicts: unique text kept, spam dropped") {
+    val rep = CorpusFilters.repetition(repTexts.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rep(17L).getAs[Boolean]("keep")) // long all-unique text
+    // short all-unique text: top_bigram_frac = 1/6 > 0.08 -> dropped (the
+    // thresholds assume the corpus' doc lengths; a min-length gate is the
+    // caller's composition with TextStats.quality)
+    assert(!rep(10L).getAs[Boolean]("keep"))
+    assert(!rep(11L).getAs[Boolean]("keep")) // one word repeated
+    assert(!rep(12L).getAs[Boolean]("keep")) // dominant bigram
+    assert(rep(14L).getAs[Long]("n_tokens") == 0L &&
+      !rep(14L).getAs[Boolean]("keep")) // empty: fracs 0.0, uniq_frac < min
+    val r10 = rep(10L)
+    assert(r10.getAs[Double]("uniq_frac") == 1.0)
+    assert(r10.getAs[Double]("top_word_frac") == 1.0 / 7.0)
+    assert(r10.getAs[Double]("top_bigram_frac") == 1.0 / 6.0)
+  }
+
+  // ---- decontamination -----------------------------------------------------
+
+  test("contaminationHits equals brute-force shared-shingle counts") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma completely different tail here"),
+      (2L, "nothing in common with the benchmark set at all"),
+      (3L, "delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "eta theta iota kappa")
+    ).toDF("doc_id", "text")
+
+    def sh(s: String): Set[String] =
+      s.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val benchGrams = Set("alpha beta gamma delta epsilon", "eta theta iota kappa")
+      .flatMap(sh)
+    val expected = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma completely different tail here"),
+      (2L, "nothing in common with the benchmark set at all"),
+      (3L, "delta epsilon zeta eta theta iota"))
+      .map { case (id, t) => id -> (sh(t) & benchGrams).size.toLong }
+      .filter(_._2 > 0).toMap
+
+    val got = CorpusFilters.contaminationHits(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("contamination plan broadcasts the benchmark side") {
+    val corpus = docs
+    val bench = docs.filter($"doc_id" === 0L)
+    val plan = CorpusFilters.contaminationHits(corpus, bench, n = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
