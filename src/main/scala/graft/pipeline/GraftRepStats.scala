@@ -50,16 +50,16 @@ object GraftRepStats {
     StructField("top_word", LongType, nullable = false),
     StructField("top_bigram", LongType, nullable = false)))
 
-  // compiled once — multi-char patterns have no String.split fast path
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
-
   /** Static entry for generated code: one pass, two bounded hash maps
     * (word → count, bigram → count); memory is O(doc vocabulary), not
-    * corpus vocabulary. */
+    * corpus vocabulary — the capacity HINT is capped so a highly
+    * repetitive giant doc (vocab 1, n huge) doesn't pre-allocate an
+    * O(n) bucket array (and n*2 can't overflow Int). */
   def stats(s: UTF8String): InternalRow = {
-    val toks = Ws.split(s.toString).filter(_.nonEmpty)
+    val toks = GraftShingles.wsSplit(s)
     val n = toks.length
-    val words = new java.util.HashMap[String, Int](n * 2)
+    val cap = math.min(n.toLong * 2L, 1L << 16).toInt.max(16)
+    val words = new java.util.HashMap[String, Int](cap)
     var topWord = 0
     var i = 0
     while (i < n) {
@@ -69,7 +69,7 @@ object GraftRepStats {
     }
     var topBigram = 0
     if (n >= 2) {
-      val bigrams = new java.util.HashMap[String, Int](n * 2)
+      val bigrams = new java.util.HashMap[String, Int](cap)
       val sb = new java.lang.StringBuilder(32)
       i = 0
       while (i < n - 1) {

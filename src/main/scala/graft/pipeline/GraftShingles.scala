@@ -41,10 +41,17 @@ object GraftShingles {
   // patterns and would recompile per row on this hot path
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
+  /** THE ws-token kernel shared by the native expressions (one definition,
+    * so a tokenization tweak cannot drift between kernels while the
+    * DataFrame-level [[TextStats.wsTokens]] and the oracle `WsToks`
+    * restate it): `\s+` split, empties dropped. */
+  private[pipeline] def wsSplit(s: UTF8String): Array[String] =
+    Ws.split(s.toString).filter(_.nonEmpty)
+
   /** Static entry for generated code: distinct n-gram shingles in
     * first-occurrence order. */
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val toks = Ws.split(s.toString).filter(_.nonEmpty)
+    val toks = wsSplit(s)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
     val sb = new java.lang.StringBuilder(64)

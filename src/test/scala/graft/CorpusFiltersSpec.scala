@@ -83,9 +83,19 @@ class CorpusFiltersSpec extends SparkTestBase {
       call_function("graft_repstats", $"text").as("r"))
       .collect().map(_.toString).sorted.toSeq
     val withCg = run() // whole-stage codegen (default on)
+    // wholeStage=false alone still compiles expressions via the codegen
+    // factory; NO_CODEGEN is what actually drives nullSafeEval
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try assert(run() == withCg)
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
   }
 
   test("repetition verdicts: unique text kept, spam dropped") {
