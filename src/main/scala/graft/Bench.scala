@@ -134,6 +134,76 @@ object Bench {
       s""""samples_lo":${samples(loAll)},"samples_hi":${samples(hiAll)}}"""
   }
 
+  /** Dedup-family scale evidence: the SAME scale-config ops (capped
+    * jaccard, minhash LSH, simhash, components) on a generated corpus with
+    * planted duplicates ([[graft.fixtures.DocGen]]) at two corpus sizes —
+    * near-linear wall growth evidences the bucketed joins aren't
+    * quadratic, and planted-pair recall pins correctness where no DuckDB
+    * oracle runs (the sf catalog only exercises these at 5k docs). */
+  private def dedupScaleOnce(spark: SparkSession, n: Long): String = {
+    import graft.fixtures.DocGen
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.functions._
+    // the path carries the generator version: a stale cache from an older
+    // DocGen would otherwise be silently reused across code changes
+    val path = s"/dev/shm/graft-dedup-docs-v${graft.fixtures.DocGen.Version}-$n"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      DocGen.dataset(spark, n, partitions = 64)
+        .write.mode("overwrite").parquet(path)
+    val docs = spark.read.parquet(path)
+    val planted = DocGen.plantedPairs(n)
+    def plantedFound(pairs: org.apache.spark.sql.DataFrame): Long =
+      pairs.filter(col("id_b") === col("id_a") + 1 &&
+        (col("id_b") % 50 === 1 || col("id_b") % 101 === 100)).count()
+    val cap = Some(math.max(5L, n / 100).toInt)
+
+    def mark(s: String): Unit = System.err.println(s"[bench] dedup n=$n: $s")
+    val (jac, jacSec) = timed {
+      val p = Dedup.jaccardPairs(docs, n = 3, minPct = 80,
+        hotShingleCap = cap).select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, p.count())
+    }
+    mark(f"jaccard $jacSec%.1fs pairs=${jac._2}")
+    val jacPlanted = plantedFound(jac._1)
+    val (comp, compSec) = timed {
+      Dedup.components(jac._1).agg(countDistinct(col("rep_id"))).head.getLong(0)
+    }
+    mark(f"components $compSec%.1fs clusters=$comp")
+    val (mh, mhSec) = timed {
+      val p = Dedup.minhashLshPairs(docs, numHashes = 64, bands = 16,
+        minPct = 80).select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, p.count())
+    }
+    mark(f"minhash $mhSec%.1fs pairs=${mh._2}")
+    val mhPlanted = plantedFound(mh._1)
+    // 64-bit simhash: the 31-bit oracle variant floods at this corpus size
+    // (GraftSimhash doc — measured 92k hamming<=3 pairs / 95 s at 25k
+    // docs); near-dup recall is PARTIAL by nature (a 1-token edit moves
+    // ~4 of 64 bits in expectation), exact dups are always hamming 0
+    val (sh, shSec) = timed {
+      val p = Dedup.simhashPairs(docs, maxHamming = 3, bits = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, p.count())
+    }
+    mark(f"simhash64 $shSec%.1fs pairs=${sh._2}")
+    val shPlanted = plantedFound(sh._1)
+    jac._1.unpersist(blocking = false)
+    mh._1.unpersist(blocking = false)
+    sh._1.unpersist(blocking = false)
+    IndexBuilder.deleteRecursive(java.nio.file.Paths.get(path))
+    f"""{"n_docs":$n,"planted_pairs":$planted,""" +
+      f""""jaccard_capped_sec":$jacSec%.3f,"jaccard_pairs":${jac._2},""" +
+      f""""jaccard_planted_found":$jacPlanted,""" +
+      f""""components_sec":$compSec%.3f,"n_clusters":$comp,""" +
+      f""""minhash_sec":$mhSec%.3f,"minhash_pairs":${mh._2},""" +
+      f""""minhash_planted_found":$mhPlanted,""" +
+      f""""simhash64_sec":$shSec%.3f,"simhash64_pairs":${sh._2},""" +
+      f""""simhash64_planted_found":$shPlanted}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
@@ -160,6 +230,16 @@ object Bench {
 
     // -- query phase at local[32] over the sf dir -------------------------
     val spark = session(32)
+    if (sys.env.get("SPARK_GRAFT_DEDUP_ONLY").contains("1")) {
+      val Array(dLo, dHi) = sys.env
+        .getOrElse("SPARK_GRAFT_DEDUP_LEVELS", "25000,100000")
+        .split(",").map(_.trim.toLong)
+      val lo = dedupScaleOnce(spark, dLo)
+      val hi = dedupScaleOnce(spark, dHi)
+      println(s"""{"metric":"dedup_scale_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","dedup_scale":{"lo":$lo,"hi":$hi}}""")
+      spark.stop()
+      return
+    }
     // pre-build the fts indexes so per-query times measure the query, not
     // the one-time build; report build time as its own metric
     val (_, ftsBuildSec) = timed(EntryQueries.indexDirFull(spark, sfDir))
@@ -207,6 +287,18 @@ object Bench {
       times(name) = sec
     }
 
+    // -- dedup-family scale pair (generated corpus, planted dups) ---------
+    val dedupScaleJson =
+      if (sys.env.get("SPARK_GRAFT_SKIP_DEDUP_SCALE").contains("1")) "null"
+      else {
+        val Array(dLo, dHi) = sys.env
+          .getOrElse("SPARK_GRAFT_DEDUP_LEVELS", "25000,100000")
+          .split(",").map(_.trim.toLong)
+        val lo = dedupScaleOnce(spark, dLo)
+        val hi = dedupScaleOnce(spark, dHi)
+        s"""{"lo":$lo,"hi":$hi}"""
+      }
+
     // -- BM25 latency p50 over the sf documents index ---------------------
     val _ = mergedDir
     val idxDir = EntryQueries.indexDirFull(spark, sfDir)
@@ -244,6 +336,7 @@ object Bench {
       f""""fts_build_sec":$ftsBuildSec%.3f,"fts_merge_sec":$mergeSec%.3f,""" +
       f""""fts_merge_delta_byte_ratio":${deltaRatio._1}%.4f,""" +
       f""""fts_merge_delta_postings_ratio":${deltaRatio._2}%.4f,""" +
+      s""""dedup_scale":$dedupScaleJson,""" +
       s""""scaling":$scalingJson,"scaling_low":$scaling2Json}""")
     spark.stop()
   }

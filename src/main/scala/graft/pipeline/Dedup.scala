@@ -286,36 +286,37 @@ object Dedup {
     * groupBy and a second groupBy(doc), two full shuffles of the token
     * stream). Same integer math, same oracle. */
   def simhash(df: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text", bits: Int = SimhashBits): DataFrame = {
     graft.tokenize.GraftFunctions.register(df.sparkSession)
-    val hashes = transform(TextStats.wsTokens(col(text)),
-      t => TextStats.wordHashCol(t))
-    val bitSums = (0 until SimhashBits).map { i =>
-      aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when((shiftright(h, i) % 2) === 1, 1L).otherwise(-1L))
-        .as(s"b$i")
-    }
-    val sig = (0 until SimhashBits).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.select(col(id), hashes.as("hs"))
+    // the whole signature is ONE native codegen pass (graft_simhash):
+    // bits=31 is bit-identical to the per-bit aggregate-lambda column form
+    // it replaces (GraftSimhashSpec pins the equality) and to the SQL
+    // oracle; bits=64 is the scale variant (see GraftSimhash doc)
+    df
       // docs with zero tokens had no groupBy row in the r2 shape — keep
-      // that contract (the oracle groups over exploded tokens)
-      .filter(size(col("hs")) > 0)
-      .select((col(id) +: bitSums): _*)
-      .select(col(id), sig.as("simhash"))
+      // that contract (the oracle groups over exploded tokens). NOT
+      // trim()=='': Spark trim strips only U+0020, a tab-only text would
+      // slip through
+      .filter(size(TextStats.wsTokens(col(text))) > 0)
+      .select(col(id),
+        call_function("graft_simhash", col(text), lit(bits)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 31 bits into 4 chunks (8/8/8/7); docs
-    * sharing any chunk are candidates; verified by Hamming distance <=
-    * maxHamming. By pigeonhole this is exact for maxHamming <= 3. */
+  /** SimHash near-dup pairs: band the signature into 4 chunks (8/8/8/7
+    * for 31 bits, 16×4 for 64); docs sharing any chunk are candidates;
+    * verified by Hamming distance <= maxHamming. By pigeonhole this is
+    * exact for maxHamming <= 3. Use bits=64 beyond ~10k docs: zipfian
+    * corpora concentrate 31-bit signatures and the banding floods. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sig = simhash(df, id, text) // map-side native hash: recompute
-    val chunks = Seq((0, 8), (8, 8), (16, 8), (24, 7))
+      id: String = "doc_id", text: String = "text",
+      bits: Int = SimhashBits): DataFrame = {
+    val sig = simhash(df, id, text, bits) // map-side native hash: recompute
+    val chunks = if (bits == 64) Seq((0, 16), (16, 16), (32, 16), (48, 16))
+                 else Seq((0, 8), (8, 8), (16, 8), (24, 7))
+    // unsigned shift: a 64-bit sig's top band must not smear the sign
     val banded = chunks.zipWithIndex.map { case ((off, len), bi) =>
       sig.select(col(id), lit(bi).as("chunk"),
-        (shiftright(col("simhash"), off) % (1L << len)).as("key"))
+        (shiftrightunsigned(col("simhash"), off) % (1L << len)).as("key"))
     }.reduce(_ unionByName _)
     val l = banded.select(col("chunk"), col("key"), col(id).as("id_a"))
     val r = banded.select(col("chunk"), col("key"), col(id).as("id_b"))

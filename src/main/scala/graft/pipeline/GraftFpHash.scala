@@ -36,8 +36,11 @@ case class GraftFpHash(child: Expression) extends UnaryExpression {
 
 object GraftFpHash {
   /** Static entry for generated code. */
-  def hash(s: UTF8String): Long = {
-    val str = s.toString
+  def hash(s: UTF8String): Long = hashStr(s.toString)
+
+  /** String form — for callers that already hold a String (avoids a
+    * UTF8String round trip per token on the simhash path). */
+  def hashStr(str: String): Long = {
     var acc = 0L
     var i = 0
     val n = str.length

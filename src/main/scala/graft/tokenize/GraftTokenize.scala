@@ -76,6 +76,8 @@ object GraftFunctions {
       graft.pipeline.GraftFpHash.builder _),
     ("graft_repstats", graft.pipeline.GraftRepStats.info,
       graft.pipeline.GraftRepStats.builder _),
+    ("graft_simhash", graft.pipeline.GraftSimhash.info,
+      graft.pipeline.GraftSimhash.builder _),
     ("graft_dot", graft.pipeline.GraftDot.info,
       graft.pipeline.GraftDot.builder _),
     ("graft_norm2", graft.pipeline.GraftNorm2.info,
