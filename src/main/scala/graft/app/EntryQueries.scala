@@ -382,6 +382,13 @@ object EntryQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents")).orderBy(col("doc_id"))),
 
+    "q_dedup_simhash64" -> ((s, d) =>
+      // the SCALE config (rows-only: FNV-64 word hashing is not
+      // SQL-oracle arithmetic): 64-bit signatures + 16-bit banding — the
+      // 31-bit banding floods beyond ~10k docs (GraftSimhash doc)
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3, bits = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_dedup_components" -> ((s, d) =>
       // duplicate-CLUSTER survivor selection: connected components over the
       // exact near-dup pairs (near-dup is not transitive — keeping one per
