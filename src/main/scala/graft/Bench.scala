@@ -153,9 +153,9 @@ object Bench {
         .write.mode("overwrite").parquet(path)
     val docs = spark.read.parquet(path)
     val planted = DocGen.plantedPairs(n)
+    // slot arithmetic lives in DocGen so this filter can't drift from it
     def plantedFound(pairs: org.apache.spark.sql.DataFrame): Long =
-      pairs.filter(col("id_b") === col("id_a") + 1 &&
-        (col("id_b") % 50 === 1 || col("id_b") % 101 === 100)).count()
+      pairs.filter(DocGen.isPlantedPairCol(col("id_a"), col("id_b"))).count()
     val cap = Some(math.max(5L, n / 100).toInt)
 
     def mark(s: String): Unit = System.err.println(s"[bench] dedup n=$n: $s")
@@ -193,7 +193,8 @@ object Bench {
     jac._1.unpersist(blocking = false)
     mh._1.unpersist(blocking = false)
     sh._1.unpersist(blocking = false)
-    IndexBuilder.deleteRecursive(java.nio.file.Paths.get(path))
+    // the versioned corpus cache is small (tens of MB) and is left in
+    // place so later runs at the same DocGen.Version reuse it
     f"""{"n_docs":$n,"planted_pairs":$planted,""" +
       f""""jaccard_capped_sec":$jacSec%.3f,"jaccard_pairs":${jac._2},""" +
       f""""jaccard_planted_found":$jacPlanted,""" +
@@ -207,7 +208,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
-    val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+    val dedupOnly = sys.env.get("SPARK_GRAFT_DEDUP_ONLY").contains("1")
+    // dedup-only implies no scaling builds (12 full index builds)
+    val skipScaling = dedupOnly ||
+      sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
     val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
 
     // -- scaling phase: same job at N and 4N cores (default local[8] vs
@@ -230,13 +234,18 @@ object Bench {
 
     // -- query phase at local[32] over the sf dir -------------------------
     val spark = session(32)
-    if (sys.env.get("SPARK_GRAFT_DEDUP_ONLY").contains("1")) {
+    // ONE parser/runner for the dedup-scale pair — both entry points (the
+    // dedup-only mode and the full run) go through it
+    def dedupScalePair(): String = {
       val Array(dLo, dHi) = sys.env
         .getOrElse("SPARK_GRAFT_DEDUP_LEVELS", "25000,100000")
         .split(",").map(_.trim.toLong)
       val lo = dedupScaleOnce(spark, dLo)
       val hi = dedupScaleOnce(spark, dHi)
-      println(s"""{"metric":"dedup_scale_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","dedup_scale":{"lo":$lo,"hi":$hi}}""")
+      s"""{"lo":$lo,"hi":$hi}"""
+    }
+    if (dedupOnly) {
+      println(s"""{"metric":"dedup_scale_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","dedup_scale":${dedupScalePair()}}""")
       spark.stop()
       return
     }
@@ -290,14 +299,7 @@ object Bench {
     // -- dedup-family scale pair (generated corpus, planted dups) ---------
     val dedupScaleJson =
       if (sys.env.get("SPARK_GRAFT_SKIP_DEDUP_SCALE").contains("1")) "null"
-      else {
-        val Array(dLo, dHi) = sys.env
-          .getOrElse("SPARK_GRAFT_DEDUP_LEVELS", "25000,100000")
-          .split(",").map(_.trim.toLong)
-        val lo = dedupScaleOnce(spark, dLo)
-        val hi = dedupScaleOnce(spark, dHi)
-        s"""{"lo":$lo,"hi":$hi}"""
-      }
+      else dedupScalePair()
 
     // -- BM25 latency p50 over the sf documents index ---------------------
     val _ = mergedDir

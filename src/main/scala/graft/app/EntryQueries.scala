@@ -429,6 +429,22 @@ object EntryQueries {
     "q_text_repetition" -> ((s, d) =>
       CorpusFilters.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
 
+    "q_text_urls" -> ((s, d) => {
+      // deterministic URL injection (the corpus carries none), mirrored
+      // in the oracle; doc_id%15 hits both slots — multi-URL docs exist
+      val docs = t(s, d, "documents")
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://ok.example.org/p/"),
+              col("doc_id").cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" via http://spam.bad-site.com/x")).otherwise(lit("")))
+          .as("text"))
+      CorpusFilters.urlFilter(injected, Seq("spam.bad-site.com"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // benchmark = a deterministic 1/97 slice of the corpus standing in
       // for the eval set; n = 3 because the synthetic vocabulary makes

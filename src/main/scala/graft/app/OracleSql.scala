@@ -440,6 +440,28 @@ object OracleSql {
               top_bigram_frac <= 0.08) AS keep
       FROM r ORDER BY doc_id""",
 
+    "q_text_urls" -> s"""
+      WITH inj AS (SELECT doc_id, text ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN ' see https://ok.example.org/p/' || doc_id::VARCHAR
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN ' via http://spam.bad-site.com/x' ELSE '' END)
+          AS text FROM documents),
+      u AS (SELECT doc_id,
+                   regexp_extract_all(text, '${CorpusFilters.UrlRe}')
+                     AS urls
+            FROM inj),
+      b AS (SELECT doc_id, len(urls)::BIGINT AS n_urls,
+                   len(list_filter(
+                     list_transform(urls,
+                       x -> regexp_extract(x, '${CorpusFilters.DomainRe}', 1)),
+                     d -> list_contains(['spam.bad-site.com'], d)))::BIGINT
+                     AS n_blocked
+            FROM u)
+      SELECT doc_id, n_urls, n_blocked, (n_blocked = 0) AS keep
+      FROM b ORDER BY doc_id""",
+
     "q_decontaminate" -> s"""
       WITH $Shingles,
       bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0)

@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Generation is a pure function of docId (same contract as
   * [[TranscriptGen]]): driver-local and distributed forms agree
   * byte-for-byte at any size with no driver materialization. The zipf
-  * draw (`rank = vocab * u^3`) makes the top word ~8% of all tokens, so
-  * hot shingles exist and the capped-jaccard skew guard actually engages.
+  * draw (`rank = vocab * u^2` on 20k words, top word ~0.35% of tokens)
+  * keeps shingle df statistics web-like; skew comes from the DESIGNED
+  * boilerplate header on 10% of docs, whose shingles have df = n/10 and
+  * force the capped-jaccard guard to engage (see [[hasBoilerplate]]).
   */
 object DocGen {
 
@@ -76,6 +78,13 @@ object DocGen {
   /** Closed-form count of planted pairs (id, id+1) among docs [0, n). */
   def plantedPairs(n: Long): Long =
     (1L until n).count(id => isNearDupSlot(id) || isExactDupSlot(id))
+
+  /** The same slot arithmetic as a Column predicate over a pair frame —
+    * defined HERE so the bench's recall filter cannot drift from the
+    * generator's slot definitions. */
+  def isPlantedPairCol(idA: org.apache.spark.sql.Column,
+      idB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    idB === idA + 1 && (idB % 50 === 1 || idB % 101 === 100)
 
   /** Distributed corpus: (doc_id, text). */
   def dataset(spark: SparkSession, n: Long, partitions: Int = 0): DataFrame = {

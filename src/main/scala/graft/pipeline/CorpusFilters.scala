@@ -68,6 +68,29 @@ object CorpusFilters {
           col("top_bigram_frac") <= maxTopBigramFrac)
   }
 
+  /** URL pattern (RE2-compatible; the group captures the domain for
+    * [[urlFilter]]'s per-URL domain extraction). */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
+  val DomainRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** URL extraction + domain-blocklist filter — the C4-style source
+    * hygiene step: per doc the URL count, the count with a blocklisted
+    * domain, and a keep verdict (no blocked URL). Zero-shuffle regex
+    * projection like [[piiRedact]]; the blocklist is a handful of
+    * literals folded into the plan (a BIG blocklist would instead
+    * broadcast-join the exploded domains — the [[contaminationHits]]
+    * shape). */
+  def urlFilter(df: DataFrame, blockedDomains: Seq[String],
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val urls = regexp_extract_all(col(text), lit(UrlRe), lit(0))
+    val domains = transform(urls, u => regexp_extract(u, DomainRe, 1))
+    val blocked = filter(domains, d => d.isin(blockedDomains.map(lit): _*))
+    df.select(col(id),
+        size(urls).cast("long").as("n_urls"),
+        size(blocked).cast("long").as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0)
+  }
+
   /** Benchmark decontamination: docs of `corpus` sharing at least one word
     * n-gram with `bench` (the eval/benchmark set), with the count of
     * shared DISTINCT grams per doc. The standard pre-training step —

@@ -294,10 +294,11 @@ object Dedup {
     // oracle; bits=64 is the scale variant (see GraftSimhash doc)
     df
       // docs with zero tokens had no groupBy row in the r2 shape — keep
-      // that contract (the oracle groups over exploded tokens). NOT
-      // trim()=='': Spark trim strips only U+0020, a tab-only text would
-      // slip through
-      .filter(size(TextStats.wsTokens(col(text))) > 0)
+      // that contract (the oracle groups over exploded tokens). \S ⟺ at
+      // least one ws-token, one regex scan with no array allocation (NOT
+      // trim()=='': Spark trim strips only U+0020; null text also drops,
+      // as with the earlier size(tokens) form)
+      .filter(col(text).rlike("\\S"))
       .select(col(id),
         call_function("graft_simhash", col(text), lit(bits)).as("simhash"))
   }
@@ -313,10 +314,14 @@ object Dedup {
     val sig = simhash(df, id, text, bits) // map-side native hash: recompute
     val chunks = if (bits == 64) Seq((0, 16), (16, 16), (32, 16), (48, 16))
                  else Seq((0, 8), (8, 8), (16, 8), (24, 7))
-    // unsigned shift: a 64-bit sig's top band must not smear the sign
+    // unsigned shift + BITMASK (not %): Java remainder keeps the
+    // dividend's sign, so a 64-bit sig with bit 63 set would get a
+    // negative band-0 key and never collide with a positive sig sharing
+    // the same low chunk — silently breaking the pigeonhole guarantee
     val banded = chunks.zipWithIndex.map { case ((off, len), bi) =>
       sig.select(col(id), lit(bi).as("chunk"),
-        (shiftrightunsigned(col("simhash"), off) % (1L << len)).as("key"))
+        shiftrightunsigned(col("simhash"), off)
+          .bitwiseAND(lit((1L << len) - 1)).as("key"))
     }.reduce(_ unionByName _)
     val l = banded.select(col("chunk"), col("key"), col(id).as("id_a"))
     val r = banded.select(col("chunk"), col("key"), col(id).as("id_b"))

@@ -40,6 +40,27 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(rows(5L) == ((0L, 0L, 0L, "")))
   }
 
+  // ---- url filter ----------------------------------------------------------
+
+  test("urlFilter counts urls and flags blocklisted domains") {
+    val df = Seq(
+      (0L, "no links here at all"),
+      (1L, "see https://ok.example.org/path and http://also-fine.net"),
+      (2L, "bad one http://spam.bad-site.com/x?q=1 inline"),
+      (3L, "mixed https://ok.example.org http://spam.bad-site.com/y end"),
+      (4L, "scheme-less www.spam.bad-site.com is not a url match")
+    ).toDF("doc_id", "text")
+    val rows = CorpusFilters.urlFilter(df, Seq("spam.bad-site.com"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_blocked"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(rows(0L) == ((0L, 0L, true)))
+    assert(rows(1L) == ((2L, 0L, true)))
+    assert(rows(2L) == ((1L, 1L, false)))
+    assert(rows(3L) == ((2L, 1L, false)))
+    assert(rows(4L) == ((0L, 0L, true)))
+  }
+
   // ---- repetition stats ----------------------------------------------------
 
   /** Brute-force repetition stats for one text. */
