@@ -429,6 +429,16 @@ object EntryQueries {
     "q_text_repetition" -> ((s, d) =>
       CorpusFilters.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
 
+    "q_text_chunks" -> ((s, d) =>
+      // RAG/pre-training chunking: 40-token windows, 10-token overlap
+      TextStats.chunk(t(s, d, "documents"), size = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    "q_text_pack" -> ((s, d) =>
+      // concatenate-and-chunk packing: 2048-token bins per source stratum
+      TextStats.packSequences(t(s, d, "documents"), budget = 2048)
+        .orderBy(col("doc_id"))),
+
     "q_text_urls" -> ((s, d) => {
       // deterministic URL injection (the corpus carries none), mirrored
       // in the oracle; doc_id%15 hits both slots — multi-URL docs exist

@@ -440,6 +440,34 @@ object OracleSql {
               top_bigram_frac <= 0.08) AS keep
       FROM r ORDER BY doc_id""",
 
+    "q_text_chunks" -> s"""
+      WITH toks AS (SELECT doc_id, $WsToks AS t FROM documents),
+      ch AS (SELECT doc_id,
+                    list_transform(generate_series(1, len(t), 30),
+                      s -> array_to_string(t[s:s+39], ' ')) AS cs
+             FROM toks WHERE len(t) > 0),
+      c AS (SELECT doc_id, unnest(cs) AS chunk_text,
+                   generate_subscripts(cs, 1) - 1 AS chunk_idx
+            FROM ch)
+      SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, chunk_text,
+             len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx""",
+
+    // packing: sum() OVER returns HUGEINT in DuckDB; cast every derived
+    // column back to BIGINT so the value hashes match Spark's longs
+    "q_text_pack" -> s"""
+      WITH n AS (SELECT doc_id, source, len($WsToks)::BIGINT AS n_tokens
+                 FROM documents),
+      c AS (SELECT *, coalesce(sum(n_tokens) OVER
+                (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS prev_cum
+            FROM n)
+      SELECT doc_id, source, n_tokens,
+             (prev_cum // 2048)::BIGINT AS bin_id,
+             (prev_cum % 2048)::BIGINT AS bin_offset
+      FROM c ORDER BY doc_id""",
+
     "q_text_urls" -> s"""
       WITH inj AS (SELECT doc_id, text ||
         (CASE WHEN doc_id % 3 = 0

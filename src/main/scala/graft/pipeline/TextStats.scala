@@ -128,6 +128,55 @@ object TextStats {
   /** Word hash used by [[Dedup.simhash]]: same rolling hash per word. */
   def wordHashCol(word: Column): Column = fingerprintCol(word)
 
+  /** Document chunking for training/RAG pipelines: split each doc into
+    * token windows of `size` starting every `step = size - overlap`
+    * tokens (starts 0, step, 2·step, … while < n_tokens; the last chunk
+    * may be shorter). Map-side explode — zero shuffle at any corpus
+    * size; chunk_idx is the window ordinal. The windowing arithmetic is
+    * integer-exact and mirrored in the SQL oracle. */
+  def chunk(df: DataFrame, size: Int, overlap: Int = 0,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val toks = wsTokens(col(text))
+    df.select(col(id), toks.as("toks"))
+      .filter(size_(col("toks")) > 0)
+      .select(col(id), posexplode(expr(
+        s"transform(sequence(0, size(toks) - 1, $step), " +
+          s"s -> array_join(slice(toks, s + 1, $size), ' '))")))
+      .select(col(id), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        size_(split(col("col"), " ")).cast("long").as("n_chunk_tokens"))
+  }
+  // functions.size shadowed by the `size` parameter above
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
+  /** Sequence packing (the pre-training concatenate-and-chunk step): per
+    * `stratum` (source/language — the real pipelines pack within a
+    * stratum), docs are laid out in id order and cut into fixed
+    * `budget`-token bins; a doc's bin is where its first token lands.
+    * Shuffle shape at 100 TB: ONE window per stratum (hash-partitioned by
+    * the stratum column), not a global single-partition sort — the
+    * within-stratum cumulative sum is the only data movement. Outputs are
+    * integer-exact (window cumsum), mirrored in the SQL oracle. */
+  def packSequences(df: DataFrame, budget: Long,
+      stratum: String = "source", id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum)).orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(id), col(stratum),
+        size_(wsTokens(col(text))).cast("long").as("n_tokens"))
+      .withColumn("prev_cum",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(id), col(stratum), col("n_tokens"),
+        (col("prev_cum") / budget).cast("long").as("bin_id"),
+        (col("prev_cum") % budget).as("bin_offset"))
+  }
+
   /** Deterministic per-stratum Bernoulli sampling — the corpus-rebalancing
     * step of a training-data pipeline (downsample the dominant language or
     * source, keep the tail). The keep decision is pure integer hash

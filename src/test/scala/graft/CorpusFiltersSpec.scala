@@ -137,6 +137,58 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(r10.getAs[Double]("top_bigram_frac") == 1.0 / 6.0)
   }
 
+  // ---- chunking + packing --------------------------------------------------
+
+  test("chunk equals sliding-window brute force (incl. short docs)") {
+    val docs = Seq(
+      (0L, (1 to 95).map(i => s"t$i").mkString(" ")), // 3 chunks of 40/30
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // exactly one window
+      (2L, "only three tokens"),
+      (3L, ""), // filtered out
+      (4L, (1 to 61).map(i => s"t$i").mkString(" ")) // start 60 -> 1-token tail
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.chunk(docs, size = 40, overlap = 10)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq)
+      .toMap
+    def brute(text: String): Seq[(String, Long)] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      (0 until t.length by 30).map { s =>
+        val c = t.slice(s, s + 40); (c.mkString(" "), c.length.toLong)
+      }
+    }
+    assert(got.keySet == Set(0L, 1L, 2L, 4L))
+    val local = Map(
+      0L -> (1 to 95).map(i => s"t$i").mkString(" "),
+      1L -> (1 to 40).map(i => s"t$i").mkString(" "),
+      2L -> "only three tokens",
+      4L -> (1 to 61).map(i => s"t$i").mkString(" "))
+    for ((id, text) <- local)
+      assert(got(id) == brute(text), s"doc $id")
+  }
+
+  test("packSequences: per-stratum cumulative layout, exact bins") {
+    val docs = Seq(
+      (0L, "web", 5), (1L, "web", 10), (2L, "web", 4),
+      (3L, "book", 12), (4L, "book", 3), (5L, "web", 7)
+    ).map { case (id, src, n) =>
+      (id, src, (1 to n).map(i => s"w$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = graft.pipeline.TextStats.packSequences(docs, budget = 12)
+      .select("doc_id", "source", "n_tokens", "bin_id", "bin_offset")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // web layout: 0(5) 1(10) 2(4) 5(7) -> prev_cums 0,5,15,19
+    // book layout: 3(12) 4(3) -> prev_cums 0,12
+    val expected = Seq(
+      (0L, "web", 5L, 0L, 0L),
+      (1L, "web", 10L, 0L, 5L),
+      (2L, "web", 4L, 1L, 3L),
+      (3L, "book", 12L, 0L, 0L),
+      (4L, "book", 3L, 1L, 0L),
+      (5L, "web", 7L, 1L, 7L))
+    assert(got == expected)
+  }
+
   // ---- decontamination -----------------------------------------------------
 
   test("contaminationHits equals brute-force shared-shingle counts") {

@@ -79,6 +79,30 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("corpus-hygiene projections are shuffle-free; chunking too") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((name, df) <- Seq(
+        "pii" -> graft.pipeline.CorpusFilters.piiRedact(docs),
+        "repetition" -> graft.pipeline.CorpusFilters.repetition(docs),
+        "urls" -> graft.pipeline.CorpusFilters
+          .urlFilter(docs, Seq("x.example")),
+        "chunk" -> graft.pipeline.TextStats.chunk(docs, 40, 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).isEmpty, s"$name:\n$plan")
+    }
+  }
+
+  test("sequence packing shuffles ONCE, by the stratum column") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextStats.packSequences(docs, 2048)
+      .queryExecution.executedPlan.toString
+    // one hashpartitioning(source) exchange feeding the window — not a
+    // global single-partition sort
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("hashpartitioning(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("relational scan: filter and projection reach the parquet reader") {
     val df = graft.app.EntryQueries.all("q_agg_pushdown")(
       spark, "/root/testdata/sf0.001")
