@@ -145,8 +145,17 @@ object Bench {
     import graft.pipeline.Dedup
     import org.apache.spark.sql.functions._
     // the path carries the generator version: a stale cache from an older
-    // DocGen would otherwise be silently reused across code changes
-    val path = s"/dev/shm/graft-dedup-docs-v${graft.fixtures.DocGen.Version}-$n"
+    // DocGen would otherwise be silently reused across code changes —
+    // and any OTHER-version dirs are deleted here so version bumps can't
+    // strand parquet in tmpfs forever (/dev/shm is RAM)
+    val prefix = s"graft-dedup-docs-v${graft.fixtures.DocGen.Version}-"
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    java.nio.file.Files.list(shm).iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("graft-dedup-docs-") && !name.startsWith(prefix))
+        IndexBuilder.deleteRecursive(p)
+    }
+    val path = s"/dev/shm/$prefix$n"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/_SUCCESS")))
       DocGen.dataset(spark, n, partitions = 64)

@@ -440,10 +440,14 @@ object OracleSql {
               top_bigram_frac <= 0.08) AS keep
       FROM r ORDER BY doc_id""",
 
+    // start filter (1-based s): keep s=1 or s-1 < n-overlap — drops tail
+    // windows fully contained in their predecessor (TextStats.chunk doc)
     "q_text_chunks" -> s"""
       WITH toks AS (SELECT doc_id, $WsToks AS t FROM documents),
       ch AS (SELECT doc_id,
-                    list_transform(generate_series(1, len(t), 30),
+                    list_transform(
+                      list_filter(generate_series(1, len(t), 30),
+                        s -> s = 1 OR s < len(t) - 10 + 1),
                       s -> array_to_string(t[s:s+39], ' ')) AS cs
              FROM toks WHERE len(t) > 0),
       c AS (SELECT doc_id, unnest(cs) AS chunk_text,
@@ -483,8 +487,11 @@ object OracleSql {
       b AS (SELECT doc_id, len(urls)::BIGINT AS n_urls,
                    len(list_filter(
                      list_transform(urls,
-                       x -> regexp_extract(x, '${CorpusFilters.DomainRe}', 1)),
-                     d -> list_contains(['spam.bad-site.com'], d)))::BIGINT
+                       x -> regexp_replace(lower(
+                         regexp_extract(x, '${CorpusFilters.DomainRe}', 1)),
+                         '\\.+$$', '')),
+                     d -> d = 'spam.bad-site.com' OR
+                          suffix(d, '.spam.bad-site.com')))::BIGINT
                      AS n_blocked
             FROM u)
       SELECT doc_id, n_urls, n_blocked, (n_blocked = 0) AS keep

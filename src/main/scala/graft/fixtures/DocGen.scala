@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Generation is a pure function of docId (same contract as
   * [[TranscriptGen]]): driver-local and distributed forms agree
   * byte-for-byte at any size with no driver materialization. The zipf
-  * draw (`rank = vocab * u^2` on 20k words, top word ~0.35% of tokens)
+  * draw (`rank = vocab * u^2` on 20k words, top word ~0.7% of tokens (P(rank 0) = 1/√20000))
   * keeps shingle df statistics web-like; skew comes from the DESIGNED
   * boilerplate header on 10% of docs, whose shingles have df = n/10 and
   * force the capped-jaccard guard to engage (see [[hasBoilerplate]]).
@@ -47,7 +47,7 @@ object DocGen {
 
   private def baseTokens(docId: Long): Array[String] = {
     val rnd = new scala.util.Random(15485863L ^ docId)
-    // u^2 zipf on a 20k vocabulary: top word ~0.35% of tokens — shingle
+    // u^2 zipf on a 20k vocabulary: top word ~0.7% of tokens (P(rank 0) = 1/√20000) — shingle
     // df statistics stay web-like (random 3-gram collisions are rare; an
     // early u^3-on-2k draft put ~8% of mass on the top word, and the
     // resulting mid-df shingles generated billions of BELOW-cap candidate
@@ -60,9 +60,14 @@ object DocGen {
     if (hasBoilerplate(docId)) Boilerplate ++ body else body
   }
 
-  def isNearDupSlot(docId: Long): Boolean = docId % 50 == 1
+  // shared by the Boolean slots AND the Column predicate below — a change
+  // here changes both, so the bench recall filter cannot drift
+  val NearDupMod = 50L
+  val ExactDupMod = 101L
+
+  def isNearDupSlot(docId: Long): Boolean = docId % NearDupMod == 1
   def isExactDupSlot(docId: Long): Boolean =
-    docId % 101 == 100 && !isNearDupSlot(docId)
+    docId % ExactDupMod == ExactDupMod - 1 && !isNearDupSlot(docId)
 
   /** The text of one doc — derives from the neighbor's ACTUAL text (a
     * near-dup slot's neighbor can itself be an exact-dup slot); dup slots
@@ -84,7 +89,8 @@ object DocGen {
     * generator's slot definitions. */
   def isPlantedPairCol(idA: org.apache.spark.sql.Column,
       idB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    idB === idA + 1 && (idB % 50 === 1 || idB % 101 === 100)
+    idB === idA + 1 &&
+      (idB % NearDupMod === 1 || idB % ExactDupMod === ExactDupMod - 1)
 
   /** Distributed corpus: (doc_id, text). */
   def dataset(spark: SparkSession, n: Long, partitions: Int = 0): DataFrame = {

@@ -68,26 +68,33 @@ object CorpusFilters {
           col("top_bigram_frac") <= maxTopBigramFrac)
   }
 
-  /** URL pattern (RE2-compatible; the group captures the domain for
-    * [[urlFilter]]'s per-URL domain extraction). */
-  val UrlRe = "https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
-  val DomainRe = "https?://([A-Za-z0-9.-]+)"
+  /** URL pattern, case-insensitive scheme (RE2-compatible; its one group
+    * is the optional PATH — domain extraction uses [[DomainRe]], whose
+    * group 1 is the host). */
+  val UrlRe = "(?i)https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
+  val DomainRe = "(?i)https?://([A-Za-z0-9.-]+)"
 
   /** URL extraction + domain-blocklist filter — the C4-style source
     * hygiene step: per doc the URL count, the count with a blocklisted
-    * domain, and a keep verdict (no blocked URL). Zero-shuffle regex
-    * projection like [[piiRedact]]; the blocklist is a handful of
-    * literals folded into the plan (a BIG blocklist would instead
-    * broadcast-join the exploded domains — the [[contaminationHits]]
-    * shape). */
+    * domain, and a keep verdict (no blocked URL). A URL is blocked when
+    * its host (lowercased, trailing dots stripped — a sentence-ending
+    * '.' is captured by the host char class) equals a blocklisted domain
+    * OR is a subdomain of one (`a.spam.x` matches blocklist `spam.x`).
+    * Zero-shuffle regex projection like [[piiRedact]]; the blocklist is
+    * a handful of literals folded into the plan (a BIG blocklist would
+    * instead broadcast-join the exploded domains — the
+    * [[contaminationHits]] shape). */
   def urlFilter(df: DataFrame, blockedDomains: Seq[String],
       id: String = "doc_id", text: String = "text"): DataFrame = {
+    val blocked = blockedDomains.map(_.toLowerCase)
     val urls = regexp_extract_all(col(text), lit(UrlRe), lit(0))
-    val domains = transform(urls, u => regexp_extract(u, DomainRe, 1))
-    val blocked = filter(domains, d => d.isin(blockedDomains.map(lit): _*))
+    val domains = transform(urls, u =>
+      regexp_replace(lower(regexp_extract(u, DomainRe, 1)), "\\.+$", ""))
+    val hit = filter(domains, d => blocked.map(b =>
+      d === b || d.endsWith("." + b)).reduce(_ || _))
     df.select(col(id),
         size(urls).cast("long").as("n_urls"),
-        size(blocked).cast("long").as("n_blocked"))
+        size(hit).cast("long").as("n_blocked"))
       .withColumn("keep", col("n_blocked") === 0)
   }
 

@@ -130,10 +130,13 @@ object TextStats {
 
   /** Document chunking for training/RAG pipelines: split each doc into
     * token windows of `size` starting every `step = size - overlap`
-    * tokens (starts 0, step, 2·step, … while < n_tokens; the last chunk
-    * may be shorter). Map-side explode — zero shuffle at any corpus
-    * size; chunk_idx is the window ordinal. The windowing arithmetic is
-    * integer-exact and mirrored in the SQL oracle. */
+    * tokens. Starts past `n_tokens - overlap` are dropped (except start
+    * 0): such a window is a strict SUB-SPAN of its predecessor — pure
+    * duplicate content — and the kept predecessor provably reaches the
+    * doc end (last kept start s < n-overlap ⇒ s+size ≥ n). Map-side
+    * explode — zero shuffle at any corpus size; chunk_idx is the window
+    * ordinal. The windowing arithmetic is integer-exact and mirrored in
+    * the SQL oracle. */
   def chunk(df: DataFrame, size: Int, overlap: Int = 0,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
@@ -143,7 +146,8 @@ object TextStats {
     df.select(col(id), toks.as("toks"))
       .filter(size_(col("toks")) > 0)
       .select(col(id), posexplode(expr(
-        s"transform(sequence(0, size(toks) - 1, $step), " +
+        s"transform(filter(sequence(0, size(toks) - 1, $step), " +
+          s"s -> s = 0 OR s < size(toks) - $overlap), " +
           s"s -> array_join(slice(toks, s + 1, $size), ' '))")))
       .select(col(id), col("pos").cast("long").as("chunk_idx"),
         col("col").as("chunk_text"),
@@ -173,7 +177,9 @@ object TextStats {
       .withColumn("prev_cum",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(id), col(stratum), col("n_tokens"),
-        (col("prev_cum") / budget).cast("long").as("bin_id"),
+        // `div`, not `/`: Spark's Divide goes through double and can
+        // misround near 2^53-scale cumsums; div is exact long division
+        expr(s"prev_cum div ${budget}L").as("bin_id"),
         (col("prev_cum") % budget).as("bin_offset"))
   }
 

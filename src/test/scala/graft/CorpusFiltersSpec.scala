@@ -48,7 +48,11 @@ class CorpusFiltersSpec extends SparkTestBase {
       (1L, "see https://ok.example.org/path and http://also-fine.net"),
       (2L, "bad one http://spam.bad-site.com/x?q=1 inline"),
       (3L, "mixed https://ok.example.org http://spam.bad-site.com/y end"),
-      (4L, "scheme-less www.spam.bad-site.com is not a url match")
+      (4L, "scheme-less www.spam.bad-site.com is not a url match"),
+      (5L, "subdomain http://a.b.spam.bad-site.com/z evades nothing"),
+      (6L, "shout HTTP://SPAM.BAD-SITE.COM/X and move on"),
+      (7L, "sentence ends with http://spam.bad-site.com."),
+      (8L, "lookalike http://notspam.bad-site.co/x is fine")
     ).toDF("doc_id", "text")
     val rows = CorpusFilters.urlFilter(df, Seq("spam.bad-site.com"))
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -59,6 +63,10 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(rows(2L) == ((1L, 1L, false)))
     assert(rows(3L) == ((2L, 1L, false)))
     assert(rows(4L) == ((0L, 0L, true)))
+    assert(rows(5L) == ((1L, 1L, false))) // subdomain of a blocked domain
+    assert(rows(6L) == ((1L, 1L, false))) // uppercase scheme + host
+    assert(rows(7L) == ((1L, 1L, false))) // trailing sentence dot stripped
+    assert(rows(8L) == ((1L, 0L, true))) // suffix-overlap but NOT subdomain
   }
 
   // ---- repetition stats ----------------------------------------------------
@@ -141,11 +149,13 @@ class CorpusFiltersSpec extends SparkTestBase {
 
   test("chunk equals sliding-window brute force (incl. short docs)") {
     val docs = Seq(
-      (0L, (1 to 95).map(i => s"t$i").mkString(" ")), // 3 chunks of 40/30
+      // 95 tokens: starts 0,30,60 (start 90 would re-emit tokens 91-95,
+      // a strict sub-span of the start-60 window — dropped by contract)
+      (0L, (1 to 95).map(i => s"t$i").mkString(" ")),
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // exactly one window
       (2L, "only three tokens"),
       (3L, ""), // filtered out
-      (4L, (1 to 61).map(i => s"t$i").mkString(" ")) // start 60 -> 1-token tail
+      (4L, (1 to 61).map(i => s"t$i").mkString(" ")) // starts 0,30 only
     ).toDF("doc_id", "text")
     val got = graft.pipeline.TextStats.chunk(docs, size = 40, overlap = 10)
       .as[(Long, Long, String, Long)].collect()
@@ -153,9 +163,11 @@ class CorpusFiltersSpec extends SparkTestBase {
       .toMap
     def brute(text: String): Seq[(String, Long)] = {
       val t = text.split("\\s+").filter(_.nonEmpty)
-      (0 until t.length by 30).map { s =>
-        val c = t.slice(s, s + 40); (c.mkString(" "), c.length.toLong)
-      }
+      (0 until t.length by 30)
+        .filter(s => s == 0 || s < t.length - 10)
+        .map { s =>
+          val c = t.slice(s, s + 40); (c.mkString(" "), c.length.toLong)
+        }
     }
     assert(got.keySet == Set(0L, 1L, 2L, 4L))
     val local = Map(
@@ -165,6 +177,9 @@ class CorpusFiltersSpec extends SparkTestBase {
       4L -> (1 to 61).map(i => s"t$i").mkString(" "))
     for ((id, text) <- local)
       assert(got(id) == brute(text), s"doc $id")
+    // every token is still covered: the last kept chunk reaches doc end
+    assert(got(0L).last._1.endsWith("t95"))
+    assert(got(4L).last._1.endsWith("t61"))
   }
 
   test("packSequences: per-stratum cumulative layout, exact bins") {
