@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokens of a text column (empty-safe). */
+  /** Whitespace tokens of a text column (empty-safe; NULL text reads as
+    * an empty doc — without the coalesce every `size(...)` count would be
+    * Spark's size(NULL) = −1, a silent wrong answer on corpora with null
+    * text cells, and packSequences would fold −1 into its cumsums). */
   def wsTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= "")
 
   /** BPE-ish pre-tokenization: letter runs, digit runs, and single
     * non-alphanumeric marks — the usual byte-pair pre-split shape. */
@@ -34,9 +37,10 @@ object TextStats {
       text: String = "text"): DataFrame =
     df.select(col(id),
       size(wsTokens(col(text))).cast("long").as("n_ws_tokens"),
-      size(expr(s"regexp_extract_all($text, ${sqlLit(BpeishPattern)}, 0)"))
+      size(expr(s"regexp_extract_all(coalesce($text, ''), " +
+        s"${sqlLit(BpeishPattern)}, 0)"))
         .cast("long").as("n_bpeish_tokens"),
-      length(col(text)).cast("long").as("n_chars"))
+      length(coalesce(col(text), lit(""))).cast("long").as("n_chars"))
 
   /** Stopword list shared with the SQL oracle. */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "or", "of", "to", "in")
@@ -52,8 +56,9 @@ object TextStats {
     val nStop = size(filter(toks, t =>
       t.isin(Stopwords.map(lit): _*))).cast("long")
     val nPunct = size(expr(
-      s"regexp_extract_all($text, '[^A-Za-z0-9\\\\s]', 0)")).cast("long")
-    val nChars = length(col(text)).cast("long")
+      s"regexp_extract_all(coalesce($text, ''), '[^A-Za-z0-9\\\\s]', 0)"))
+      .cast("long")
+    val nChars = length(coalesce(col(text), lit(""))).cast("long")
     df.select(col(id), nChars.as("n_chars"), nTok.as("n_tokens"),
         nStop.as("n_stop"), nPunct.as("n_punct"))
       .withColumn("stop_ratio",

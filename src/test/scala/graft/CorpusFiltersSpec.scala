@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{CorpusFilters, GraftRepStats}
+import graft.pipeline.{CorpusFilters, GraftRepStats, TextStats}
 import graft.tokenize.GraftFunctions
 
 /** Corpus-hygiene operators: PII redaction, repetition quality filter
@@ -202,6 +202,34 @@ class CorpusFiltersSpec extends SparkTestBase {
       (4L, "book", 3L, 1L, 0L),
       (5L, "web", 7L, 1L, 7L))
     assert(got == expected)
+  }
+
+  // ---- null-text rows ------------------------------------------------------
+
+  test("null text: counting ops read an empty doc, sig/chunk ops drop the row") {
+    val docs = Seq((0L, null: String), (1L, "real words here"))
+      .toDF("doc_id", "text")
+    val tc = TextStats.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(tc(0L) == ((0L, 0L, 0L))) // NOT size(null) = -1
+    val q = TextStats.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(q(0L) == ((0L, 0L, false)))
+    assert(TextStats.langId(docs).filter($"doc_id" === 0L)
+      .head.getAs[String]("lang_pred") == "und")
+    // row-dropping ops: no output row for the null doc
+    assert(TextStats.chunk(docs, 10).filter($"doc_id" === 0L).count() == 0)
+    assert(graft.pipeline.Dedup.simhash(docs)
+      .filter($"doc_id" === 0L).count() == 0)
+    // packing: the null doc occupies zero tokens, later docs unaffected
+    val pk = TextStats.packSequences(
+      docs.withColumn("source", lit("s")), budget = 100).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_offset")))).toMap
+    assert(pk(0L) == ((0L, 0L)) && pk(1L) == ((3L, 0L)))
   }
 
   // ---- decontamination -----------------------------------------------------
