@@ -177,7 +177,8 @@ object Bench {
     mark(f"jaccard $jacSec%.1fs pairs=${jac._2}")
     val jacPlanted = plantedFound(jac._1)
     val (comp, compSec) = timed {
-      Dedup.components(jac._1).agg(countDistinct(col("rep_id"))).head.getLong(0)
+      Dedup.components(jac._1).agg(countDistinct(col("rep_id")))
+        .head().getLong(0)
     }
     mark(f"components $compSec%.1fs clusters=$comp")
     val (mh, mhSec) = timed {

@@ -80,7 +80,7 @@ object IndexBuilder {
       // doc_stats stage becomes a projection. Docs with no kept tokens get
       // 0 (the reference's empty-file / .md quirk S6 keeps a path entry
       // with count 0, app/Indexer/Indexer.cpp:119-128).
-      val zipped = sorted.rdd.zipWithIndex.map { case ((c, t, x), i) =>
+      val zipped = sorted.rdd.zipWithIndex().map { case ((c, t, x), i) =>
         val st = Tokenizer.stats(x)
         (i, c, t, x, st.wordCount, st.dl)
       }

@@ -121,7 +121,8 @@ object IndexMerger {
         .as[(String, Int)]
       val offset = oldMeta.maxDocId + 1
       val assigned = spark.createDataset(
-          fresh.rdd.zipWithIndex.map { case ((c, t), i) => (offset + i, c, t) })
+          fresh.rdd.zipWithIndex().map { case ((c, t), i) =>
+            (offset + i, c, t) })
         .toDF("doc_id", "conv_id", "turn_idx")
         .withColumn("is_new", lit(true))
       batch.join(known.unionByName(assigned), Seq("conv_id", "turn_idx"))

@@ -51,16 +51,16 @@ object TextStats {
     * counts (deterministic bit-for-bit). */
   def quality(df: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val toks = wsTokens(col(text))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t =>
-      t.isin(Stopwords.map(lit): _*))).cast("long")
-    val nPunct = size(expr(
-      s"regexp_extract_all(coalesce($text, ''), '[^A-Za-z0-9\\\\s]', 0)"))
-      .cast("long")
-    val nChars = length(coalesce(col(text), lit(""))).cast("long")
-    df.select(col(id), nChars.as("n_chars"), nTok.as("n_tokens"),
-        nStop.as("n_stop"), nPunct.as("n_punct"))
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
+    // all four counting signals in ONE native codegen pass (GraftQuality)
+    // — integers bit-identical to the filter/isin + regexp_extract_all
+    // column form this replaces (QualityKernelSpec pins the equality);
+    // null text reads as an empty doc, as everywhere in TextStats
+    val q = call_function("graft_quality", coalesce(col(text), lit("")))
+    df.select(col(id), q.as("q"))
+      .select(col(id), col("q.n_chars").as("n_chars"),
+        col("q.n_tokens").as("n_tokens"), col("q.n_stop").as("n_stop"),
+        col("q.n_punct").as("n_punct"))
       .withColumn("stop_ratio",
         when(col("n_tokens") > 0,
           col("n_stop").cast("double") / col("n_tokens").cast("double"))

@@ -78,6 +78,8 @@ object GraftFunctions {
       graft.pipeline.GraftRepStats.builder _),
     ("graft_simhash", graft.pipeline.GraftSimhash.info,
       graft.pipeline.GraftSimhash.builder _),
+    ("graft_quality", graft.pipeline.GraftQuality.info,
+      graft.pipeline.GraftQuality.builder _),
     ("graft_dot", graft.pipeline.GraftDot.info,
       graft.pipeline.GraftDot.builder _),
     ("graft_norm2", graft.pipeline.GraftNorm2.info,
