@@ -59,21 +59,26 @@ object GraftQuality {
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' ||
       cp == '\r'
 
-  /** Static entry for generated code. */
+  /** Static entry for generated code. ONE UTF-8 decode per row; n_chars
+    * is `numChars` — Spark `length()`'s own byte-walk, which can differ
+    * from decoded-String code-point counts on MALFORMED UTF-8 (a 0xC2
+    * lead byte is one numChars char but decodes to U+FFFD + next char),
+    * so counting the decoded string would break bit-parity with the
+    * legacy form on dirty bytes. The punct/token counts run on the
+    * decoded string exactly like the Java-regex forms they replace. */
   def counts(s: UTF8String): InternalRow = {
     val str = s.toString
-    var nChars = 0L
+    val nChars = s.numChars().toLong
     var nPunct = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      nChars += 1
       val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
         (cp >= '0' && cp <= '9')
       if (!alnum && !isRegexWs(cp)) nPunct += 1
       i += Character.charCount(cp)
     }
-    val toks = GraftShingles.wsSplit(s)
+    val toks = GraftShingles.wsSplit(str)
     var nStop = 0L
     var t = 0
     while (t < toks.length) {

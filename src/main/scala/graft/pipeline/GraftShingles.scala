@@ -46,7 +46,12 @@ object GraftShingles {
     * DataFrame-level [[TextStats.wsTokens]] and the oracle `WsToks`
     * restate it): `\s+` split, empties dropped. */
   private[pipeline] def wsSplit(s: UTF8String): Array[String] =
-    Ws.split(s.toString).filter(_.nonEmpty)
+    wsSplit(s.toString)
+
+  /** String form — for kernels that already decoded the row (one
+    * UTF-8 decode per row, not one per use). */
+  private[pipeline] def wsSplit(str: String): Array[String] =
+    Ws.split(str).filter(_.nonEmpty)
 
   /** Static entry for generated code: distinct n-gram shingles in
     * first-occurrence order. */
