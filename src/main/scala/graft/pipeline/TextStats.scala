@@ -89,12 +89,14 @@ object TextStats {
     * "und" (undetermined). */
   def langId(df: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val toks = array_distinct(wsTokens(col(text)))
-    val scored = df.select(col(id), toks.as("toks"))
-    val withScores = LangProfiles.foldLeft(scored) { case (d, (lang, ws)) =>
-      d.withColumn(s"s_$lang",
-        size(filter(col("toks"), t => t.isin(ws.map(lit): _*))))
-    }
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
+    // per-profile hit counts in ONE native codegen pass (GraftLangHits) —
+    // was one interpreted filter/isin lambda per profile; integers
+    // identical (LangIdKernelSpec pins it), argmax/tie-break unchanged
+    val q = call_function("graft_langhits", coalesce(col(text), lit("")))
+    val withScores = df.select(col(id), q.as("q"))
+      .select(col(id) +: LangProfiles.map { case (lang, _) =>
+        col(s"q.s_$lang").as(s"s_$lang") }: _*)
     val best = LangProfiles.map { case (l, _) => col(s"s_$l") }
       .reduce((a, b) => greatest(a, b))
     val pick = LangProfiles.reverse.foldLeft(lit("und")) {

@@ -80,6 +80,8 @@ object GraftFunctions {
       graft.pipeline.GraftSimhash.builder _),
     ("graft_quality", graft.pipeline.GraftQuality.info,
       graft.pipeline.GraftQuality.builder _),
+    ("graft_langhits", graft.pipeline.GraftLangHits.info,
+      graft.pipeline.GraftLangHits.builder _),
     ("graft_dot", graft.pipeline.GraftDot.info,
       graft.pipeline.GraftDot.builder _),
     ("graft_norm2", graft.pipeline.GraftNorm2.info,
