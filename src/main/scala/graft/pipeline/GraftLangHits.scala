@@ -39,32 +39,41 @@ object GraftLangHits {
     case (lang, _) => StructField(s"s_$lang", LongType, nullable = false)
   })
 
-  private val Profiles: Array[Array[String]] =
-    TextStats.LangProfiles.map(_._2.toArray).toArray
+  private val NProfiles = TextStats.LangProfiles.length
 
-  /** Static entry for generated code: one decode, one distinct-token set,
-    * profile probes against it. */
+  /** marker word → profile indexes containing it (profiles share words,
+    * e.g. 'de'/'le' sit in several) — the INVERTED probe: the doc's
+    * tokens are scanned against this ≤15-entry map, instead of building
+    * a distinct-token set of the whole doc per row only to probe it 15
+    * times. */
+  private val Markers: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for (((_, ws), p) <- TextStats.LangProfiles.zipWithIndex; w <- ws) {
+      val prev = Option(m.get(w)).getOrElse(Array.empty[Int])
+      m.put(w, prev :+ p)
+    }
+    m
+  }
+
+  /** Static entry for generated code: one decode, one token scan, O(#
+    * marker words) memory — each marker counts once per profile however
+    * often it repeats (distinct-token semantics). */
   def hits(s: UTF8String): InternalRow = {
     val toks = GraftShingles.wsSplit(s.toString)
-    // capacity HINT capped like GraftRepStats: no O(n) pre-allocation on
-    // a giant doc, no Int overflow
-    val cap = math.min(toks.length.toLong * 2L, 1L << 16).toInt.max(16)
-    val seen = new java.util.HashSet[String](cap)
+    val counts = new Array[Long](NProfiles)
+    val seenMarkers = new java.util.HashSet[String](32)
     var i = 0
-    while (i < toks.length) { seen.add(toks(i)); i += 1 }
-    val out = new Array[Any](Profiles.length)
-    var p = 0
-    while (p < Profiles.length) {
-      var c = 0L
-      val ws = Profiles(p)
-      var w = 0
-      while (w < ws.length) {
-        if (seen.contains(ws(w))) c += 1
-        w += 1
+    while (i < toks.length) {
+      val ps = Markers.get(toks(i))
+      if (ps != null && seenMarkers.add(toks(i))) {
+        var j = 0
+        while (j < ps.length) { counts(ps(j)) += 1; j += 1 }
       }
-      out(p) = c
-      p += 1
+      i += 1
     }
+    val out = new Array[Any](NProfiles)
+    var p = 0
+    while (p < NProfiles) { out(p) = counts(p); p += 1 }
     new GenericInternalRow(out)
   }
 

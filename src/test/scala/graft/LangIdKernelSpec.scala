@@ -48,9 +48,10 @@ class LangIdKernelSpec extends SparkTestBase {
     val df = Seq(
       (0L, "the and of everything"), // en
       (1L, "der die und"), // de
-      (2L, "de le les des"), // fr 3 vs zh 1: fr wins
-      (3L, "de"), // zh-vs-es-vs-fr single shared marker: earliest profile
-      (4L, "nothing matching here")
+      (2L, "de le les des"), // fr 3 beats zh 2 ('de' AND 'le' are zh's)
+      (3L, "de"), // only zh carries 'de': argmax, no tie
+      (4L, "nothing matching here"),
+      (5L, "le") // a REAL tie: fr 1 == zh 1 → earliest profile (fr) wins
     ).toDF("doc_id", "text")
     val got = TextStats.langId(df).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -58,9 +59,8 @@ class LangIdKernelSpec extends SparkTestBase {
     assert(got(0L) == (("en", 3L)))
     assert(got(1L) == (("de", 3L)))
     assert(got(2L) == (("fr", 3L)))
-    // 'de' is a marker for es? no — es profile is el/los/que; 'de' hits
-    // fr's 'des'? no — exact token match only: 'de' is zh's profile word
     assert(got(3L) == (("zh", 1L)))
     assert(got(4L) == (("und", 0L)))
+    assert(got(5L) == (("fr", 1L))) // dropping the tie-break would flip this
   }
 }
