@@ -150,11 +150,12 @@ object Bench {
     // strand parquet in tmpfs forever (/dev/shm is RAM)
     val prefix = s"graft-dedup-docs-v${graft.fixtures.DocGen.Version}-"
     val shm = java.nio.file.Paths.get("/dev/shm")
-    java.nio.file.Files.list(shm).iterator().forEachRemaining { p =>
+    val shmList = java.nio.file.Files.list(shm)
+    try shmList.iterator().forEachRemaining { p =>
       val name = p.getFileName.toString
       if (name.startsWith("graft-dedup-docs-") && !name.startsWith(prefix))
         IndexBuilder.deleteRecursive(p)
-    }
+    } finally shmList.close()
     val path = s"/dev/shm/$prefix$n"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/_SUCCESS")))

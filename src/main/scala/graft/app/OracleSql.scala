@@ -15,7 +15,7 @@ object OracleSql {
 
   /** Whitespace tokens minus empties — mirrors [[TextStats.wsTokens]]. */
   private val WsToks =
-    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+    "list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x != '')"
 
   /** Rolling hash (acc*31 + ascii(c)) mod 2^31 of a string expression —
     * mirrors [[TextStats.fingerprintCol]]. */
@@ -297,15 +297,17 @@ object OracleSql {
 
     "q_text_token_counts" -> s"""
       SELECT doc_id, len($WsToks)::BIGINT AS n_ws_tokens,
-             len(regexp_extract_all(text,
+             len(regexp_extract_all(coalesce(text, ''),
                '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
                AS n_bpeish_tokens,
-             length(text)::BIGINT AS n_chars
+             length(coalesce(text, ''))::BIGINT AS n_chars
       FROM documents ORDER BY doc_id""",
 
     "q_text_quality" -> s"""
-      WITH b AS (SELECT doc_id, length(text)::BIGINT AS n_chars, $WsToks AS toks,
-                        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT
+      WITH b AS (SELECT doc_id, length(coalesce(text, ''))::BIGINT AS n_chars,
+                        $WsToks AS toks,
+                        len(regexp_extract_all(coalesce(text, ''),
+                          '[^A-Za-z0-9\\s]'))::BIGINT
                           AS n_punct
                  FROM documents),
       c AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,

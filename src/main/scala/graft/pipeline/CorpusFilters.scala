@@ -12,10 +12,24 @@ import org.apache.spark.sql.functions._
 object CorpusFilters {
 
   /** RE2-compatible patterns (no backreferences/lookaround) so any SQL
-    * oracle's regex engine agrees with Java's character for character. */
+    * oracle's regex engine agrees with Java's character for character.
+    * [0-9] rather than \d everywhere: identical ASCII-only semantics in
+    * both engines regardless of unicode flags.
+    *
+    * Recall envelope (documented contract, not a full detector):
+    *  - IPv4 is range-valid per octet (0-255) — `999.999.999.999` is NOT
+    *    an IP; leading-zero octets like `010` are accepted.
+    *  - Phone covers NANP-style 3-3-4 groups with ` `/`.`/`-` separators,
+    *    optional `(area)` parens, and an optional `+CC` international
+    *    prefix (`+1 555-123-4567`, `(555) 123-4567`, `555.123.4567`).
+    *    Unseparated 10-digit runs and non-NANP groupings are out of
+    *    scope. A dotted 3-3-4 digit run is phone-shaped by definition
+    *    even when the digits would be octet-invalid as an IP. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Re = s"\\b$Octet(\\.$Octet){3}\\b"
+  val PhoneRe = "(\\+[0-9]{1,3}[ .-]?)?(\\([0-9]{3}\\)[ .-]?|\\b[0-9]{3}[ .-])" +
+    "[0-9]{3}[ .-][0-9]{4}\\b"
 
   /** PII scrub: per-doc match counts plus the redacted text
     * (email → `<EMAIL>`, then IPv4 → `<IP>`, then phone → `<PHONE>` —
@@ -90,8 +104,8 @@ object CorpusFilters {
     val urls = regexp_extract_all(col(text), lit(UrlRe), lit(0))
     val domains = transform(urls, u =>
       regexp_replace(lower(regexp_extract(u, DomainRe, 1)), "\\.+$", ""))
-    val hit = filter(domains, d => blocked.map(b =>
-      d === b || d.endsWith("." + b)).reduce(_ || _))
+    val hit = filter(domains, d => blocked.foldLeft(lit(false))((acc, b) =>
+      acc || d === b || d.endsWith("." + b)))
     df.select(col(id),
         size(urls).cast("long").as("n_urls"),
         size(hit).cast("long").as("n_blocked"))

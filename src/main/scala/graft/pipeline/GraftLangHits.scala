@@ -48,7 +48,10 @@ object GraftLangHits {
     * times. */
   private val Markers: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()
-    for (((_, ws), p) <- TextStats.LangProfiles.zipWithIndex; w <- ws) {
+    // ws.distinct: a duplicate word inside one profile list must still
+    // count once for that profile (distinct-isin parity)
+    for (((_, ws), p) <- TextStats.LangProfiles.zipWithIndex;
+         w <- ws.distinct) {
       val prev = Option(m.get(w)).getOrElse(Array.empty[Int])
       m.put(w, prev :+ p)
     }

@@ -193,22 +193,14 @@ object Similarity {
     val sample = fitInput.select(col(vec).cast("array<double>"))
       .limit(maxFitRows).as[Seq[Double]].collect().map(_.toArray)
     val centroids = kmeansFit(sample, nLists, iters = 10, seed = 42L)
-    val centB = spark.sparkContext.broadcast(centroids)
-    val assignList = udf { (v: Seq[Float]) =>
-      val cs = centB.value
-      var best = 0; var bd = Double.MaxValue; var j = 0
-      while (j < cs.length) {
-        var s = 0.0; var i = 0
-        while (i < cs(j).length) {
-          val d = v(i) - cs(j)(i); s += d * d; i += 1
-        }
-        if (s < bd) { bd = s; best = j }
-        j += 1
-      }
-      best
-    }
+    // native codegen argmin over the centroid matrix (folded into the plan
+    // as a literal → reference object) — the corpus-wide assignment pass
+    // stays inside whole-stage codegen with zero boxing
+    val dim = centroids.head.length
     val lists = corpus
-      .select(assignList(col(vec)).as("list_id"), col(id).as("neighbor_id"),
+      .select(call_function("graft_argmin_cell", col(vec),
+          lit(centroids.flatten), lit(dim)).as("list_id"),
+        col(id).as("neighbor_id"),
         col(vec).as("cv"), norm2Col(col(vec)).as("cn"))
     // centroid table is tiny: ship to a broadcast join against the queries
     val cents = spark.createDataFrame(

@@ -85,7 +85,9 @@ object GraftFunctions {
     ("graft_dot", graft.pipeline.GraftDot.info,
       graft.pipeline.GraftDot.builder _),
     ("graft_norm2", graft.pipeline.GraftNorm2.info,
-      graft.pipeline.GraftNorm2.builder _))
+      graft.pipeline.GraftNorm2.builder _),
+    ("graft_argmin_cell", graft.pipeline.GraftArgminCell.info,
+      graft.pipeline.GraftArgminCell.builder _))
 
   /** Imperative registration for an already-running session. */
   def register(spark: SparkSession): Unit =

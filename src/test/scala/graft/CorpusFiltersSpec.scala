@@ -18,7 +18,9 @@ class CorpusFiltersSpec extends SparkTestBase {
     (2L, "server 192.168.0.1 and backup 10.0.0.254 were unreachable"),
     (3L, "call 555-123-4567 or 555-000-1111 after noon"),
     (4L, "mixed a@b.co then 1.2.3.4 then 111-222-3333 in one line"),
-    (5L, "") // empty text
+    (5L, ""), // empty text
+    (6L, "bogus 999.999.999.999 and 256.1.1.1 are not addresses"),
+    (7L, "intl +44 555-123-4567 parens (555) 000-1111 dotted 555.123.4567")
   ).toDF("doc_id", "text")
 
   // ---- PII redaction -------------------------------------------------------
@@ -38,6 +40,12 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(rows(4L) == ((1L, 1L, 1L,
       "mixed <EMAIL> then <IP> then <PHONE> in one line")))
     assert(rows(5L) == ((0L, 0L, 0L, "")))
+    // range-valid IPv4: out-of-range octets are NOT addresses
+    assert(rows(6L) == ((0L, 0L, 0L,
+      "bogus 999.999.999.999 and 256.1.1.1 are not addresses")))
+    // phone envelope: +CC prefix, (area) parens, dotted separators
+    assert(rows(7L)._3 == 3L && rows(7L)._4 ==
+      "intl <PHONE> parens <PHONE> dotted <PHONE>")
   }
 
   // ---- url filter ----------------------------------------------------------
@@ -67,6 +75,16 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(rows(6L) == ((1L, 1L, false))) // uppercase scheme + host
     assert(rows(7L) == ((1L, 1L, false))) // trailing sentence dot stripped
     assert(rows(8L) == ((1L, 0L, true))) // suffix-overlap but NOT subdomain
+  }
+
+  test("urlFilter with an empty blocklist keeps everything") {
+    val df = Seq((0L, "see https://ok.example.org/path and more"))
+      .toDF("doc_id", "text")
+    val rows = CorpusFilters.urlFilter(df, Seq.empty).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_urls") == 1L)
+    assert(rows(0).getAs[Long]("n_blocked") == 0L)
+    assert(rows(0).getAs[Boolean]("keep"))
   }
 
   // ---- repetition stats ----------------------------------------------------
