@@ -375,6 +375,23 @@ object EntryQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // span-level exact dedup: maximal >=8-token spans whose every 8-gram
+    // window repeats corpus-wide, plus the rewrite that strips them.
+    // k=8 on the synthetic corpus: its tiny vocabulary keeps 3-grams
+    // colliding by chance (see contaminationHits), while 8-grams repeat
+    // only where text genuinely repeats (exact-dup docs, boilerplate)
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.spanDups(t(s, d, "documents"), k = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    "q_dedup_span_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.removeSpans(docs, Dedup.spanDups(docs, k = 8))
+        .select(col("doc_id"), col("n_kept"),
+          TextStats.fingerprintCol(col("clean_text")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), numHashes = 64, bands = 16,
         minPct = 80).orderBy(col("id_a"), col("id_b"))),

@@ -47,6 +47,36 @@ object OracleSql {
     s AS (SELECT DISTINCT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL),
     cnt AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1)"""
 
+  /** Span-dedup CTEs for k-token windows (k = [[SpanK]]): positional
+    * k-grams per doc, occurrence counting, gaps-and-islands merge of
+    * duplicated window starts into maximal spans — mirrors
+    * [[graft.pipeline.Dedup.spanDups]] step for step (1-based positions
+    * both sides; the CASE's NULL lag collapses to 0 exactly like Spark's
+    * `when(...).otherwise(0)`). */
+  private val SpanK = 8
+  private def spanCtes: String = {
+    val leads = (1 until SpanK)
+      .map(i => s"lead(tok, $i) OVER win").mkString(" || ' ' || ")
+    s"""ws AS (SELECT doc_id, $WsToks AS w FROM documents),
+    ex AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+           FROM ws),
+    pg AS (SELECT doc_id, pos, tok || ' ' || $leads AS gram
+           FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    g2 AS (SELECT doc_id, pos, gram FROM pg WHERE gram IS NOT NULL),
+    dupg AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM g2 JOIN dupg USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos > lag(pos) OVER w + $SpanK THEN 1 ELSE 0 END
+                     AS brk
+            FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl2 AS (SELECT doc_id, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl),
+    sp AS (SELECT doc_id, min(pos) AS span_start,
+                  max(pos) + $SpanK - min(pos) AS span_len
+           FROM isl2 GROUP BY doc_id, island)"""
+  }
+
   /** Exact jaccard >= 80% pairs over the shingle sets (integer threshold). */
   private val JaccardPairs = s"""WITH $Shingles,
     i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -346,6 +376,31 @@ object OracleSql {
     // capped intersections are lower bounds, not the exact values)
     "q_dedup_jaccard_capped" ->
       s"SELECT id_a, id_b FROM ($JaccardPairs) ORDER BY id_a, id_b",
+
+    "q_dedup_spans" -> s"""
+      WITH $spanCtes
+      SELECT sp.doc_id, span_start::BIGINT AS span_start,
+             span_len::BIGINT AS span_len,
+             ${rollHash("array_to_string(list_slice(w, span_start, " +
+               "span_start + span_len - 1), ' ')")} AS span_hash
+      FROM sp JOIN ws ON ws.doc_id = sp.doc_id
+      ORDER BY sp.doc_id, span_start""",
+
+    "q_dedup_span_clean" -> s"""
+      WITH $spanCtes,
+      covered AS (SELECT doc_id,
+                         unnest(generate_series(span_start,
+                           span_start + span_len - 1)) AS pos
+                  FROM sp),
+      kept AS (SELECT doc_id, pos, tok FROM ex
+               ANTI JOIN covered USING (doc_id, pos)),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+             ${rollHash("coalesce(agg.clean_text, '')")} AS clean_hash
+      FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
 
     // LSH candidates are exact-jaccard-verified (precision 1 by
     // construction), so the oracle is the exact-pairs query. Recall is

@@ -193,6 +193,102 @@ object Dedup {
     labels.select(col("id"), col("rep").as("rep_id"))
   }
 
+  // ---- span-level exact dedup ----------------------------------------------
+
+  /** Every word k-gram occurrence at its position: (id, pos, g) with pos
+    * 1-based (SQL-subscript parity) — map-side via the native
+    * [[GraftPosGrams]] expression, zero shuffle. */
+  def positionalGrams(df: DataFrame, k: Int, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
+    df.select(col(id),
+        posexplode(call_function("graft_posgrams", col(text), lit(k))))
+      .select(col(id), (col("pos") + 1).as("pos"), col("col").as("g"))
+  }
+
+  /** Span-level exact dedup (the suffix-array-style dedup family of the
+    * public training-data literature — Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): maximal token spans of length
+    * >= k whose every k-token window occurs at least `minOcc` times
+    * corpus-wide (so within-doc repetition counts too — a doubled license
+    * block inside one doc is a duplicated span). Whole-doc exact dedup
+    * misses shared boilerplate inside otherwise-distinct docs; near-dup
+    * misses it when the host docs differ; THIS op is the one that finds
+    * the block itself.
+    *
+    * Output: (id, span_start, span_len, span_hash) — 1-based token start,
+    * token length, and the rolling fingerprint of the span text
+    * ([[TextStats.fingerprintCol]] arithmetic): identical repeated spans
+    * share span_hash, so it doubles as the duplicate-cluster label.
+    *
+    * Shape at scale (never a suffix array on the driver):
+    *  1. positional k-grams map-side (native expression);
+    *  2. ONE hash-partitioned groupBy over the gram stream counts
+    *     occurrences; the surviving duplicated-gram set is SELECTIVE
+    *     (dup grams, not the corpus) and joins back by gram — AQE picks
+    *     broadcast when it is small, SMJ when a boilerplate-heavy corpus
+    *     makes it big;
+    *  3. duplicated window starts merge into maximal spans with one
+    *     per-doc gaps-and-islands window pass (windows [p, p+k-1] merge
+    *     while the next start is <= prev + k);
+    *  4. the span fingerprint reads the doc's token slice map-side.
+    * The gram shuffle carries k-word strings; at 100 TB the documented
+    * lever is hashing the gram to a 128-bit digest for the exchange key
+    * (same plan shape, fixed-width keys) — strings keep the gate
+    * SQL-oracle-exact. */
+  def spanDups(df: DataFrame, k: Int = 8, minOcc: Int = 2,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    // positional grams recompute map-side per consumer (native expression,
+    // cheap) — same recompute-over-materialize call as jaccardPairs
+    val grams = positionalGrams(df, k, id, text)
+    val dupG = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select("g")
+    val dupPos = grams.join(dupG, "g").select(col(id), col("pos"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col(id), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - min(col("pos"))).cast("long").as("span_len"))
+    val toks = df.select(col(id), TextStats.wsTokens(col(text)).as("toks"))
+    spans.join(toks, id)
+      .select(col(id), col("span_start").cast("long").as("span_start"),
+        col("span_len"),
+        TextStats.fingerprintCol(array_join(
+          slice(col("toks"), col("span_start"), col("span_len").cast("int")),
+          " ")).as("span_hash"))
+  }
+
+  /** Rewrite step for [[spanDups]]: drop every token covered by a
+    * duplicated span and reassemble the text. Output: one row per input
+    * doc — (id, n_kept, clean_text). Docs without spans (or without
+    * tokens) pass through with their full (possibly empty) token stream
+    * reassembled space-separated.
+    *
+    * Shape: covered positions explode from the SPAN list (small, the dups)
+    * — the token stream itself is rebuilt per doc with one groupBy over
+    * (id, pos, tok); the span side broadcasts. */
+  def removeSpans(df: DataFrame, spans: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val covered = spans.select(col(id),
+      explode(sequence(col("span_start"),
+        col("span_start") + col("span_len") - 1)).as("pos"))
+    val toks = df
+      .select(col(id), posexplode(TextStats.wsTokens(col(text))))
+      .select(col(id), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(broadcast(covered), Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("tok")))), s => s.getField("tok")), " ").as("clean_text"))
+    df.select(col(id))
+      .join(kept, Seq(id), "left")
+      .select(col(id), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Mersenne prime 2^31 - 1 for the universal-hash permutations. */

@@ -87,7 +87,9 @@ object GraftFunctions {
     ("graft_norm2", graft.pipeline.GraftNorm2.info,
       graft.pipeline.GraftNorm2.builder _),
     ("graft_argmin_cell", graft.pipeline.GraftArgminCell.info,
-      graft.pipeline.GraftArgminCell.builder _))
+      graft.pipeline.GraftArgminCell.builder _),
+    ("graft_posgrams", graft.pipeline.GraftPosGrams.info,
+      graft.pipeline.GraftPosGrams.builder _))
 
   /** Imperative registration for an already-running session. */
   def register(spark: SparkSession): Unit =
