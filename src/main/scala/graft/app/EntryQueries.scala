@@ -375,6 +375,14 @@ object EntryQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // per-cluster survivor verdicts: best-quality doc wins (keep-filter
+    // pass first, then token count, then lowest id)
+    "q_dedup_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.survivors(docs, Dedup.jaccardPairs(docs, n = 3, minPct = 80))
+        .orderBy(col("doc_id"))
+    }),
+
     // span-level exact dedup: maximal >=8-token spans whose every 8-gram
     // window repeats corpus-wide, plus the rewrite that strips them.
     // k=8 on the synthetic corpus: its tiny vocabulary keeps 3-grams

@@ -51,7 +51,16 @@ object Mains {
         case (p, t) => t.orElse(p)
       }
       promoted.foreach(store.writeWatermark(meta.version, _))
-      (meta, promoted)
+      // LSM layer bound, batch mirror of StreamingIndexer's auto-squash:
+      // a long chain of CLI merges must not grow per-search layer unions
+      // without bound. The squash is result-identical; the watermark rides
+      // along to the compacted snapshot (compaction indexes nothing, so
+      // the incremental-scan cursor must survive it).
+      if (store.layers(meta.version).length >= conf.maxLayers) {
+        val squashed = graft.index.Compactor.compact(spark, indexDir, conf)
+        promoted.foreach(store.writeWatermark(squashed.version, _))
+        (squashed, promoted)
+      } else (meta, promoted)
     }
   }
 

@@ -428,6 +428,40 @@ object OracleSql {
       SELECT id AS doc_id, min(r) AS rep_id FROM reach
       GROUP BY 1 ORDER BY 1""",
 
+    // survivor verdicts: same recursive components, ranked inside each
+    // cluster by the quality keep flag, token count, then id — mirrors
+    // Dedup.survivors' window exactly (booleans sort false < true in both
+    // engines, DESC puts keepers first)
+    "q_dedup_survivors" -> s"""
+      WITH RECURSIVE p AS ($JaccardPairs),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+            UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT a AS id, a AS r FROM e
+        UNION
+        SELECT e.a AS id, reach.r AS r FROM e JOIN reach ON reach.id = e.b
+      ),
+      comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1),
+      q AS (SELECT doc_id, len($WsToks)::BIGINT AS n_tokens,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   len(list_filter($WsToks,
+                     x -> list_contains($Stop, x)))::BIGINT AS n_stop
+            FROM documents),
+      q2 AS (SELECT doc_id, n_tokens,
+                    (n_tokens >= 5 AND n_chars >= 20 AND
+                     (CASE WHEN n_tokens > 0
+                           THEN n_stop::DOUBLE / n_tokens::DOUBLE
+                           ELSE 0.0 END) < 0.5) AS keep
+             FROM q),
+      m AS (SELECT comp.doc_id, rep_id, q2.n_tokens, q2.keep
+            FROM comp JOIN q2 USING (doc_id)),
+      r AS (SELECT doc_id, rep_id,
+                   row_number() OVER (PARTITION BY rep_id
+                     ORDER BY keep DESC, n_tokens DESC, doc_id) AS rk
+            FROM m)
+      SELECT doc_id, rep_id, rk = 1 AS is_survivor
+      FROM r ORDER BY doc_id""",
+
     // the integer-hash bucket arithmetic stays in int64: (id mod 2^31-1) *
     // 2654435761 <= 5.7e18 < 2^63
     "q_sample_stratified" -> s"""

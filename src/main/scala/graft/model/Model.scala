@@ -77,6 +77,12 @@ final case class EngineConf(
     /** Postings per compressed block (block-max WAND granularity). */
     blockSize: Int = 128,
     /** Shuffle partitions for index-build jobs; None = session default. */
-    shufflePartitions: Option[Int] = None)
+    shufflePartitions: Option[Int] = None,
+    /** Layer-chain bound: each merge adds one snapshot layer; when a
+      * merge leaves this many, a squash compaction runs automatically
+      * (result-identical) so read amplification stays O(1) over an
+      * unbounded merge sequence — LSM compaction, applied by BOTH the
+      * streaming micro-batch path and the batch CLI path. */
+    maxLayers: Int = 8)
 
 object EngineConf { val default: EngineConf = EngineConf() }

@@ -193,6 +193,33 @@ object Dedup {
     labels.select(col("id"), col("rep").as("rep_id"))
   }
 
+  /** Duplicate-cluster survivor selection — the last mile of the dedup
+    * story: [[components]] over a near-dup pair list picks the clusters,
+    * and within each cluster the BEST-quality doc survives instead of the
+    * arbitrary lowest id. Quality order (deterministic, SQL-mirrorable):
+    * passes the [[TextStats.quality]] keep filter first, then more
+    * tokens, then lower id as the final tie-break.
+    *
+    * Output: one row per clustered doc — (id, rep_id, is_survivor).
+    * Docs in no cluster are implicitly survivors (not emitted — the pair
+    * list is the dups, not the corpus, and so is this frame).
+    *
+    * Shape at scale: the cluster frame is SELECTIVE (components of the
+    * pair list); quality is a map-side projection of the corpus; the
+    * per-cluster rank windows over the small joined frame only — the
+    * corpus is never shuffled. */
+  def survivors(df: DataFrame, pairs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val comp = components(pairs).select(col("id").as(id), col("rep_id"))
+    val q = TextStats.quality(df, id, text)
+      .select(col(id), col("n_tokens"), col("keep"))
+    val w = Window.partitionBy(col("rep_id"))
+      .orderBy(col("keep").desc, col("n_tokens").desc, col(id))
+    comp.join(q, id)
+      .withColumn("rk", row_number().over(w))
+      .select(col(id), col("rep_id"), (col("rk") === 1).as("is_survivor"))
+  }
+
   // ---- span-level exact dedup ----------------------------------------------
 
   /** Every word k-gram occurrence at its position: (id, pos, g) with pos

@@ -113,4 +113,46 @@ class MergeChainSpec extends SparkTestBase {
     assert(IndexCheck.healthy(spark, store))
     searcher.close()
   }
+
+  test("batch merge chain auto-squashes at maxLayers and stays exact") {
+    // 2×maxLayers batch merges through the CLI path (indexAndPromote):
+    // the layer chain must never exceed the bound, the squashes must be
+    // result-identical, and the incremental-scan watermark must survive
+    // every squash (compaction indexes nothing).
+    val dir = tmpDir("graft-autosquash")
+    val cfg = conf.copy(maxLayers = 3)
+    val oracle = new Oracle(cfg)
+    val store = new IndexStore(dir)
+    var nextConv = 0L
+    var sawSquash = false
+    for (step <- 0 to 2 * cfg.maxLayers) {
+      val b = (nextConv until nextConv + 3).flatMap(TranscriptGen.genConv)
+      nextConv += 3
+      oracle.indexAll(b)
+      val (meta, wm) = graft.app.Mains.indexAndPromote(spark, store,
+        spark.createDataset(b).repartition(2), dir, cfg)
+      val nLayers = store.layers(store.currentVersion.get).length
+      assert(nLayers <= cfg.maxLayers,
+        s"step $step: $nLayers layers exceeds bound ${cfg.maxLayers}")
+      if (nLayers == 1 && step > 0) sawSquash = true
+      // the watermark must be present on whatever snapshot is CURRENT —
+      // including one produced by an auto-squash
+      assert(wm.isDefined && store.watermark(meta.version) == wm,
+        s"step $step lost the watermark")
+    }
+    assert(sawSquash, "chain never squashed — bound untested")
+
+    val dict = store.dict(spark).select("term", "df")
+      .as[(String, Long)].collect().toMap
+    assert(dict == oracle.postings.view.mapValues(_.size.toLong).toMap)
+    val searcher = new Searcher(spark, store, cfg)
+    for (q <- Seq("which", "(which AND would)", "contents")) {
+      val got = searcher.searchCount(q).collect()
+        .map { case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n }
+        .toMap
+      assert(got == oracle.searchCount(q).toMap, s"query: $q")
+    }
+    assert(IndexCheck.healthy(spark, store))
+    searcher.close()
+  }
 }

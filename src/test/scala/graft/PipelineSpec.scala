@@ -173,6 +173,30 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L) == 0L && got(7L) == 5L && got(11L) == 10L)
   }
 
+  test("survivors: best-quality doc wins its cluster, not the lowest id") {
+    // cluster {0,1,2}: doc 0 (lowest id) fails the quality keep filter
+    // (too short), doc 2 beats doc 1 on token count → 2 survives.
+    // cluster {7,8}: quality ties exactly → lowest id 7 survives.
+    val docs = Seq(
+      (0L, "tiny doc"), // fails keep: < 5 tokens
+      (1L, "shared payload words one two three four five six"),
+      (2L, "shared payload words one two three four five six seven eight"),
+      (7L, "identical quality text with exactly these seven words"),
+      (8L, "identical quality text with exactly these seven words"),
+      (9L, "unclustered standalone document with plenty of words here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.survivors(docs, pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 7L, 8L)) // clustered docs only
+    assert(got(0L) == ((0L, false)))
+    assert(got(1L) == ((0L, false)))
+    assert(got(2L) == ((0L, true))) // keep=true + most tokens
+    assert(got(7L) == ((7L, true))) // exact tie → lowest id
+    assert(got(8L) == ((7L, false)))
+  }
+
   test("stratified sample: deterministic, stable under corpus growth") {
     val lang = TextStats.langId(docs)
     val rates = Map("en" -> 50)
