@@ -92,6 +92,22 @@ object DocGen {
     idB === idA + 1 &&
       (idB % NearDupMod === 1 || idB % ExactDupMod === ExactDupMod - 1)
 
+  /** Closed-form count of docs whose ENTIRE text is duplicated corpus-wide
+    * (each exact-dup slot duplicates itself and its neighbor): the
+    * planted ground truth for span-level dedup — a whole-doc duplicate
+    * must surface as one full-length span. */
+  def plantedExactDocs(n: Long): Long =
+    (1L until n).count(isExactDupSlot) * 2L
+
+  /** Same membership as a Column predicate (bench recall filter — defined
+    * HERE so it cannot drift from the slot definitions). */
+  def isPlantedExactDocCol(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def slot(x: org.apache.spark.sql.Column) =
+      x % ExactDupMod === ExactDupMod - 1 && !(x % NearDupMod === 1)
+    slot(id) || slot(id + 1)
+  }
+
   /** Distributed corpus: (doc_id, text). */
   def dataset(spark: SparkSession, n: Long, partitions: Int = 0): DataFrame = {
     import spark.implicits._

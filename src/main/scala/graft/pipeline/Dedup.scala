@@ -294,9 +294,11 @@ object Dedup {
     * tokens) pass through with their full (possibly empty) token stream
     * reassembled space-separated.
     *
-    * Shape: covered positions explode from the SPAN list (small, the dups)
-    * — the token stream itself is rebuilt per doc with one groupBy over
-    * (id, pos, tok); the span side broadcasts. */
+    * Shape: covered positions explode from the SPAN list (usually small,
+    * the dups) and anti-join the token stream — no broadcast hint: AQE
+    * converts to broadcast when the span side is small, and a
+    * boilerplate-heavy corpus whose covered set approaches corpus size
+    * degrades to a shuffled anti join instead of blowing the driver. */
   def removeSpans(df: DataFrame, spans: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val covered = spans.select(col(id),
@@ -305,7 +307,7 @@ object Dedup {
     val toks = df
       .select(col(id), posexplode(TextStats.wsTokens(col(text))))
       .select(col(id), (col("pos") + 1).as("pos"), col("col").as("tok"))
-    val kept = toks.join(broadcast(covered), Seq(id, "pos"), "left_anti")
+    val kept = toks.join(covered, Seq(id, "pos"), "left_anti")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"),
