@@ -18,7 +18,9 @@ object CorpusFilters {
     *
     * Recall envelope (documented contract, not a full detector):
     *  - IPv4 is range-valid per octet (0-255) — `999.999.999.999` is NOT
-    *    an IP; leading-zero octets like `010` are accepted.
+    *    an IP; zero-padded octets like `010` (zero-padding loggers and
+    *    embedded devices emit these) match via the `0[0-9]{1,2}` branch,
+    *    whose ≤3-digit values are always in range.
     *  - Phone covers NANP-style 3-3-4 groups with ` `/`.`/`-` separators,
     *    optional `(area)` parens, and an optional `+CC` international
     *    prefix (`+1 555-123-4567`, `(555) 123-4567`, `555.123.4567`).
@@ -26,7 +28,7 @@ object CorpusFilters {
     *    scope. A dotted 3-3-4 digit run is phone-shaped by definition
     *    even when the digits would be octet-invalid as an IP. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|0[0-9]{1,2}|[1-9]?[0-9])"
   val Ipv4Re = s"\\b$Octet(\\.$Octet){3}\\b"
   val PhoneRe = "(\\+[0-9]{1,3}[ .-]?)?(\\([0-9]{3}\\)[ .-]?|\\b[0-9]{3}[ .-])" +
     "[0-9]{3}[ .-][0-9]{4}\\b"

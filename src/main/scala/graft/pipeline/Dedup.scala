@@ -235,18 +235,26 @@ object Dedup {
 
   /** Span-level exact dedup (the suffix-array-style dedup family of the
     * public training-data literature — Lee et al., "Deduplicating Training
-    * Data Makes Language Models Better"): maximal token spans of length
-    * >= k whose every k-token window occurs at least `minOcc` times
-    * corpus-wide (so within-doc repetition counts too — a doubled license
-    * block inside one doc is a duplicated span). Whole-doc exact dedup
-    * misses shared boilerplate inside otherwise-distinct docs; near-dup
-    * misses it when the host docs differ; THIS op is the one that finds
-    * the block itself.
+    * Data Makes Language Models Better"): maximal intervals of tokens
+    * COVERED by duplicated k-token windows (windows occurring at least
+    * `minOcc` times corpus-wide — so within-doc repetition counts too: a
+    * doubled license block inside one doc is a duplicated span). Whole-doc
+    * exact dedup misses shared boilerplate inside otherwise-distinct docs;
+    * near-dup misses it when the host docs differ; THIS op is the one
+    * that finds the block itself.
+    *
+    * Coverage, not per-window repetition, is the contract (it is what
+    * [[removeSpans]] strips): overlapping or ABUTTING duplicated windows
+    * merge into one interval, so a span's interior windows need not
+    * themselves repeat — e.g. duplicated windows starting at 1 and k+1
+    * only still emit the single covered interval [1, 2k].
     *
     * Output: (id, span_start, span_len, span_hash) — 1-based token start,
     * token length, and the rolling fingerprint of the span text
-    * ([[TextStats.fingerprintCol]] arithmetic): identical repeated spans
-    * share span_hash, so it doubles as the duplicate-cluster label.
+    * ([[TextStats.fingerprintCol]] arithmetic): identical spans share
+    * span_hash (byte-identical repeated blocks cluster by it), but a
+    * merged span is NOT guaranteed to occur elsewhere as a unit — treat
+    * span_hash as an exact-text group key, not a recurrence proof.
     *
     * Shape at scale (never a suffix array on the driver):
     *  1. positional k-grams map-side (native expression);

@@ -29,7 +29,14 @@ final class Searcher(spark: SparkSession, store: IndexStore,
 
   // the per-term frame of the LATEST query stays cached (repeat-query
   // speed); issuing a new query or close() drops the previous one —
-  // a long-lived Searcher no longer accumulates persisted plans (r1 leak)
+  // a long-lived Searcher no longer accumulates persisted plans (r1 leak).
+  // All mutations go through cacheLock: a search service drives ONE
+  // Searcher from many client threads (the bench's qps phase does), and
+  // an unsynchronized swap would lose updates and leak persisted frames —
+  // an unpersist racing an in-flight job is safe (Spark recomputes the
+  // missing blocks), so correctness never depends on the lock, only
+  // resource hygiene does
+  private val cacheLock = new Object
   private var cachedPerTerm: Option[DataFrame] = None
 
   private var dictWarmed = false
@@ -48,7 +55,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * `includeDocs` additionally pins the doc-key table (the paths.index
     * analog — one row per doc, MEMORY_AND_DISK so an executor short on
     * memory degrades to local disk instead of evicting). */
-  def warm(includeDocs: Boolean = false): Unit = {
+  def warm(includeDocs: Boolean = false): Unit = cacheLock.synchronized {
     if (!dictWarmed) {
       dict.persist(StorageLevel.MEMORY_AND_DISK).count()
       dictWarmed = true
@@ -63,15 +70,16 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * queries release. The warmed dict/docs survive: they are the point of
     * [[warm]] (r3 review: routing this through close() silently unpersisted
     * the dictionary on the FIRST query, defeating the REPL warm path). */
-  private[search] def dropPerTerm(): Unit = {
+  private[search] def dropPerTerm(): Unit = cacheLock.synchronized {
     cachedPerTerm.foreach(_.unpersist(blocking = false))
     cachedPerTerm = None
   }
 
   /** Release ALL cached state (per-term frame AND warmed tables) — call
     * when done with the Searcher. */
-  def close(): Unit = {
-    dropPerTerm()
+  def close(): Unit = cacheLock.synchronized {
+    cachedPerTerm.foreach(_.unpersist(blocking = false))
+    cachedPerTerm = None
     if (dictWarmed) { dict.unpersist(blocking = false); dictWarmed = false }
     if (docsWarmed) { docs.unpersist(blocking = false); docsWarmed = false }
   }
@@ -160,9 +168,13 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty)
       return new DfAlgebra(_ => null).empty
-    dropPerTerm()
     val cached = perTermValue.persist(StorageLevel.MEMORY_AND_DISK)
-    cachedPerTerm = Some(cached)
+    // atomic swap: the PREVIOUS frame unpersists exactly once, whichever
+    // thread replaced it (a racing job on it just recomputes)
+    cacheLock.synchronized {
+      cachedPerTerm.foreach(_.unpersist(blocking = false))
+      cachedPerTerm = Some(cached)
+    }
     val alg = new DfAlgebra(i => cached.filter($"term_idx" === i)
       .select($"doc_id", $"v"))
     parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)

@@ -32,13 +32,16 @@ object StreamingIndexer {
     * @param maxLayers each micro-batch merge adds one snapshot layer;
     *   when the layer count reaches this bound a squash compaction runs
     *   (result-identical), keeping layered-read amplification O(1) over an
-    *   unbounded stream — the streaming analog of LSM compaction
+    *   unbounded stream — the streaming analog of LSM compaction. Defaults
+    *   to `conf.maxLayers`, the same bound the batch CLI path applies (an
+    *   explicit argument overrides the config for this stream only).
     */
   def start(spark: SparkSession, turns: Dataset[Turn], root: String,
       checkpointDir: String, watermark: String = "1 hour",
       conf: EngineConf = EngineConf.default,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxLayers: Int = 8): StreamingQuery = {
+      maxLayers: Int = -1): StreamingQuery = {
+    val layerBound = if (maxLayers > 0) maxLayers else conf.maxLayers
     require(turns.isStreaming, "turns must be a streaming Dataset")
     turns
       .withWatermark("ts", watermark)
@@ -53,7 +56,7 @@ object StreamingIndexer {
             IndexBuilder.build(batch.sparkSession, batch, root, conf)
           else {
             IndexMerger.merge(batch.sparkSession, batch, root, conf)
-            if (store.layers(store.currentVersion.get).length >= maxLayers)
+            if (store.layers(store.currentVersion.get).length >= layerBound)
               Compactor.compact(batch.sparkSession, root, conf)
           }
           ()

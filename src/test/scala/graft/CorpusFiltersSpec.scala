@@ -20,7 +20,8 @@ class CorpusFiltersSpec extends SparkTestBase {
     (4L, "mixed a@b.co then 1.2.3.4 then 111-222-3333 in one line"),
     (5L, ""), // empty text
     (6L, "bogus 999.999.999.999 and 256.1.1.1 are not addresses"),
-    (7L, "intl +44 555-123-4567 parens (555) 000-1111 dotted 555.123.4567")
+    (7L, "intl +44 555-123-4567 parens (555) 000-1111 dotted 555.123.4567"),
+    (8L, "padded 192.168.010.001 yes but 0100.1.1.1 no")
   ).toDF("doc_id", "text")
 
   // ---- PII redaction -------------------------------------------------------
@@ -46,6 +47,8 @@ class CorpusFiltersSpec extends SparkTestBase {
     // phone envelope: +CC prefix, (area) parens, dotted separators
     assert(rows(7L)._3 == 3L && rows(7L)._4 ==
       "intl <PHONE> parens <PHONE> dotted <PHONE>")
+    // zero-padded octets are in range; 4-digit octets are not octets
+    assert(rows(8L) == ((0L, 1L, 0L, "padded <IP> yes but 0100.1.1.1 no")))
   }
 
   // ---- url filter ----------------------------------------------------------
