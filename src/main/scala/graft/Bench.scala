@@ -286,7 +286,9 @@ object Bench {
     // two WHOLE docs, which must surface as full-length spans (start 1,
     // len = the doc's token count) — closed-form recall like the pair ops
     val (spres, spSec) = timed {
-      val spans = Dedup.spanDups(docs, k = 8)
+      // hashGrams = the scale config (8-byte exchange keys), like the
+      // capped jaccard above — planted recall must still be 100%
+      val spans = Dedup.spanDups(docs, k = 8, hashGrams = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSpans = spans.count()
       val nToks = docs.select(col("doc_id"),

@@ -267,15 +267,22 @@ object Dedup {
     *     per-doc gaps-and-islands window pass (windows [p, p+k-1] merge
     *     while the next start is <= prev + k);
     *  4. the span fingerprint reads the doc's token slice map-side.
-    * The gram shuffle carries k-word strings; at 100 TB the documented
-    * lever is hashing the gram to a 128-bit digest for the exchange key
-    * (same plan shape, fixed-width keys) — strings keep the gate
-    * SQL-oracle-exact. */
+    * `hashGrams` is the 100-TB lever: project each gram to its xxhash64
+    * BEFORE the exchange, so the count shuffle and the join carry 8-byte
+    * longs instead of k-word strings (same plan shape, ~10-20× smaller
+    * keys on prose). A 64-bit collision falsely marks ONE window as
+    * duplicated — over-redaction at ppm rates on trillion-gram corpora,
+    * never a missed duplicate (no false negatives). Strings (the default)
+    * keep the gate SQL-oracle-exact. */
   def spanDups(df: DataFrame, k: Int = 8, minOcc: Int = 2,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
+      id: String = "doc_id", text: String = "text",
+      hashGrams: Boolean = false): DataFrame = {
     // positional grams recompute map-side per consumer (native expression,
     // cheap) — same recompute-over-materialize call as jaccardPairs
-    val grams = positionalGrams(df, k, id, text)
+    val rawGrams = positionalGrams(df, k, id, text)
+    val grams = if (hashGrams)
+      rawGrams.select(col(id), col("pos"), xxhash64(col("g")).as("g"))
+    else rawGrams
     val dupG = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc).select("g")
     val dupPos = grams.join(dupG, "g").select(col(id), col("pos"))

@@ -92,6 +92,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("positional grams are map-side; span dedup shuffles exactly twice") {
+    // the spanDups contract at scale: ONE hash shuffle of the gram stream
+    // (the occurrence count) and ONE doc_id shuffle shared by BOTH
+    // gaps-and-islands windows and the island aggregate (the groupBy
+    // reuses the window's partitioning — a regression inserting a third
+    // shuffle between them is exactly what this pin catches); the small
+    // dup-gram set and the span frame ride broadcasts
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pgPlan = graft.pipeline.Dedup.positionalGrams(docs, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(pgPlan).isEmpty, pgPlan)
+    val plan = graft.pipeline.Dedup.spanDups(docs, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(g".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("sequence packing shuffles ONCE, by the stratum column") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.pipeline.TextStats.packSequences(docs, 2048)

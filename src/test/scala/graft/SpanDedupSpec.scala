@@ -138,6 +138,50 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got == brute(docs, 3))
   }
 
+  test("seeded fuzz: spanDups == brute force across seeds, k, vocab shape") {
+    // small vocabularies force heavy accidental window collisions (the
+    // adversarial regime for the island merge); the unicode vocab checks
+    // the fingerprint's codepoint fold end to end
+    val shapes = Seq(
+      (101L, 2, Array("a", "b", "c")),
+      (202L, 4, Array("aa", "bb", "cc", "dd", "ee")),
+      (303L, 5, Array("naïve", "café", "über", "straße", "λσπ")),
+      (404L, 3, Array("x")) // single-word vocab: everything collides
+    )
+    for ((seed, k, vocab) <- shapes) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 25L).map(i =>
+        i -> Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      val got = Dedup.spanDups(docs.toDF("doc_id", "text"), k = k)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == brute(docs, k), s"seed=$seed k=$k")
+    }
+  }
+
+  test("hashGrams scale path is output-identical to the string path") {
+    // xxhash64 keys replace gram strings on the exchange; at test sizes a
+    // collision is ~1e-12 so the outputs must match exactly
+    val corpora = Seq(planted, {
+      val rnd = new scala.util.Random(77)
+      val vocab = Array("p", "q", "r", "s", "t", "u")
+      (0L until 40L).map(i =>
+        i -> Seq.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(6)))
+          .mkString(" "))
+    })
+    for ((docs, ci) <- corpora.zipWithIndex; k <- Seq(3, 6)) {
+      val df = docs.toDF("doc_id", "text")
+      val str = Dedup.spanDups(df, k = k)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val hashed = Dedup.spanDups(df, k = k, hashGrams = true)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(str == hashed, s"corpus=$ci k=$k")
+    }
+  }
+
   test("removeSpans strips exactly the covered tokens, keeps clean docs") {
     val docs = planted
     val df = docs.toDF("doc_id", "text")
