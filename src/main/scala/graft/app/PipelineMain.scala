@@ -1,0 +1,111 @@
+package graft.app
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
+
+/** CLI for the data-curation layer (`graft.pipeline`) over a parquet
+  * documents table — the pipeline analog of the reference-parity mains:
+  * every dedup / hygiene / layout operator drivable end to end from the
+  * shell, writing parquet or printing a sample.
+  *
+  * Usage: PipelineMain <op> <docs.parquet|sfDir> [outDir]
+  *          [--k=8] [--min-pct=80] [--n=3] [--hash-grams]
+  *          [--blocklist=a.com,b.org] [--size=512] [--overlap=64]
+  *          [--budget=2048] [--limit=20]
+  *
+  * Ops: dedup-exact, dedup-jaccard, dedup-minhash, dedup-simhash,
+  *      components, survivors, spans, despan, quality, langid, pii,
+  *      repetition, urls, tokens, fingerprint, chunk, pack, ann-brute.
+  *
+  * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
+  * testdata sf directory, in which case `documents.parquet` (and
+  * `embeddings.parquet` for ann-brute) inside it are used. Without
+  * `outDir` the first `--limit` rows print to stdout; with it the full
+  * result writes as parquet.
+  */
+object PipelineMain {
+
+  private def flag(args: Array[String], name: String): Option[String] =
+    args.collectFirst { case s if s.startsWith(s"--$name=") =>
+      s.stripPrefix(s"--$name=") }
+
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    if (pos.length < 2) {
+      System.err.println("usage: PipelineMain <op> <docs.parquet|sfDir> " +
+        "[outDir] [--k=8] [--min-pct=80] [--n=3] [--hash-grams] " +
+        "[--blocklist=a,b] [--size=512] [--overlap=64] [--budget=2048] " +
+        "[--limit=20]")
+      sys.exit(2)
+    }
+    val op = pos(0)
+    val inPath = pos(1)
+    val outDir = pos.lift(2)
+    val k = flag(args, "k").map(_.toInt).getOrElse(8)
+    val minPct = flag(args, "min-pct").map(_.toInt).getOrElse(80)
+    val n = flag(args, "n").map(_.toInt).getOrElse(3)
+    val hashGrams = args.contains("--hash-grams")
+    val limit = flag(args, "limit").map(_.toInt).getOrElse(20)
+
+    val spark = Mains.session("graft-pipeline")
+    val docsPath =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(inPath)) &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$inPath/documents.parquet")))
+        s"$inPath/documents.parquet"
+      else inPath
+    lazy val docs = spark.read.parquet(docsPath)
+    lazy val jaccard = Dedup.jaccardPairs(docs, n = n, minPct = minPct)
+
+    val result: DataFrame = op match {
+      case "dedup-exact" => Dedup.exact(docs)
+      case "dedup-jaccard" => jaccard
+      case "dedup-minhash" => Dedup.minhashLshPairs(docs, minPct = minPct,
+        n = n)
+      case "dedup-simhash" => Dedup.simhashPairs(docs, bits = 64)
+      case "components" => Dedup.components(jaccard)
+      case "survivors" => Dedup.survivors(docs, jaccard)
+      case "spans" => Dedup.spanDups(docs, k = k, hashGrams = hashGrams)
+      case "despan" => Dedup.removeSpans(docs,
+        Dedup.spanDups(docs, k = k, hashGrams = hashGrams))
+      case "quality" => TextStats.quality(docs)
+      case "langid" => TextStats.langId(docs)
+      case "pii" => CorpusFilters.piiRedact(docs)
+      case "repetition" => CorpusFilters.repetition(docs)
+      case "urls" => CorpusFilters.urlFilter(docs,
+        flag(args, "blocklist").map(_.split(",").toSeq).getOrElse(Seq.empty))
+      case "tokens" => TextStats.tokenCounts(docs)
+      case "fingerprint" => TextStats.fingerprint(docs)
+      case "chunk" => TextStats.chunk(docs,
+        flag(args, "size").map(_.toInt).getOrElse(512),
+        flag(args, "overlap").map(_.toInt).getOrElse(64))
+      case "pack" => TextStats.packSequences(docs,
+        flag(args, "budget").map(_.toLong).getOrElse(2048L))
+      case "ann-brute" =>
+        val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
+        Similarity.bruteForceTopK(emb, emb.limit(5), k = 10)
+      case other =>
+        System.err.println(s"unknown op: $other")
+        spark.stop(); sys.exit(2); return
+    }
+
+    outDir match {
+      case Some(out) =>
+        result.write.mode("overwrite").parquet(out)
+        val nRows = spark.read.parquet(out).count()
+        println(s"$op: wrote $nRows rows to $out")
+      case None =>
+        val rows = result.limit(limit).collect()
+        println(result.columns.mkString("\t"))
+        rows.foreach(r => println(r.toSeq.map {
+          case null => "NULL"
+          case a: Array[_] => a.take(4).mkString("[", ",", ",...]")
+          case x => x.toString
+        }.mkString("\t")))
+        println(s"($op: showing <= $limit rows)")
+    }
+    spark.stop()
+  }
+}
