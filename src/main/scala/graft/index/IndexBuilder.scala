@@ -91,40 +91,53 @@ object IndexBuilder {
     }
     val prep = spark.read.parquet(s"$dir/_prep")
 
-    // -- stage: docs — pure column projection of prep (already doc-sorted).
-    stage("docs") {
-      prep.select($"doc_id", $"conv_id", $"turn_idx")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      -1L
+    // -- stages docs / doc_stats / hot_terms — three INDEPENDENT reads of
+    // _prep (two column projections + the sampled skew pre-pass), none of
+    // which saturates the executor alone, so their jobs are submitted
+    // CONCURRENTLY and their fixed costs (job launch, parquet listing,
+    // small writes) overlap. On the 8→32 scaling pair these short stages
+    // were ~2.4 s of SERIAL wall at local[32] — pure Amdahl term the
+    // postings stage's scaling could never buy back. Stage manifest
+    // records stay sequential (recordStage appends a file; the futures
+    // only run the Spark work).
+    // hot_terms: df estimated from a corpus sample (the AQE-style skew
+    // pre-pass, SURVEY.md §7.6.3): only terms near the one-part threshold
+    // matter, and for those a few-percent sample puts the cell count
+    // within ±1 of exact — harmless either way. No term's df can exceed
+    // numDocs: a corpus smaller than half a part cannot produce a hot
+    // term, so the sampling job is skipped below that (the encoder's hard
+    // run cap bounds memory regardless); prep.count() reads footers only.
+    val sampleRate = 0.02
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bodies: Seq[(String, () => Unit)] = Seq(
+        ("docs", () =>
+          prep.select($"doc_id", $"conv_id", $"turn_idx")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")),
+        ("doc_stats", () =>
+          prep.select($"doc_id", $"word_count", $"dl")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")),
+        ("hot_terms", () =>
+          if (prep.count() > conf.maxPostingsPerPart / 2)
+            prep.select($"text")
+              .sample(withReplacement = false, sampleRate, 42L)
+              .as[String]
+              .flatMap(Tokenizer.tokens(_))
+              .groupBy($"value".as("term")).agg(count(lit(1)).as("df_sample"))
+              .filter($"df_sample" * (1.0 / sampleRate) >
+                conf.maxPostingsPerPart / 2)
+              .write.mode(SaveMode.Overwrite).parquet(s"$dir/_hot_terms"))
+      ).filterNot { case (name, _) => done.contains(name) }
+      val launched = bodies.map { case (name, body) =>
+        (name, Future { val t0 = System.nanoTime(); body()
+          (System.nanoTime() - t0) / 1000000L })
+      }
+      launched.foreach { case (name, fut) =>
+        store.recordStage(v, name, -1L, Await.result(fut, Duration.Inf)) }
     }
     val docs = spark.read.parquet(s"$dir/docs")
-
-    // -- stage: doc_stats — projection of prep (computed in the prep pass).
-    stage("doc_stats") {
-      prep.select($"doc_id", $"word_count", $"dl")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")
-      -1L
-    }
-
-    // -- stage: hot_terms — df estimated from a corpus sample (the
-    // AQE-style skew pre-pass, SURVEY.md §7.6.3): only terms near the
-    // one-part threshold matter, and for those a few-percent sample puts
-    // the cell count within ±1 of exact — harmless either way.
-    val sampleRate = 0.02
-    stage("hot_terms") {
-      // no term's df can exceed numDocs: a corpus smaller than half a part
-      // cannot produce a hot term, so skip the sampling job (the encoder's
-      // hard run cap bounds memory regardless; salting only adds
-      // parallelism). The count reads parquet footers, not rows.
-      if (prep.count() > conf.maxPostingsPerPart / 2)
-        prep.select($"text").sample(withReplacement = false, sampleRate, 42L)
-          .as[String]
-          .flatMap(Tokenizer.tokens(_))
-          .groupBy($"value".as("term")).agg(count(lit(1)).as("df_sample"))
-          .filter($"df_sample" * (1.0 / sampleRate) > conf.maxPostingsPerPart / 2)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/_hot_terms")
-      -1L
-    }
 
     // -- stage: postings — tokenize fused into the map side of the one
     // term shuffle (no token materialization round-trip), then salted
@@ -180,8 +193,13 @@ object IndexBuilder {
       .as[(Long, Option[Long], Option[Long])].head()
     val (totalTokens, maxId) =
       (totalTokensOpt.getOrElse(0L), maxIdOpt.getOrElse(-1L))
-    val numTerms = store.dictAt(spark, v)
-      .select($"term").distinct().count()
+    // dict has exactly one row per term (the letter is a function of the
+    // term), so numTerms is the dict's parquet ROW COUNT — served from
+    // file footers, replacing a distinct shuffle + full dict scan
+    val numTerms =
+      if (IndexStore.dirHasParquet(s"$dir/dict"))
+        spark.read.parquet(s"$dir/dict").count()
+      else 0L
     val meta = IndexMeta(v, numDocs, maxId, totalTokens,
       if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
       numTerms, conf.k1, conf.b, conf.blockSize)
