@@ -54,51 +54,15 @@ object Bench {
     s
   }
 
-  /** Task-metric tap for the skew/spill evidence (r3 verdict stretch):
-    * accumulates shuffle bytes and spill across tasks, plus the largest
-    * single-task shuffle read — the number that exposes a skewed key
-    * regardless of wall clock. Snapshot/delta so phases sharing one
-    * session can attribute bytes to their own jobs. */
-  private final class MetricsListener
-      extends org.apache.spark.scheduler.SparkListener {
-    import java.util.concurrent.atomic.AtomicLong
-    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
-    val spillDisk = new AtomicLong; val spillMem = new AtomicLong
-    val maxTaskShufRead = new AtomicLong
-    override def onTaskEnd(
-        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        val r = m.shuffleReadMetrics.totalBytesRead
-        shufRead.addAndGet(r)
-        spillDisk.addAndGet(m.diskBytesSpilled)
-        spillMem.addAndGet(m.memoryBytesSpilled)
-        maxTaskShufRead.updateAndGet(v => math.max(v, r))
-      }
-    }
-    def snap: Array[Long] = Array(shufWrite.get, shufRead.get,
-      spillDisk.get, spillMem.get)
-    /** JSON for the byte deltas since `before` (MB, 1e6). */
-    def deltaJson(before: Array[Long]): String = {
-      val d = snap.zip(before).map { case (a, b) => (a - b) / 1e6 }
-      f""""shuffle_write_mb":${d(0)}%.1f,"shuffle_read_mb":${d(1)}%.1f,""" +
-        f""""spill_disk_mb":${d(2)}%.1f,"spill_mem_mb":${d(3)}%.1f"""
-    }
-  }
-
-  /** Wait for the async listener bus to drain: poll until two reads of
-    * the counters agree (bounded at ~2 s). */
-  private def drain(ml: MetricsListener): Unit = {
-    var prev = ml.snap.toSeq
-    var i = 0
-    while (i < 20) {
-      Thread.sleep(100)
-      val cur = ml.snap.toSeq
-      if (cur == prev) return
-      prev = cur
-      i += 1
-    }
+  /** Manifest-style JSON fragment for the byte deltas since `before`. */
+  private def metricsJson(tap: graft.util.TaskMetricsTap,
+      before: Array[Long]): String = {
+    val m = tap.deltaMb(before)
+    f""""shuffle_write_mb":${m("shuffle_write_mb")}%.1f,""" +
+      f""""shuffle_read_mb":${m("shuffle_read_mb")}%.1f,""" +
+      f""""spill_disk_mb":${m("spill_disk_mb")}%.1f,""" +
+      f""""spill_mem_mb":${m("spill_mem_mb")}%.1f,""" +
+      f""""max_task_shuffle_read_mb":${tap.maxTaskShufRead.get / 1e6}%.1f"""
   }
 
   private def timed[T](f: => T): (T, Double) = {
@@ -136,16 +100,13 @@ object Bench {
       IndexBuilder.build(spark,
         TranscriptGen.benchDataset(spark, 2000, partitions = cpus), warmDir)
       IndexBuilder.deleteRecursive(java.nio.file.Paths.get(warmDir))
-      val ml = new MetricsListener
+      val ml = new graft.util.TaskMetricsTap
       spark.sparkContext.addSparkListener(ml)
       val before = ml.snap
       val out = tmp("graft-bench-idx")
       val (meta, sec) = timed(IndexBuilder.build(spark, corpus, out))
-      // listener events drain asynchronously (the bus API is
-      // private[spark]) — poll until the counters stabilize
-      drain(ml)
-      val metricsJson = ml.deltaJson(before) +
-        f""","max_task_shuffle_read_mb":${ml.maxTaskShufRead.get / 1e6}%.1f"""
+      ml.drain()
+      val buildMetrics = metricsJson(ml, before)
       spark.sparkContext.removeSparkListener(ml)
       val manifest = java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$out/v1/manifest.jsonl"))
@@ -155,7 +116,7 @@ object Bench {
         m("stage") -> m("millis").toDouble / 1000.0
       }.toMap
       IndexBuilder.deleteRecursive(java.nio.file.Paths.get(out))
-      BuildRun(meta.numDocs, sec, meta.numDocs / sec, stageSec, metricsJson)
+      BuildRun(meta.numDocs, sec, meta.numDocs / sec, stageSec, buildMetrics)
     } finally spark.stop()
   }
 
@@ -243,7 +204,7 @@ object Bench {
     def mark(s: String): Unit = System.err.println(s"[bench] dedup n=$n: $s")
     // skew evidence rides on bytes, not wall: the capped-jaccard claim is
     // that the hot-shingle cap bounds the join's shuffle — record it
-    val ml = new MetricsListener
+    val ml = new graft.util.TaskMetricsTap
     spark.sparkContext.addSparkListener(ml)
     val jacBefore = ml.snap
     val (jac, jacSec) = timed {
@@ -253,9 +214,8 @@ object Bench {
       (p, p.count())
     }
     mark(f"jaccard $jacSec%.1fs pairs=${jac._2}")
-    drain(ml)
-    val jacMetrics = ml.deltaJson(jacBefore) +
-      f""","max_task_shuffle_read_mb":${ml.maxTaskShufRead.get / 1e6}%.1f"""
+    ml.drain()
+    val jacMetrics = metricsJson(ml, jacBefore)
     spark.sparkContext.removeSparkListener(ml)
     val jacPlanted = plantedFound(jac._1)
     val (comp, compSec) = timed {

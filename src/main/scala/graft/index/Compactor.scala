@@ -43,9 +43,17 @@ object Compactor {
 
     def stage(name: String)(f: => Unit): Unit =
       if (!done.contains(name)) {
+        val tap = new graft.util.TaskMetricsTap
+        spark.sparkContext.addSparkListener(tap)
         val t0 = System.nanoTime()
-        f
-        store.recordStage(v, name, -1L, (System.nanoTime() - t0) / 1000000L)
+        try {
+          f
+          val millis = (System.nanoTime() - t0) / 1000000L
+          tap.drain()
+          store.recordStage(v, name, -1L, millis, tap.deltaMb(Array(0L, 0L,
+            0L, 0L)) + ("max_task_shuffle_read_mb" ->
+            tap.maxTaskShufRead.get / 1e6))
+        } finally spark.sparkContext.removeSparkListener(tap)
       }
 
     // resolved (doc_id, text) of the fix corpus — empty when fix is None

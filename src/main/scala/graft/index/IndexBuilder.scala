@@ -56,11 +56,22 @@ object IndexBuilder {
     val P = conf.shufflePartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
 
+    // each stage's manifest line carries its shuffle/spill byte deltas and
+    // max single-task shuffle read (skew evidence) alongside lineage —
+    // stages run sequentially, so a per-stage tap attributes exactly
     def stage[T](name: String)(f: => Long): Unit =
       if (!done.contains(name)) {
+        val tap = new graft.util.TaskMetricsTap
+        spark.sparkContext.addSparkListener(tap)
         val t0 = System.nanoTime()
-        val rows = f
-        store.recordStage(v, name, rows, (System.nanoTime() - t0) / 1000000L)
+        try {
+          val rows = f
+          val millis = (System.nanoTime() - t0) / 1000000L
+          tap.drain()
+          store.recordStage(v, name, rows, millis, tap.deltaMb(Array(0L, 0L,
+            0L, 0L)) + ("max_task_shuffle_read_mb" ->
+            tap.maxTaskShufRead.get / 1e6))
+        } finally spark.sparkContext.removeSparkListener(tap)
       }
 
     // -- stage: prep — ONE range shuffle of the corpus assigns dense doc ids
