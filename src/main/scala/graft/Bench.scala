@@ -104,6 +104,9 @@ object Bench {
       spark.sparkContext.addSparkListener(ml)
       val before = ml.snap
       val out = tmp("graft-bench-idx")
+      // the timed region includes the builder's per-stage metric drains
+      // (~30 ms × 6 stages) — a constant present at BOTH parallelism
+      // levels, so the efficiency ratio moves < 1%
       val (meta, sec) = timed(IndexBuilder.build(spark, corpus, out))
       ml.drain()
       val buildMetrics = metricsJson(ml, before)

@@ -31,13 +31,30 @@ object PipelineMain {
     args.collectFirst { case s if s.startsWith(s"--$name=") =>
       s.stripPrefix(s"--$name=") }
 
+  private val KnownFlags = Set("k", "min-pct", "n", "blocklist", "size",
+    "overlap", "budget", "limit")
+
+  private val Usage = "usage: PipelineMain <op> <docs.parquet|sfDir> " +
+    "[outDir] [--k=8] [--min-pct=80] [--n=3] [--hash-grams] " +
+    "[--blocklist=a,b] [--size=512] [--overlap=64] [--budget=2048] " +
+    "[--limit=20]"
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
-    if (pos.length < 2) {
-      System.err.println("usage: PipelineMain <op> <docs.parquet|sfDir> " +
-        "[outDir] [--k=8] [--min-pct=80] [--n=3] [--hash-grams] " +
-        "[--blocklist=a,b] [--size=512] [--overlap=64] [--budget=2048] " +
-        "[--limit=20]")
+    // strict arg hygiene: `--k 8` (space form) would otherwise silently
+    // become a positional outDir named "8", and a typo'd flag would be
+    // silently ignored
+    val badFlags = args.filter(_.startsWith("--")).filterNot { f =>
+      f == "--hash-grams" ||
+        KnownFlags.exists(n => f.startsWith(s"--$n="))
+    }
+    if (pos.length < 2 || pos.length > 3 || badFlags.nonEmpty) {
+      badFlags.foreach(f => System.err.println(
+        s"unknown or malformed flag: $f (flags take --name=value)"))
+      if (pos.length > 3)
+        System.err.println(s"unexpected positional args: " +
+          pos.drop(3).mkString(" "))
+      System.err.println(Usage)
       sys.exit(2)
     }
     val op = pos(0)
@@ -101,7 +118,10 @@ object PipelineMain {
         println(result.columns.mkString("\t"))
         rows.foreach(r => println(r.toSeq.map {
           case null => "NULL"
-          case a: Array[_] => a.take(4).mkString("[", ",", ",...]")
+          // Row.toSeq yields Seq (never Array) for ArrayType columns
+          case a: scala.collection.Seq[_] if a.length > 4 =>
+            a.take(4).mkString("[", ",", ",...]")
+          case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
           case x => x.toString
         }.mkString("\t")))
         println(s"($op: showing <= $limit rows)")

@@ -42,19 +42,7 @@ object Compactor {
       spark.sessionState.conf.numShufflePartitions)
 
     def stage(name: String)(f: => Unit): Unit =
-      if (!done.contains(name)) {
-        val tap = new graft.util.TaskMetricsTap
-        spark.sparkContext.addSparkListener(tap)
-        val t0 = System.nanoTime()
-        try {
-          f
-          val millis = (System.nanoTime() - t0) / 1000000L
-          tap.drain()
-          store.recordStage(v, name, -1L, millis, tap.deltaMb(Array(0L, 0L,
-            0L, 0L)) + ("max_task_shuffle_read_mb" ->
-            tap.maxTaskShufRead.get / 1e6))
-        } finally spark.sparkContext.removeSparkListener(tap)
-      }
+      store.instrumentedStage(spark, v, name, done) { f; -1L }
 
     // resolved (doc_id, text) of the fix corpus — empty when fix is None
     def fixDocs: Dataset[(Long, String)] = fix match {
@@ -144,7 +132,13 @@ object Compactor {
     val (numDocs, totalTokens, maxId) = stats
       .agg(count(lit(1)), sum($"dl"), max($"doc_id"))
       .as[(Long, Long, Long)].head()
-    val numTerms = store.dictAt(spark, v).select($"term").distinct().count()
+    // compaction writes a fresh single-layer dict with one row per term —
+    // numTerms is its parquet footer row count (same invariant the
+    // builder's meta stage relies on), not a distinct shuffle
+    val numTerms =
+      if (IndexStore.dirHasParquet(s"${store.snapshotDir(v)}/dict"))
+        spark.read.parquet(s"${store.snapshotDir(v)}/dict").count()
+      else 0L
     val meta = IndexMeta(v, numDocs, maxId, totalTokens,
       if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
       numTerms, conf.k1, conf.b, conf.blockSize)

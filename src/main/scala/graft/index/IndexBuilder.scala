@@ -56,23 +56,12 @@ object IndexBuilder {
     val P = conf.shufflePartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
 
-    // each stage's manifest line carries its shuffle/spill byte deltas and
-    // max single-task shuffle read (skew evidence) alongside lineage —
-    // stages run sequentially, so a per-stage tap attributes exactly
+    // each sequential stage's manifest line carries its shuffle/spill
+    // byte deltas and max single-task shuffle read (skew evidence)
+    // alongside lineage — IndexStore.instrumentedStage, one definition
+    // shared with merge and compaction
     def stage[T](name: String)(f: => Long): Unit =
-      if (!done.contains(name)) {
-        val tap = new graft.util.TaskMetricsTap
-        spark.sparkContext.addSparkListener(tap)
-        val t0 = System.nanoTime()
-        try {
-          val rows = f
-          val millis = (System.nanoTime() - t0) / 1000000L
-          tap.drain()
-          store.recordStage(v, name, rows, millis, tap.deltaMb(Array(0L, 0L,
-            0L, 0L)) + ("max_task_shuffle_read_mb" ->
-            tap.maxTaskShufRead.get / 1e6))
-        } finally spark.sparkContext.removeSparkListener(tap)
-      }
+      store.instrumentedStage(spark, v, name, done)(f)
 
     // -- stage: prep — ONE range shuffle of the corpus assigns dense doc ids
     // in (conv_id, turn_idx) order and carries the text along, so neither a
@@ -145,8 +134,17 @@ object IndexBuilder {
         (name, Future { val t0 = System.nanoTime(); body()
           (System.nanoTime() - t0) / 1000000L })
       }
-      launched.foreach { case (name, fut) =>
-        store.recordStage(v, name, -1L, Await.result(fut, Duration.Inf)) }
+      // settle ALL futures before letting a failure unwind: an orphaned
+      // sibling job still writing into the snapshot dir would race a
+      // same-JVM resume's overwrite of that path
+      val settled = launched.map { case (name, fut) =>
+        (name, scala.util.Try(Await.result(fut, Duration.Inf))) }
+      settled.foreach {
+        case (name, scala.util.Success(millis)) =>
+          store.recordStage(v, name, -1L, millis)
+        case _ => () // failed stage: no record — the resume re-runs it
+      }
+      settled.collectFirst { case (_, scala.util.Failure(e)) => throw e }
     }
     val docs = spark.read.parquet(s"$dir/docs")
 

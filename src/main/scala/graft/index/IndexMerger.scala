@@ -91,19 +91,7 @@ object IndexMerger {
       spark.sessionState.conf.numShufflePartitions)
 
     def stage(name: String)(f: => Unit): Unit =
-      if (!done.contains(name)) {
-        val tap = new graft.util.TaskMetricsTap
-        spark.sparkContext.addSparkListener(tap)
-        val t0 = System.nanoTime()
-        try {
-          f
-          val millis = (System.nanoTime() - t0) / 1000000L
-          tap.drain()
-          store.recordStage(v, name, -1L, millis, tap.deltaMb(Array(0L, 0L,
-            0L, 0L)) + ("max_task_shuffle_read_mb" ->
-            tap.maxTaskShufRead.get / 1e6))
-        } finally spark.sparkContext.removeSparkListener(tap)
-      }
+      store.instrumentedStage(spark, v, name, done) { f; -1L }
 
     // -- batch_prep: resolve ids at TURN granularity (M1 keep / M2 append)
     // and compute the row-local tokenizer stats in the same pass. The old

@@ -171,6 +171,29 @@ final class IndexStore(val root: String) {
       .filter(_.nonEmpty).map(l => Jsonl.parse(l)("stage")).toSet
   }
 
+  /** Run one resumable pipeline stage with task-metric instrumentation:
+    * skip if already recorded, else execute `f`, then record wall millis
+    * (measured BEFORE the metrics drain — drain cost never pollutes stage
+    * timing) plus the stage's shuffle/spill/max-task-read bytes from a
+    * stage-scoped [[graft.util.TaskMetricsTap]]. ONE definition for
+    * build, merge, and compaction — the wrapper cannot drift between
+    * them. Only valid for stages whose Spark jobs run on the calling
+    * thread (concurrent stages cannot be attributed from global
+    * counters). */
+  def instrumentedStage(spark: SparkSession, v: Int, name: String,
+      done: Set[String])(f: => Long): Unit =
+    if (!done.contains(name)) {
+      val tap = new graft.util.TaskMetricsTap
+      spark.sparkContext.addSparkListener(tap)
+      val t0 = System.nanoTime()
+      try {
+        val rows = f
+        val millis = (System.nanoTime() - t0) / 1000000L
+        tap.drain()
+        recordStage(v, name, rows, millis, tap.metricsMap)
+      } finally spark.sparkContext.removeSparkListener(tap)
+    }
+
   def recordStage(v: Int, stage: String, rows: Long, millis: Long,
       extra: Map[String, Any] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(snapshotDir(v)))

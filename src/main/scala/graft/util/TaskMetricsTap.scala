@@ -41,16 +41,27 @@ final class TaskMetricsTap extends SparkListener {
       "spill_disk_mb" -> d(2), "spill_mem_mb" -> d(3))
   }
 
-  /** Wait for the async listener bus to settle: poll until two reads of
-    * the counters agree (20 ms steps, bounded at ~2 s — cheap enough to
-    * run per build stage). */
+  /** Absolute totals for a tap registered fresh for one phase, plus the
+    * max-task skew figure — the manifest `extra` map. */
+  def metricsMap: Map[String, Any] =
+    deltaMb(Array(0L, 0L, 0L, 0L)) +
+      ("max_task_shuffle_read_mb" -> maxTaskShufRead.get / 1e6)
+
+  /** Wait for the async listener bus to settle: poll every 10 ms until
+    * the counters are unchanged over TWO consecutive intervals (a single
+    * agreeing pair can straddle a stalled bus thread — GC pause, bursty
+    * backlog), bounded at ~2 s. Best-effort by construction: the flush
+    * API is private[spark]. Typical cost ~30 ms — callers timing a phase
+    * should measure wall BEFORE draining (instrumentedStage does). */
   def drain(): Unit = {
     var prev = snap.toSeq
+    var stable = 0
     var i = 0
-    while (i < 100) {
-      Thread.sleep(20)
+    while (i < 200) {
+      Thread.sleep(10)
       val cur = snap.toSeq
-      if (cur == prev) return
+      if (cur == prev) { stable += 1; if (stable >= 2) return }
+      else stable = 0
       prev = cur
       i += 1
     }
