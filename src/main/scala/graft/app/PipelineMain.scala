@@ -31,6 +31,21 @@ object PipelineMain {
     args.collectFirst { case s if s.startsWith(s"--$name=") =>
       s.stripPrefix(s"--$name=") }
 
+  /** Numeric flag with the hygiene the strict-validation block promises:
+    * `--k=abc` prints the usage message and exits 2 instead of escaping
+    * as a raw NumberFormatException. */
+  private def numFlag[T](args: Array[String], name: String)(
+      parse: String => T): Option[T] =
+    flag(args, name).map { v =>
+      try parse(v)
+      catch {
+        case _: NumberFormatException =>
+          System.err.println(s"flag --$name needs a numeric value, got: $v")
+          System.err.println(Usage)
+          sys.exit(2)
+      }
+    }
+
   private val KnownFlags = Set("k", "min-pct", "n", "blocklist", "size",
     "overlap", "budget", "limit")
 
@@ -60,11 +75,11 @@ object PipelineMain {
     val op = pos(0)
     val inPath = pos(1)
     val outDir = pos.lift(2)
-    val k = flag(args, "k").map(_.toInt).getOrElse(8)
-    val minPct = flag(args, "min-pct").map(_.toInt).getOrElse(80)
-    val n = flag(args, "n").map(_.toInt).getOrElse(3)
+    val k = numFlag(args, "k")(_.toInt).getOrElse(8)
+    val minPct = numFlag(args, "min-pct")(_.toInt).getOrElse(80)
+    val n = numFlag(args, "n")(_.toInt).getOrElse(3)
     val hashGrams = args.contains("--hash-grams")
-    val limit = flag(args, "limit").map(_.toInt).getOrElse(20)
+    val limit = numFlag(args, "limit")(_.toInt).getOrElse(20)
 
     val spark = Mains.session("graft-pipeline")
     val docsPath =
@@ -96,10 +111,10 @@ object PipelineMain {
       case "tokens" => TextStats.tokenCounts(docs)
       case "fingerprint" => TextStats.fingerprint(docs)
       case "chunk" => TextStats.chunk(docs,
-        flag(args, "size").map(_.toInt).getOrElse(512),
-        flag(args, "overlap").map(_.toInt).getOrElse(64))
+        numFlag(args, "size")(_.toInt).getOrElse(512),
+        numFlag(args, "overlap")(_.toInt).getOrElse(64))
       case "pack" => TextStats.packSequences(docs,
-        flag(args, "budget").map(_.toLong).getOrElse(2048L))
+        numFlag(args, "budget")(_.toLong).getOrElse(2048L))
       case "ann-brute" =>
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
         Similarity.bruteForceTopK(emb, emb.limit(5), k = 10)

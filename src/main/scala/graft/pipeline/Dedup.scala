@@ -309,28 +309,44 @@ object Dedup {
     * tokens) pass through with their full (possibly empty) token stream
     * reassembled space-separated.
     *
-    * Shape: covered positions explode from the SPAN list (usually small,
-    * the dups) and anti-join the token stream — no broadcast hint: AQE
-    * converts to broadcast when the span side is small, and a
-    * boilerplate-heavy corpus whose covered set approaches corpus size
-    * degrades to a shuffled anti join instead of blowing the driver. */
+    * Shape at scale (r5 — replaces the r4 token-stream shuffle): the SPAN
+    * list (selective by construction — the dups) aggregates to one
+    * (starts[], lens[]) range row per covered doc, joins to the corpus on
+    * the doc id, and the strip itself is ONE map-side pass through the
+    * native [[GraftDespan]] kernel — the corpus token stream is never
+    * exploded, shuffled, or reassembled (the r4 shape posexploded every
+    * doc ~10× and shuffled the whole token stream by doc_id to
+    * collect_list it back — a scale-killer for the one op whose span side
+    * is tiny).
+    *
+    * `broadcastRanges` (default true) hints the range side broadcast.
+    * The decision is explicit rather than AQE's because AQE measurably
+    * cannot make it here: the range aggregate reuses the span window's
+    * doc_id partitioning (and a REPARTITION_BY_COL re-exchange is
+    * optimizer-removed as redundant), so no materialized stage boundary
+    * sits under the join and AQE keeps the static SMJ — shuffling the
+    * corpus. Default-broadcast matches the span side's selectivity; if a
+    * boilerplate-heavy corpus outgrows Spark's broadcast limit the job
+    * fails LOUDLY and the caller passes false, degrading to one SMJ
+    * shuffle of (id, text) rows — still never the exploded token
+    * stream. */
   def removeSpans(df: DataFrame, spans: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
-    val covered = spans.select(col(id),
-      explode(sequence(col("span_start"),
-        col("span_start") + col("span_len") - 1)).as("pos"))
-    val toks = df
-      .select(col(id), posexplode(TextStats.wsTokens(col(text))))
-      .select(col(id), (col("pos") + 1).as("pos"), col("col").as("tok"))
-    val kept = toks.join(covered, Seq(id, "pos"), "left_anti")
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("pos"),
-          col("tok")))), s => s.getField("tok")), " ").as("clean_text"))
-    df.select(col(id))
-      .join(kept, Seq(id), "left")
-      .select(col(id), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      text: String = "text", broadcastRanges: Boolean = true): DataFrame = {
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
+    // two collect_lists in ONE aggregate see input rows in the same order,
+    // so starts(i) pairs with lens(i); order across ranges is irrelevant
+    // (coverage is a union of intervals)
+    val ranges = spans.groupBy(col(id))
+      .agg(collect_list(col("span_start")).as("starts"),
+        collect_list(col("span_len")).as("lens"))
+    val side = if (broadcastRanges) broadcast(ranges) else ranges
+    val empty = lit(Array.emptyLongArray)
+    val r = call_function("graft_despan", coalesce(col(text), lit("")),
+      coalesce(col("starts"), empty), coalesce(col("lens"), empty))
+    df.join(side, Seq(id), "left")
+      .select(col(id), r.as("r"))
+      .select(col(id), col("r.n_kept").as("n_kept"),
+        col("r.clean_text").as("clean_text"))
   }
 
   // ---- MinHash + LSH -------------------------------------------------------

@@ -88,7 +88,11 @@ object GraftArgminCell {
       if (s < bd) { bd = s; best = j }
       j += 1
     }
-    best
+    // all-NaN distances (a NaN element in the vector) fail every `<`
+    // comparison and leave best at -1 — that is a malformed embedding,
+    // so it gets the documented malformed→null verdict, not cell -1
+    // (which would silently vanish from every IVF probe)
+    if (best < 0) null else Integer.valueOf(best)
   }
 
   private[graft] val info = new ExpressionInfo(

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_despan(text, starts, lens)` — the [[Dedup.removeSpans]] strip as
+  * ONE native codegen pass: ws-tokenize the text, mark every position
+  * covered by any span `[starts(i), starts(i)+lens(i)-1]` (1-based,
+  * [[Dedup.spanDups]] output), and return
+  * `struct(n_kept, clean_text)` — the kept-token count and the kept
+  * tokens space-rejoined in order.
+  *
+  * This is the 100-TB lever for span removal (r4 verdict "What's wrong
+  * #2"): the previous shape posexploded the WHOLE corpus token stream
+  * (~10× row expansion), anti-joined covered positions, and reassembled
+  * with a corpus-wide `groupBy(doc_id) + collect_list + array_sort` —
+  * shuffling every token of the corpus by doc_id. With this kernel the
+  * only movement is the SPAN side (selective by construction — the dups),
+  * aggregated to per-doc range arrays and joined in; the corpus text
+  * never leaves its scan partition.
+  *
+  * Same ws-token kernel as the rest of the family
+  * ([[GraftShingles.wsSplit]]); out-of-range or non-positive ranges are
+  * clipped/skipped (robustness only — [[Dedup.spanDups]] emits in-range
+  * spans).
+  */
+case class GraftDespan(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType &&
+        second.dataType.isInstanceOf[ArrayType] &&
+        second.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        third.dataType.isInstanceOf[ArrayType] &&
+        third.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_despan requires (string, array<long>, array<long>), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+
+  override def dataType: DataType = GraftDespan.Schema
+  override def prettyName: String = "graft_despan"
+
+  override def nullSafeEval(t: Any, st: Any, ln: Any): Any =
+    GraftDespan.despan(t.asInstanceOf[UTF8String],
+      st.asInstanceOf[ArrayData], ln.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, st, ln) =>
+      s"graft.pipeline.GraftDespan.despan($t, $st, $ln)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object GraftDespan {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+
+  /** Static entry for generated code: one decode, one coverage pass, one
+    * rebuild. `starts`/`lens` pair index-wise; a range with a null
+    * element (impossible from `collect_list`, tolerated anyway) or a
+    * non-positive length is skipped; ranges are clipped to the token
+    * count. */
+  def despan(s: UTF8String, starts: ArrayData,
+      lens: ArrayData): InternalRow = {
+    val toks = GraftShingles.wsSplit(s.toString)
+    val n = toks.length
+    val nr = math.min(starts.numElements(), lens.numElements())
+    val covered = new Array[Boolean](n)
+    var i = 0
+    while (i < nr) {
+      if (!starts.isNullAt(i) && !lens.isNullAt(i)) {
+        val st = starts.getLong(i) // 1-based inclusive
+        val ln = lens.getLong(i)
+        if (ln > 0 && st <= n) {
+          var p = math.max(st - 1, 0L).toInt
+          val end = math.min(st - 1 + ln, n.toLong).toInt
+          while (p < end) { covered(p) = true; p += 1 }
+        }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var kept = 0L
+    var j = 0
+    while (j < n) {
+      if (!covered(j)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(j))
+        kept += 1
+      }
+      j += 1
+    }
+    new GenericInternalRow(
+      Array[Any](kept, UTF8String.fromString(sb.toString)))
+  }
+
+  private[graft] val info = new ExpressionInfo(
+    classOf[GraftDespan].getName, null, "graft_despan",
+    "_FUNC_(text, starts, lens) - struct(n_kept, clean_text): the text's " +
+      "ws-tokens with every 1-based [start, start+len-1] range dropped, " +
+      "space-rejoined.",
+    "", "", "", "", "4.1.0", "", "scala_udf")
+
+  private[graft] def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "graft_despan takes (text, starts, lens)")
+    GraftDespan(children(0), children(1), children(2))
+  }
+}

@@ -38,6 +38,10 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   // resource hygiene does
   private val cacheLock = new Object
   private var cachedPerTerm: Option[DataFrame] = None
+  // a search() racing close() could otherwise persist a fresh per-term
+  // frame and swap it in AFTER close() drained the cache, leaking one
+  // persisted frame on a closed Searcher — the swap checks this flag
+  private var isClosed = false
 
   private var dictWarmed = false
   private var docsWarmed = false
@@ -78,6 +82,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   /** Release ALL cached state (per-term frame AND warmed tables) — call
     * when done with the Searcher. */
   def close(): Unit = cacheLock.synchronized {
+    isClosed = true
     cachedPerTerm.foreach(_.unpersist(blocking = false))
     cachedPerTerm = None
     if (dictWarmed) { dict.unpersist(blocking = false); dictWarmed = false }
@@ -172,8 +177,11 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     // atomic swap: the PREVIOUS frame unpersists exactly once, whichever
     // thread replaced it (a racing job on it just recomputes)
     cacheLock.synchronized {
-      cachedPerTerm.foreach(_.unpersist(blocking = false))
-      cachedPerTerm = Some(cached)
+      if (isClosed) cached.unpersist(blocking = false)
+      else {
+        cachedPerTerm.foreach(_.unpersist(blocking = false))
+        cachedPerTerm = Some(cached)
+      }
     }
     val alg = new DfAlgebra(i => cached.filter($"term_idx" === i)
       .select($"doc_id", $"v"))

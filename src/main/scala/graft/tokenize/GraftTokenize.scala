@@ -89,7 +89,9 @@ object GraftFunctions {
     ("graft_argmin_cell", graft.pipeline.GraftArgminCell.info,
       graft.pipeline.GraftArgminCell.builder _),
     ("graft_posgrams", graft.pipeline.GraftPosGrams.info,
-      graft.pipeline.GraftPosGrams.builder _))
+      graft.pipeline.GraftPosGrams.builder _),
+    ("graft_despan", graft.pipeline.GraftDespan.info,
+      graft.pipeline.GraftDespan.builder _))
 
   /** Imperative registration for an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -66,6 +66,21 @@ class GraftArgminCellSpec extends SparkTestBase {
     assert(got(0L).isDefined && got(1L).isEmpty && got(2L).isEmpty)
   }
 
+  test("NaN element assigns null, not cell -1 (ADVICE r4)") {
+    // NaN distances fail every < comparison, so argmin's best stays -1;
+    // the contract is malformed-embedding → null (never a phantom cell
+    // that silently vanishes from IVF probes)
+    val df = Seq(
+      (0L, Array(Float.NaN, 0.1f, 0.2f)),
+      (1L, Array(0.1f, Float.NaN, Float.NaN)),
+      (2L, Array(0.1f, 0.2f, 0.3f))
+    ).toDF("id", "v")
+    val got = assignDf(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(got(0L).isEmpty && got(1L).isEmpty && got(2L).isDefined)
+  }
+
   test("codegen and interpreted eval agree") {
     val df = vecs.toDF("id", "v")
     def run(): Map[Long, Int] =

@@ -111,6 +111,34 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("removeSpans: corpus stays map-side — broadcast ranges, no token shuffle") {
+    // r4's shape posexploded the whole corpus token stream and shuffled it
+    // by doc_id to reassemble; the r5 kernel shape must keep the corpus on
+    // the streamed side of a broadcast join with the strip in ONE
+    // projection (removeSpans scaladoc: the hint is explicit because AQE
+    // cannot size the range side here).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cleaned = graft.pipeline.Dedup.removeSpans(docs,
+      graft.pipeline.Dedup.spanDups(docs, 8))
+    cleaned.collect()
+    val plan = cleaned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the outer corpus ⟵ ranges join is broadcast; nothing SMJs
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exchanges: 1 on the gram hash + 1 on doc_id (the span-side
+    // gaps-and-islands window, whose partitioning the island AND range
+    // aggregates reuse) — a corpus-side token shuffle would add another
+    assert("Exchange hashpartitioning\\(g".r.findAllIn(plan).length == 1,
+      plan)
+    assert("Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // the old reassembly markers must be gone from the corpus side
+    assert(!plan.contains("collect_list(struct"), plan)
+  }
+
   test("sequence packing shuffles ONCE, by the stratum column") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.pipeline.TextStats.packSequences(docs, 2048)

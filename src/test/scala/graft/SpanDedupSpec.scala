@@ -206,4 +206,52 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got.exists { case (id, (n, _)) =>
       n == docs.toMap.apply(id).split("\\s+").count(_.nonEmpty) })
   }
+
+  // ---- graft_despan kernel -------------------------------------------------
+
+  test("graft_despan: clipping, overlap union, empty inputs, ws parity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def run(t: String, ranges: (Long, Long)*): (Long, String) = {
+      val r = graft.pipeline.GraftDespan.despan(UTF8String.fromString(t),
+        new GenericArrayData(ranges.map(_._1).toArray),
+        new GenericArrayData(ranges.map(_._2).toArray))
+      (r.getLong(0), r.getUTF8String(1).toString)
+    }
+    assert(run("a b c d e", (2L, 2L)) == ((3L, "a d e")))
+    // overlapping + abutting ranges union
+    assert(run("a b c d e", (1L, 2L), (2L, 2L), (4L, 1L)) == ((1L, "e")))
+    // no ranges: full text survives, ws-normalized like wsTokens
+    assert(run("  a   b  ") == ((2L, "a b")))
+    // out-of-range clipped, non-positive skipped, order irrelevant
+    assert(run("a b c", (9L, 4L), (2L, 0L), (2L, -3L), (-5L, 7L)) ==
+      ((2L, "b c")))
+    // full cover and empty text
+    assert(run("a b", (1L, 2L)) == ((0L, "")))
+    assert(run("") == ((0L, "")))
+  }
+
+  test("graft_despan agrees between codegen and interpreted eval") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (0L, "a b c d e f", Array(2L, 5L), Array(2L, 2L)),
+      (1L, "x y", Array.emptyLongArray, Array.emptyLongArray),
+      (2L, "", Array(1L), Array(1L))).toDF("id", "t", "st", "ln")
+    def run(): Seq[(Long, Long, String)] =
+      df.select(col("id"),
+          call_function("graft_despan", col("t"), col("st"), col("ln"))
+            .as("r"))
+        .select(col("id"), col("r.n_kept"), col("r.clean_text"))
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val withCodegen = run()
+    assert(withCodegen ==
+      Seq((0L, 2L, "a d"), (1L, 2L, "x y"), (2L, 0L, "")))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == withCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
