@@ -588,6 +588,43 @@ object OracleSql {
       SELECT doc_id, n_urls, n_blocked, (n_blocked = 0) AS keep
       FROM b ORDER BY doc_id""",
 
+    // add-1 bigram LM (CorpusFilters.lmScore): the ref slice's counts and
+    // vocabulary feed P(w2|w1) = (c2+1)/(c1+V); per-gram ln is quantized
+    // to round(x*1e6)::BIGINT so the per-doc sum is order-independent
+    // integer arithmetic (raw double sums are association-sensitive)
+    "q_text_perplexity" -> s"""
+      WITH ws AS (SELECT doc_id, $WsToks AS w FROM documents),
+      rex AS (SELECT doc_id, unnest(w) AS tok,
+                     generate_subscripts(w, 1) AS pos
+              FROM ws WHERE doc_id % 10 = 0),
+      rbg AS (SELECT tok AS w1, lead(tok) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM rex),
+      rb AS (SELECT w1, w2 FROM rbg WHERE w2 IS NOT NULL),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM rb GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM rb GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM rex),
+      cex AS (SELECT doc_id, unnest(w) AS tok,
+                     generate_subscripts(w, 1) AS pos
+              FROM ws),
+      cbg AS (SELECT doc_id, tok AS w1, lead(tok) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM cex),
+      cb AS (SELECT doc_id, w1, w2 FROM cbg WHERE w2 IS NOT NULL),
+      sc AS (SELECT cb.doc_id,
+                    round(ln((coalesce(c2.c2, 0) + 1)::DOUBLE /
+                             (coalesce(c1.c1, 0) + v.v)::DOUBLE)
+                          * 1000000.0)::BIGINT AS qlp
+             FROM cb LEFT JOIN c2 ON c2.w1 = cb.w1 AND c2.w2 = cb.w2
+                     LEFT JOIN c1 ON c1.w1 = cb.w1
+                     CROSS JOIN v),
+      agg AS (SELECT doc_id, count(*) AS n_grams, sum(qlp) AS logprob_q
+              FROM sc GROUP BY 1)
+      SELECT d.doc_id, coalesce(agg.n_grams, 0)::BIGINT AS n_grams,
+             coalesce(agg.logprob_q, 0)::BIGINT AS logprob_q
+      FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
     "q_decontaminate" -> s"""
       WITH $Shingles,
       bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0)
@@ -605,6 +642,18 @@ object OracleSql {
                      (sqrt(a.n2) * sqrt(b.n2)) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.42 ORDER BY id_a, id_b""",
+
+    // the REAL-PNG round trip (Multimodal.attachPng + ImageIoCodec): the
+    // oracle computes the generator's closed form only — the ENGINE is
+    // what proves ImageIO encode -> binary -> decode returns it intact
+    "q_mm_decode" -> """
+      SELECT doc_id,
+             (8 + doc_id % 16)::BIGINT AS width,
+             (8 + (doc_id // 16) % 16)::BIGINT AS height,
+             ((doc_id * 7) % 256)::BIGINT AS mean_r,
+             ((doc_id * 13) % 256)::BIGINT AS mean_g,
+             ((doc_id * 31) % 256)::BIGINT AS mean_b
+      FROM documents ORDER BY doc_id""",
 
     "q_mm_features" -> """
       SELECT doc_id,

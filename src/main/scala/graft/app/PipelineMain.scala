@@ -16,8 +16,9 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   *          [--budget=2048] [--limit=20]
   *
   * Ops: dedup-exact, dedup-jaccard, dedup-minhash, dedup-simhash,
-  *      components, survivors, spans, despan, quality, langid, pii,
-  *      repetition, urls, tokens, fingerprint, chunk, pack, ann-brute.
+  *      components, survivors, spans, despan, quality, lm-score, langid,
+  *      pii, repetition, urls, tokens, fingerprint, chunk, pack,
+  *      ann-brute, semdedup.
   *
   * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
   * testdata sf directory, in which case `documents.parquet` (and
@@ -103,6 +104,9 @@ object PipelineMain {
       case "despan" => Dedup.removeSpans(docs,
         Dedup.spanDups(docs, k = k, hashGrams = hashGrams))
       case "quality" => TextStats.quality(docs)
+      case "lm-score" =>
+        // ref = the deterministic 1/10 held-out slice (catalog convention)
+        CorpusFilters.lmScore(docs, docs.filter(col("doc_id") % 10 === 0))
       case "langid" => TextStats.langId(docs)
       case "pii" => CorpusFilters.piiRedact(docs)
       case "repetition" => CorpusFilters.repetition(docs)
@@ -118,6 +122,10 @@ object PipelineMain {
       case "ann-brute" =>
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
         Similarity.bruteForceTopK(emb, emb.limit(5), k = 10)
+      case "semdedup" =>
+        // --min-pct doubles as the cosine threshold in percent
+        val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
+        Similarity.semDedup(emb, minCos = minPct / 100.0, nLists = 4)
       case other =>
         System.err.println(s"unknown op: $other")
         spark.stop(); sys.exit(2); return

@@ -127,6 +127,61 @@ object CorpusFilters {
     * the broadcast, then a combiner-heavy per-doc count. The corpus is
     * never shuffled by gram.
     */
+  /** Model-based quality scoring: an add-1-smoothed word-BIGRAM language
+    * model trained on `ref` (a held-out reference slice — the CCNet /
+    * Gopher-style filter trains on a trusted corpus like Wikipedia),
+    * scoring every corpus doc. Output: one row per corpus doc —
+    * (id, n_grams, logprob_q) where n_grams counts the doc's bigram
+    * occurrences and logprob_q = Σ round(ln P(w₂|w₁) × 10⁶) as an exact
+    * integer. Per-token log-perplexity = −logprob_q / (10⁶ · n_grams);
+    * HIGH perplexity (very negative logprob_q per gram) marks
+    * out-of-distribution docs — the usual drop signal.
+    *
+    * P(w₂|w₁) = (c₂(w₁w₂) + 1) / (c₁(w₁) + V) with c₂ = ref bigram
+    * occurrences, c₁ = ref bigrams starting with w₁, V = ref vocabulary
+    * size (add-1 keeps every count integer, so any SQL oracle reproduces
+    * the probability bit-for-bit, and ln matches across engines — the
+    * BM25 gate rides the same equality). The per-gram QUANTIZATION to an
+    * integer is what makes the per-doc sum order-independent: raw double
+    * sums are association-sensitive and would hash-differ between
+    * engines on multi-hundred-term docs.
+    *
+    * Shape at scale (the [[contaminationHits]] shape): the reference
+    * slice is small by design, so its count tables broadcast — V rides a
+    * broadcast 1-row cross join, the corpus side is a map-side
+    * [[GraftPosGrams]] projection probing the broadcasts, and the only
+    * exchange is the per-doc aggregate, combiner-reduced to one row per
+    * doc. The corpus is never shuffled by gram. */
+  def lmScore(corpus: DataFrame, ref: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col(id),
+        explode(call_function("graft_posgrams",
+          coalesce(col(text), lit("")), lit(2))).as("g"))
+    val refBg = bigrams(ref)
+      .select(substring_index(col("g"), " ", 1).as("w1"), col("g"))
+    val c2 = refBg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ref.select(explode(TextStats.wsTokens(col(text))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bigrams(corpus)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(broadcast(c2), Seq("g"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(id),
+        round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) *
+          lit(1000000.0)).cast("long").as("qlp"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), sum(col("qlp")).as("logprob_q"))
+    corpus.select(col(id))
+      .join(scored, Seq(id), "left")
+      .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
+  }
+
   def contaminationHits(corpus: DataFrame, bench: DataFrame, n: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     graft.tokenize.GraftFunctions.register(corpus.sparkSession)

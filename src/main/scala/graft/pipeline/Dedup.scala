@@ -140,13 +140,18 @@ object Dedup {
     import spark.implicits._
     // materialize the pair list ONCE: both paths read it more than once,
     // and an expensive upstream generator (the inverted shingle join) must
-    // not recompute per read — nor per iteration
-    val p = pairs.persist()
+    // not recompute per read — nor per iteration. A caller that ALREADY
+    // persisted the pair frame keeps ownership: unpersisting it here would
+    // silently evict a frame the caller reuses downstream (the r4 catalog
+    // recomputed the jaccard join per entry exactly because of this)
+    val callerPersisted =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerPersisted) pairs else pairs.persist()
     val nEdges = p.count()
     if (nEdges <= localThreshold) {
       val es = p.select(col(idA).cast("long"), col(idB).cast("long"))
         .as[(Long, Long)].collect()
-      p.unpersist(blocking = false)
+      if (!callerPersisted) p.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val px = parent.getOrElse(x, x)
@@ -189,7 +194,7 @@ object Dedup {
           s"($changed labels still changing) — rep_ids are upper bounds, " +
           "not component minima; raise maxIters for this graph")
     edges.unpersist(blocking = false)
-    p.unpersist(blocking = false)
+    if (!callerPersisted) p.unpersist(blocking = false)
     labels.select(col("id"), col("rep").as("rep_id"))
   }
 

@@ -69,6 +69,56 @@ object StubCodec extends MediaCodec {
   }
 }
 
+/** REAL image codec through the [[MediaCodec]] seam: `javax.imageio` PNG
+  * decode (the one honest-to-goodness media decoder in this JRE — no
+  * external image/audio libraries ship in the container). Proves the
+  * per-partition session design against an actual decoder library:
+  * `decodeDims` reads the PNG header via a full decode, `features` emits
+  * per-channel means (the stand-in for an encoder forward pass — real,
+  * derived from decoded PIXELS, not payload bytes), `sampleFrames`
+  * treats a still as its own single frame. */
+object ImageIoCodec extends MediaCodec {
+  val FeatureDim = 3
+  override def featureDim: Int = FeatureDim
+
+  private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    img
+  }
+
+  override def open(): MediaCodec.Session = new MediaCodec.Session {
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int) = {
+      val img = read(bytes)
+      (img.getWidth, img.getHeight)
+    }
+    /** Per-channel (R, G, B) pixel means. Sums are exact longs; each mean
+      * is one double division — on constant-fill images the mean IS the
+      * fill value, exactly (the q_mm_decode oracle relies on this). */
+    def features(kind: String, bytes: Array[Byte]): Array[Float] = {
+      val img = read(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array((sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+        (sb.toDouble / n).toFloat)
+    }
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+      Seq(bytes)
+  }
+}
+
 /** Multimodal-column plumbing: image/audio/video carried as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition passes through a pluggable [[MediaCodec]].
@@ -107,6 +157,37 @@ object Multimodal {
         val (w, h) = StubCodec.decodeDims(bytes)
         MediaRow(docId, kind, bytes, w, h)
       }
+  }
+
+  /** Deterministic REAL-PNG corpus: one constant-fill W×H image per doc,
+    * every parameter a closed form of the doc id —
+    * W = 8 + id mod 16, H = 8 + (id div 16) mod 16,
+    * (R, G, B) = (7·id, 13·id, 31·id) mod 256 — so a SQL oracle predicts
+    * the DECODED stats without decoding anything, while the engine round
+    * trips genuine PNG bytes through `ImageIO.write` → binary column →
+    * [[ImageIoCodec]]. Encode runs map-side on executors (ids must be
+    * non-negative, as the testdata's are — Java and SQL `%` differ on
+    * negatives). */
+  def attachPng(df: DataFrame, id: String = "doc_id"): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long")).as[Long].map { docId =>
+      val w = 8 + (docId % 16).toInt
+      val h = 8 + ((docId / 16) % 16).toInt
+      val rgb = (((docId * 7) % 256).toInt << 16) |
+        (((docId * 13) % 256).toInt << 8) | ((docId * 31) % 256).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(docId, "image", bos.toByteArray, w, h)
+    }
   }
 
   /** One codec session per partition wrapped around a row iterator. The

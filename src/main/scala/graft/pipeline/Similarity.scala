@@ -358,4 +358,63 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Embedding near-duplicate pairs WITHIN coarse-quantizer cells: the
+    * candidate generator of [[semDedup]]. The IVF quantizer (same
+    * seed-stable bounded fit as [[ivfTopK]]) assigns every vector a cell
+    * via the native argmin kernel; only same-cell pairs are compared,
+    * with exact cosine — so precision is 1.0 by construction and recall
+    * is governed by how often a near-dup pair straddles a cell boundary
+    * (SemDeDup's own approximation; measured in PipelineSpec on clustered
+    * data).
+    *
+    * Shape at scale: assignment is a map-side codegen pass; the self-join
+    * shuffles each side once by cell id — cost Σ|cell|², the quadratic
+    * bounded per cell instead of per corpus. Raise nLists to shrink
+    * cells; a pathologically dense cell is the [[blockedNearDupPairs]]
+    * regime (run it per cell) — not composed here because balanced cells
+    * are the operating point the quantizer fit targets. */
+  def ivfNearDupPairs(corpus: DataFrame, minCos: Double, nLists: Int = 16,
+      id: String = "vec_id", vec: String = "embedding",
+      maxFitRows: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.tokenize.GraftFunctions.register(spark)
+    val sample = corpus.select(col(vec).cast("array<double>"))
+      .limit(maxFitRows).as[Seq[Double]].collect().map(_.toArray)
+    val centroids = kmeansFit(sample, nLists, iters = 10, seed = 42L)
+    val dim = centroids.head.length
+    val assigned = corpus.select(
+      call_function("graft_argmin_cell", col(vec),
+        lit(centroids.flatten), lit(dim)).as("list_id"),
+      col(id), col(vec), norm2Col(col(vec)).as("n2"))
+    val l = assigned.select(col("list_id"), col(id).as("id_a"),
+      col(vec).as("va"), col("n2").as("na"))
+    val r = assigned.select(col("list_id"), col(id).as("id_b"),
+      col(vec).as("vb"), col("n2").as("nb"))
+    l.join(r, Seq("list_id")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023 — public literature's
+    * complement to lexical dedup): cluster embeddings with the IVF coarse
+    * quantizer, find within-cluster pairs at cosine ≥ minCos
+    * ([[ivfNearDupPairs]]), and keep ONE doc per duplicate group.
+    * Verdicts mirror [[Dedup.survivors]]: (id, rep_id, is_survivor) with
+    * rep_id = the connected component's minimum id and the survivor = the
+    * minimum id (deterministic keep order: id ascending — the stable
+    * variant of the paper's keep-one-per-group; components rather than
+    * per-pair drops because near-duplication is not transitive). Docs in
+    * no pair are implicit survivors (not emitted — the frame is
+    * pair-selective, like survivors). */
+  def semDedup(corpus: DataFrame, minCos: Double, nLists: Int = 16,
+      id: String = "vec_id", vec: String = "embedding",
+      maxFitRows: Int = 100000): DataFrame = {
+    val comp = Dedup.components(
+      ivfNearDupPairs(corpus, minCos, nLists, id, vec, maxFitRows))
+    comp.select(col("id").as(id), col("rep_id"),
+      (col("id") === col("rep_id")).as("is_survivor"))
+  }
 }

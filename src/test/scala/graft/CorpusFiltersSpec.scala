@@ -285,6 +285,65 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("lmScore equals brute-force add-1 bigram LM scoring") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the hat"),   // in-distribution
+      (2L, "zq xw vv kk pp zz qq"),     // fully OOV
+      (3L, "the cat"),                  // one bigram
+      (4L, "single"),                   // zero bigrams
+      (5L, ""),                         // empty
+      (6L, "on the mat the cat sat")    // same vocab, shuffled order
+    ).toDF("doc_id", "text")
+    val refIds = Set(0L, 1L)
+    val ref = corpus.filter($"doc_id".isin(refIds.toSeq: _*))
+
+    // in-memory model
+    def toks(s: String): Array[String] = s.split("\\s+").filter(_.nonEmpty)
+    def bgs(s: String): Seq[(String, String)] =
+      toks(s).sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    val refTexts = Seq("the cat sat on the mat", "the cat sat on the hat")
+    val refBgs = refTexts.flatMap(bgs)
+    val c2 = refBgs.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = refBgs.groupBy(_._1).view.mapValues(_.size).toMap
+    val v = refTexts.flatMap(toks).toSet.size
+    def score(s: String): (Long, Long) = {
+      val b = bgs(s)
+      val q = b.map { g =>
+        val p = (c2.getOrElse(g, 0) + 1).toDouble / (c1.getOrElse(g._1, 0) + v)
+        java.math.BigDecimal.valueOf(math.log(p) * 1000000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.sum
+      (b.size.toLong, q)
+    }
+    val expected = Seq(
+      0L -> "the cat sat on the mat", 1L -> "the cat sat on the hat",
+      2L -> "zq xw vv kk pp zz qq", 3L -> "the cat", 4L -> "single",
+      5L -> "", 6L -> "on the mat the cat sat")
+      .map { case (id, t) => val (n, q) = score(t); (id, n, q) }
+
+    val got = CorpusFilters.lmScore(corpus, ref)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+    // sanity on the semantics: the in-distribution doc scores strictly
+    // better per gram than the OOV doc
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._3.toDouble / byId(0L)._2 >
+      byId(2L)._3.toDouble / byId(2L)._2)
+  }
+
+  test("lmScore plan: corpus map-side, ref tables broadcast") {
+    val corpus = docs
+    val ref = docs.filter($"doc_id" < 3L)
+    val df = CorpusFilters.lmScore(corpus, ref)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only corpus-side exchange is the per-doc aggregate
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("contamination plan broadcasts the benchmark side") {
     val corpus = docs
     val bench = docs.filter($"doc_id" === 0L)

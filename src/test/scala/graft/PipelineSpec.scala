@@ -336,6 +336,50 @@ class PipelineSpec extends SparkTestBase {
     assert(mean >= 0.7, s"mean IVF recall@10 = $mean")
   }
 
+  test("semDedup: exact-verified pairs, good recall, min-id survivors") {
+    // clustered embeddings with planted within-cluster near-dups: each
+    // base vector i gets a near-copy at i+100 (tiny perturbation → cosine
+    // near 1), across 4 well-separated clusters
+    val rnd = new scala.util.Random(17)
+    def unit(a: Array[Float]): Array[Float] = {
+      val n = math.sqrt(a.map(x => x * x.toDouble).sum).toFloat
+      a.map(_ / n)
+    }
+    val centers = Array.fill(4)(unit(Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val base = (0L until 100L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, unit(c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    }
+    val dups = base.map { case (i, v) =>
+      (i + 100L, unit(v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)))
+    }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val minCos = 0.995
+    val brutePairs = Similarity.bruteNearDupPairs(vecs, minCos)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ivfPairs = Similarity.ivfNearDupPairs(vecs, minCos, nLists = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision 1: within-cell pairs are exact-cosine verified
+    assert(ivfPairs.subsetOf(brutePairs),
+      s"false pairs: ${ivfPairs -- brutePairs}")
+    // recall: every planted (i, i+100) pair shares a tight cluster; the
+    // quantizer must co-locate nearly all of them
+    val planted = (0L until 100L).map(i => (i, i + 100L)).toSet
+    assert(planted.subsetOf(brutePairs), "planting broke — not near dups")
+    val recall = (ivfPairs & planted).size.toDouble / planted.size
+    assert(recall >= 0.9, s"planted recall = $recall")
+    // verdicts: one survivor per component, and it is the min id
+    val verdicts = Similarity.semDedup(vecs, minCos, nLists = 8)
+      .as[(Long, Long, Boolean)].collect()
+    val byRep = verdicts.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.count(_._3) == 1, s"component $rep survivor count")
+      assert(members.filter(_._3).head._1 == members.map(_._1).min,
+        s"component $rep survivor not min id")
+      assert(rep == members.map(_._1).min)
+    }
+  }
+
   test("text stats: token counts, quality, fingerprint vs brute force") {
     val tc = TextStats.tokenCounts(docs).as[(Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
@@ -417,6 +461,31 @@ class PipelineSpec extends SparkTestBase {
     val frames = Multimodal.sampleVideoFrames(media)
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(frames.forall(_ % 3 == 2))
+  }
+
+  test("multimodal: REAL PNG round trip through ImageIoCodec matches closed form") {
+    // genuine javax.imageio encode -> binary column -> decode through the
+    // MediaCodec seam; dims and channel means must equal the generator's
+    // arithmetic (the q_mm_decode contract)
+    val ids = (0L until 40L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.attachPng(ids), graft.pipeline.ImageIoCodec).collect()
+    assert(feats.length == 40)
+    feats.foreach { f =>
+      val i = f.doc_id
+      assert(f.width == 8 + (i % 16).toInt, s"doc $i width")
+      assert(f.height == 8 + ((i / 16) % 16).toInt, s"doc $i height")
+      assert(f.features.length == graft.pipeline.ImageIoCodec.FeatureDim)
+      assert(f.features(0) == ((i * 7) % 256).toFloat, s"doc $i mean_r")
+      assert(f.features(1) == ((i * 13) % 256).toFloat, s"doc $i mean_g")
+      assert(f.features(2) == ((i * 31) % 256).toFloat, s"doc $i mean_b")
+      // the payload is an encoded PNG, not raw pixels
+      assert(f.n_bytes > 8, s"doc $i payload size")
+    }
+    // PNG magic on the wire
+    val payload = Multimodal.attachPng(ids).filter(_.doc_id == 5L)
+      .collect().head.media
+    assert(payload.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
   }
 
   test("multimodal: a custom codec plugs into the same pipeline") {
