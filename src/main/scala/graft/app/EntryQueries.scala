@@ -408,6 +408,20 @@ object EntryQueries {
       Dedup.spanDups(t(s, d, "documents"), k = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // incremental span dedup (the streaming/merge-loop economy): base =
+    // 6/7 of the corpus feeds a persisted gram-count table; the arriving
+    // 1/7 batch is de-spanned against it at Θ(batch) cost. The contract —
+    // output identical to a full recompute restricted to the batch — is
+    // exactly what the oracle computes (full-corpus spans, batch docs)
+    "q_dedup_spans_inc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.spanDupsIncremental(
+          docs.filter(col("doc_id") % 7 === 3),
+          Dedup.gramCounts(docs.filter(col("doc_id") % 7 =!= 3), k = 8),
+          k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "q_dedup_span_clean" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.removeSpans(docs, Dedup.spanDups(docs, k = 8))

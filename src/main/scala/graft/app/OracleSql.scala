@@ -386,6 +386,20 @@ object OracleSql {
       FROM sp JOIN ws ON ws.doc_id = sp.doc_id
       ORDER BY sp.doc_id, span_start""",
 
+    // incremental mode's contract IS this query: full-corpus span dedup
+    // restricted to the arriving batch (doc_id % 7 = 3) — the engine
+    // computes it from the batch + the base's persisted gram counts
+    // without touching base text
+    "q_dedup_spans_inc" -> s"""
+      WITH $spanCtes
+      SELECT sp.doc_id, span_start::BIGINT AS span_start,
+             span_len::BIGINT AS span_len,
+             ${rollHash("array_to_string(list_slice(w, span_start, " +
+               "span_start + span_len - 1), ' ')")} AS span_hash
+      FROM sp JOIN ws ON ws.doc_id = sp.doc_id
+      WHERE sp.doc_id % 7 = 3
+      ORDER BY sp.doc_id, span_start""",
+
     "q_dedup_span_clean" -> s"""
       WITH $spanCtes,
       covered AS (SELECT doc_id,

@@ -16,9 +16,9 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   *          [--budget=2048] [--limit=20]
   *
   * Ops: dedup-exact, dedup-jaccard, dedup-minhash, dedup-simhash,
-  *      components, survivors, spans, despan, quality, lm-score, langid,
-  *      pii, repetition, urls, tokens, fingerprint, chunk, pack,
-  *      ann-brute, semdedup.
+  *      components, survivors, spans, spans-inc, despan, quality,
+  *      lm-score, langid, pii, repetition, urls, tokens, fingerprint,
+  *      chunk, pack, ann-brute, semdedup.
   *
   * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
   * testdata sf directory, in which case `documents.parquet` (and
@@ -101,6 +101,14 @@ object PipelineMain {
       case "components" => Dedup.components(jaccard)
       case "survivors" => Dedup.survivors(docs, jaccard)
       case "spans" => Dedup.spanDups(docs, k = k, hashGrams = hashGrams)
+      case "spans-inc" =>
+        // the catalog's split: 1/7 of docs arrive as the batch, the rest
+        // stand in for the already-indexed base's persisted count table
+        Dedup.spanDupsIncremental(
+          docs.filter(col("doc_id") % 7 === 3),
+          Dedup.gramCounts(docs.filter(col("doc_id") % 7 =!= 3), k = k,
+            hashGrams = hashGrams),
+          k = k, hashGrams = hashGrams)
       case "despan" => Dedup.removeSpans(docs,
         Dedup.spanDups(docs, k = k, hashGrams = hashGrams))
       case "quality" => TextStats.quality(docs)

@@ -254,4 +254,103 @@ class SpanDedupSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  // ---- incremental (streaming/merge-loop) mode -----------------------------
+
+  private def spansOf(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("spanDupsIncremental == full recompute restricted to the batch") {
+    // the load-bearing case is CROSS-SLICE duplication: batch doc 1's
+    // boiler block occurs once in the batch but twice in the base (docs 2
+    // and 5), so the batch alone would never flag it — only the persisted
+    // base counts can
+    val docs = planted
+    val batchIds = Set(1L, 6L, 7L)
+    val base = docs.filterNot(d => batchIds(d._1))
+    val batch = docs.filter(d => batchIds(d._1))
+    for (k <- Seq(3, 6); hashed <- Seq(false, true)) {
+      val full = brute(docs, k).filter(r => batchIds(r._1))
+      val counts = Dedup.gramCounts(base.toDF("doc_id", "text"), k = k,
+        hashGrams = hashed)
+      val inc = spansOf(Dedup.spanDupsIncremental(
+        batch.toDF("doc_id", "text"), counts, k = k, hashGrams = hashed))
+      assert(inc == full, s"k=$k hashed=$hashed")
+      if (k == 6)
+        assert(inc.exists(_._1 == 1L), "cross-slice boiler span lost")
+    }
+  }
+
+  test("seeded fuzz: incremental == restricted full across seeds and splits") {
+    for (seed <- Seq(11L, 22L, 33L); k <- Seq(2, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("a", "b", "c", "d")
+      val docs = (0L until 40L).map(i =>
+        i -> Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(4))).mkString(" "))
+      val cut = 10 + rnd.nextInt(20)
+      val base = docs.filter(_._1 < cut)
+      val batch = docs.filter(_._1 >= cut)
+      val counts = Dedup.gramCounts(base.toDF("doc_id", "text"), k = k)
+      val inc = spansOf(Dedup.spanDupsIncremental(
+        batch.toDF("doc_id", "text"), counts, k = k))
+      assert(inc == brute(docs, k).filter(_._1 >= cut), s"seed=$seed k=$k")
+    }
+  }
+
+  test("incremental loop: per-batch spans match a full recompute at each step") {
+    // the streaming/merge economy end to end: three arriving batches, the
+    // count state folded forward between them with mergeGramCounts; each
+    // batch's spans must equal spanDups over EVERYTHING SEEN SO FAR
+    // restricted to that batch — including unioned UNSQUASHED layers
+    val rnd = new scala.util.Random(55)
+    val vocab = Array("m", "n", "o", "p", "q")
+    val docs = (0L until 60L).map(i =>
+      i -> Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(5))).mkString(" "))
+    val batches = docs.grouped(20).toSeq
+    val k = 3
+    var layers = List(Dedup.gramCounts(batches(0).toDF("doc_id", "text"), k))
+    for (bi <- 1 until 3) {
+      val batch = batches(bi)
+      val seen = batches.take(bi + 1).flatten
+      val expect = brute(seen, k)
+        .filter(r => batch.exists(_._1 == r._1))
+      // unioned layers (no pre-squash)
+      val viaLayers = spansOf(Dedup.spanDupsIncremental(
+        batch.toDF("doc_id", "text"), Dedup.mergeGramCounts(layers: _*), k))
+      assert(viaLayers == expect, s"batch $bi via layers")
+      // squashed state (compaction) — identical
+      val squashed = Dedup.mergeGramCounts(layers: _*)
+      val viaSquash = spansOf(Dedup.spanDupsIncremental(
+        batch.toDF("doc_id", "text"), squashed, k))
+      assert(viaSquash == expect, s"batch $bi via squash")
+      layers ::= Dedup.gramCounts(batch.toDF("doc_id", "text"), k)
+    }
+  }
+
+  test("incremental plan: the base count table is scanned, never shuffled") {
+    // the Θ(batch) contract: the only gram exchange is the BATCH count
+    // aggregate — a persisted base count table rides a broadcast probe
+    // (batch gram keys) and a broadcast totalling join, so a second
+    // hashpartitioning(g exchange would mean the base got shuffled
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inc_counts").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.gramCounts(docs.filter($"doc_id" % 2 === 0), k = 8)
+      .write.mode("overwrite").parquet(dir)
+    val counts = spark.read.parquet(dir)
+    val inc = Dedup.spanDupsIncremental(
+      docs.filter($"doc_id" % 2 === 1), counts, k = 8)
+    inc.collect() // exchange reuse resolves in the FINAL adaptive plan
+    val plan = inc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .linesIterator.filterNot(_.contains("ReusedExchange")).mkString("\n")
+    assert("Exchange hashpartitioning\\(g".r.findAllIn(plan).length == 1,
+      plan)
+    assert("Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
