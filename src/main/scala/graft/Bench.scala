@@ -193,11 +193,13 @@ object Bench {
   /** Compact dedup-scale headline: planted recalls + the despan wall. */
   private final case class DedupSummary(nDocs: Long, jacFound: Long,
       planted: Long, spansFound: Long, spansExpected: Long,
-      despanSec: Double) {
+      despanSec: Double, spansIncSec: Double, spansIncMatch: Boolean) {
     def json: String =
       f"""{"n_docs":$nDocs,"jaccard_recall":"$jacFound/$planted",""" +
         f""""spans_full_recall":"$spansFound/$spansExpected",""" +
-        f""""despan_sec":$despanSec%.3f}"""
+        f""""despan_sec":$despanSec%.3f,""" +
+        f""""spans_inc_sec":$spansIncSec%.3f,""" +
+        s""""spans_inc_match":$spansIncMatch}"""
   }
 
   private def dedupScaleOnce(spark: SparkSession,
@@ -297,6 +299,25 @@ object Bench {
         .agg(sum(col("n_kept"))).head().getLong(0)
     }
     mark(f"despan $despanSec%.1fs kept_tokens=$despanKept")
+    // incremental span dedup (r5): a 1/8 batch probes a MATERIALIZED base
+    // count table — the streaming/merge-loop economy. The timed section
+    // is the per-batch cost only (base counting is the indexed past); the
+    // identity check rides the still-persisted full span frame
+    val isBatch = col("doc_id") % 8 === 5
+    val countsPath = s"$path-counts"
+    Dedup.gramCounts(docs.filter(!isBatch), k = 8, hashGrams = true)
+      .write.mode("overwrite").parquet(countsPath)
+    val (incSpans, incSec) = timed {
+      Dedup.spanDupsIncremental(docs.filter(isBatch),
+        spark.read.parquet(countsPath), k = 8, hashGrams = true).count()
+    }
+    val incExpected = spansDf.filter(isBatch).count()
+    mark(f"spans-inc $incSec%.1fs spans=$incSpans (full-run batch slice " +
+      s"has $incExpected)")
+    if (incSpans != incExpected)
+      System.err.println(s"[bench] dedup n=$n: INCREMENTAL MISMATCH " +
+        s"$incSpans != $incExpected")
+    IndexBuilder.deleteRecursive(java.nio.file.Paths.get(countsPath))
     spansDf.unpersist(blocking = false)
     jac._1.unpersist(blocking = false)
     mh._1.unpersist(blocking = false)
@@ -315,9 +336,11 @@ object Bench {
       f""""spans_sec":$spSec%.3f,"n_spans":${spres._1},""" +
       f""""spans_planted_full_found":${spres._2},""" +
       f""""spans_planted_full_expected":$spExpected,""" +
-      f""""despan_sec":$despanSec%.3f,"despan_kept_tokens":$despanKept}"""
+      f""""despan_sec":$despanSec%.3f,"despan_kept_tokens":$despanKept,""" +
+      f""""spans_inc_sec":$incSec%.3f,"spans_inc_batch":$incSpans,""" +
+      s""""spans_inc_match":${incSpans == incExpected}}"""
     (json, DedupSummary(n, jacPlanted, planted, spres._2, spExpected,
-      despanSec))
+      despanSec, incSec, incSpans == incExpected))
   }
 
   def main(args: Array[String]): Unit = {
