@@ -131,10 +131,13 @@ object Bench {
     * skews the ratio by 2x; interleaving samples the noise symmetrically. */
   /** Compact per-pair headline for the summary-last block. */
   private final case class ScaleSummary(nLo: Int, nHi: Int, eff: Double,
-      postingsEff: Double) {
+      postingsEff: Option[Double]) {
+    // a missing postings timing prints null, not 0.0 — 0.0 would read as
+    // a catastrophic scaling miss instead of "not measured"
     def json: String =
       f"""{"n_lo":$nLo,"n_hi":$nHi,"efficiency":$eff%.3f,""" +
-        f""""postings_efficiency":$postingsEff%.3f}"""
+        s""""postings_efficiency":${
+          postingsEff.map(e => f"$e%.3f").getOrElse("null")}}"""
   }
 
   private def scalePair(nLo: Int, nHi: Int,
@@ -171,9 +174,9 @@ object Bench {
         f""""$s":{"lo_sec":${lo.stageSec(s)}%.3f,""" +
           f""""hi_sec":${hi.stageSec(s)}%.3f,"efficiency":$sEff%.3f}"""
       }.mkString("{", ",", "}")
-    val postEff = (for {
+    val postEff = for {
       l <- lo.stageSec.get("postings"); h <- hi.stageSec.get("postings")
-    } yield (l / h) / (nHi.toDouble / nLo)).getOrElse(0.0)
+    } yield (l / h) / (nHi.toDouble / nLo)
     val json =
       f"""{"turns":${lo.turns},"n_lo":$nLo,"n_hi":$nHi,""" +
       f""""local${nLo}_sec":${lo.sec}%.3f,"local${nHi}_sec":${hi.sec}%.3f,""" +

@@ -81,6 +81,12 @@ object PipelineMain {
     val n = numFlag(args, "n")(_.toInt).getOrElse(3)
     val hashGrams = args.contains("--hash-grams")
     val limit = numFlag(args, "limit")(_.toInt).getOrElse(20)
+    // parse EVERY numeric flag before the session exists: numFlag exits 2
+    // on garbage, and exiting after session creation would skip the
+    // explicit spark.stop() the other error paths take
+    val chunkSize = numFlag(args, "size")(_.toInt).getOrElse(512)
+    val chunkOverlap = numFlag(args, "overlap")(_.toInt).getOrElse(64)
+    val packBudget = numFlag(args, "budget")(_.toLong).getOrElse(2048L)
 
     val spark = Mains.session("graft-pipeline")
     val docsPath =
@@ -122,11 +128,8 @@ object PipelineMain {
         flag(args, "blocklist").map(_.split(",").toSeq).getOrElse(Seq.empty))
       case "tokens" => TextStats.tokenCounts(docs)
       case "fingerprint" => TextStats.fingerprint(docs)
-      case "chunk" => TextStats.chunk(docs,
-        numFlag(args, "size")(_.toInt).getOrElse(512),
-        numFlag(args, "overlap")(_.toInt).getOrElse(64))
-      case "pack" => TextStats.packSequences(docs,
-        numFlag(args, "budget")(_.toLong).getOrElse(2048L))
+      case "chunk" => TextStats.chunk(docs, chunkSize, chunkOverlap)
+      case "pack" => TextStats.packSequences(docs, packBudget)
       case "ann-brute" =>
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
         Similarity.bruteForceTopK(emb, emb.limit(5), k = 10)

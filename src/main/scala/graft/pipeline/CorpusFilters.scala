@@ -127,6 +127,19 @@ object CorpusFilters {
     * the broadcast, then a combiner-heavy per-doc count. The corpus is
     * never shuffled by gram.
     */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(id),
+        explode(call_function("graft_shingles", col(text), lit(n))).as("g"))
+    val benchGrams = grams(bench).select(col("g")).distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Model-based quality scoring: an add-1-smoothed word-BIGRAM language
     * model trained on `ref` (a held-out reference slice — the CCNet /
     * Gopher-style filter trains on a trusted corpus like Wikipedia),
@@ -147,11 +160,14 @@ object CorpusFilters {
     * engines on multi-hundred-term docs.
     *
     * Shape at scale (the [[contaminationHits]] shape): the reference
-    * slice is small by design, so its count tables broadcast — V rides a
-    * broadcast 1-row cross join, the corpus side is a map-side
-    * [[GraftPosGrams]] projection probing the broadcasts, and the only
-    * exchange is the per-doc aggregate, combiner-reduced to one row per
-    * doc. The corpus is never shuffled by gram. */
+    * slice is small by design, so its count tables broadcast — V is
+    * computed eagerly (one tiny job over the slice) and folded in as a
+    * literal, the corpus side is a map-side [[GraftPosGrams]] projection
+    * probing the broadcasts, and the only exchange is the per-doc
+    * aggregate, combiner-reduced to one row per doc. The corpus is never
+    * shuffled by gram. An EMPTY reference slice fails loudly: V = 0
+    * would otherwise make every probability ln(Inf) and quantize to
+    * Long.MaxValue — silent garbage scores. */
   def lmScore(corpus: DataFrame, ref: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     graft.tokenize.GraftFunctions.register(corpus.sparkSession)
@@ -164,15 +180,16 @@ object CorpusFilters {
     val c2 = refBg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = ref.select(explode(TextStats.wsTokens(col(text))).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    require(v > 0, "lmScore: the reference slice has no tokens (V = 0) — " +
+      "every score would be quantized ln(Inf); train on a non-empty slice")
     val scored = bigrams(corpus)
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .join(broadcast(c2), Seq("g"), "left")
       .join(broadcast(c1), Seq("w1"), "left")
-      .crossJoin(broadcast(v))
       .select(col(id),
         round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) *
+          (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")) *
           lit(1000000.0)).cast("long").as("qlp"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"), sum(col("qlp")).as("logprob_q"))
@@ -181,17 +198,5 @@ object CorpusFilters {
       .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
   }
-
-  def contaminationHits(corpus: DataFrame, bench: DataFrame, n: Int = 3,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
-    def grams(df: DataFrame): DataFrame =
-      df.select(col(id),
-        explode(call_function("graft_shingles", col(text), lit(n))).as("g"))
-    val benchGrams = grams(bench).select(col("g")).distinct()
-    grams(corpus)
-      .join(broadcast(benchGrams), "g")
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_hit_grams"))
-  }
 }
+

@@ -385,14 +385,29 @@ object Dedup {
     val grams = if (hashGrams)
       rawGrams.select(col(id), col("pos"), xxhash64(col("g")).as("g"))
     else rawGrams
+    val dupG = batchGramTotals(grams, baseCounts, broadcastTouched)
+      .filter(col("batch_occ") + coalesce(col("base_occ"), lit(0L)) >= minOcc)
+      .select("g")
+    val dupPos = grams.join(dupG, "g").select(col(id), col("pos"))
+    spansFromDupPositions(batch, dupPos, k, id, text)
+  }
+
+  /** Per-batch-gram occurrence totals against the persisted base table:
+    * (g, batch_occ, base_occ) with base_occ null for grams the base never
+    * saw. The shared probe of [[spanDupsIncremental]] and
+    * [[crossedGrams]].
+    *
+    * The probe is the batch count aggregate ITSELF, and batch_occ is
+    * surfaced THROUGH the probe side (coalesced with the streamed copy's
+    * — equal whenever matched) so column pruning cannot narrow the
+    * probe's aggregate to keys-only: with both aggregates byte-identical,
+    * AQE stage reuse ships the batch gram shuffle ONCE (plan-pinned); a
+    * pruned probe would silently recount the batch behind a second
+    * exchange. */
+  private def batchGramTotals(grams: DataFrame, baseCounts: DataFrame,
+      broadcastTouched: Boolean): DataFrame = {
     val batchCounts = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("batch_occ"))
-    // the probe is batchCounts ITSELF, and the totalling filter below
-    // reads the probe side's batch_occ — NOT the streamed copy's — so
-    // column pruning cannot narrow the probe's aggregate to keys-only.
-    // With both aggregates byte-identical, AQE stage reuse ships the
-    // batch gram shuffle ONCE (plan-pinned); a pruned probe would silently
-    // recount the batch behind a second exchange.
     val probe =
       if (broadcastTouched) broadcast(batchCounts) else batchCounts
     // inner join: a base gram the batch never mentions contributes no
@@ -404,15 +419,34 @@ object Dedup {
     // touched ⊆ the broadcast probe set by construction, so whenever the
     // probe fit a broadcast the totalling join's build side does too
     val touchedSide = if (broadcastTouched) broadcast(touched) else touched
-    // coalesce(t_bocc, batch_occ) IS batch_occ (equal when matched, null
-    // only when unmatched) — phrased through the probe column for the
-    // pruning reason above
-    val dupG = batchCounts.join(touchedSide, Seq("g"), "left")
-      .filter(coalesce(col("t_bocc"), col("batch_occ")) +
-        coalesce(col("base_occ"), lit(0L)) >= minOcc)
-      .select("g")
-    val dupPos = grams.join(dupG, "g").select(col(id), col("pos"))
-    spansFromDupPositions(batch, dupPos, k, id, text)
+    batchCounts.join(touchedSide, Seq("g"), "left")
+      .select(col("g"),
+        coalesce(col("t_bocc"), col("batch_occ")).as("batch_occ"),
+        col("base_occ"))
+  }
+
+  /** Grams a batch pushes OVER the duplication threshold: present in the
+    * base below `minOcc`, at or above it once the batch's occurrences
+    * count. These are the compaction-cadence rescan key: base docs whose
+    * spans a full recompute would now extend are exactly the docs
+    * containing a crossed gram (join their positional grams against this
+    * frame — the caller's compaction job; [[spanDupsIncremental]]'s own
+    * batch-side output needs none of this). Grams ABSENT from the base
+    * are excluded even when the batch alone duplicates them: they match
+    * no base doc. Output: (g, base_occ, batch_occ); Θ(batch) cost, same
+    * shape as the incremental probe. */
+  def crossedGrams(batch: DataFrame, baseCounts: DataFrame, k: Int = 8,
+      minOcc: Int = 2, id: String = "doc_id", text: String = "text",
+      hashGrams: Boolean = false,
+      broadcastTouched: Boolean = true): DataFrame = {
+    val rawGrams = positionalGrams(batch, k, id, text)
+    val grams = if (hashGrams)
+      rawGrams.select(col(id), col("pos"), xxhash64(col("g")).as("g"))
+    else rawGrams
+    batchGramTotals(grams, baseCounts, broadcastTouched)
+      .filter(col("base_occ").isNotNull && col("base_occ") < minOcc &&
+        col("batch_occ") + col("base_occ") >= minOcc)
+      .select(col("g"), col("base_occ"), col("batch_occ"))
   }
 
   /** Rewrite step for [[spanDups]]: drop every token covered by a

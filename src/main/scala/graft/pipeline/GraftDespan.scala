@@ -82,10 +82,19 @@ object GraftDespan {
       if (!starts.isNullAt(i) && !lens.isNullAt(i)) {
         val st = starts.getLong(i) // 1-based inclusive
         val ln = lens.getLong(i)
-        if (ln > 0 && st <= n) {
-          var p = math.max(st - 1, 0L).toInt
-          val end = math.min(st - 1 + ln, n.toLong).toInt
-          while (p < end) { covered(p) = true; p += 1 }
+        // intersect the 1-based range [st, st+ln-1] with [1, n] in
+        // overflow-safe steps: naive st-1+ln wraps for huge ln (silently
+        // skipping instead of clipping), st-1 wraps at Long.MinValue —
+        // and st = MinValue can never reach token 1 anyway (ln ≤
+        // MaxValue), so it skips. For st < 1 the in-range length is
+        // ln + (st - 1), computed before any addition that could clamp.
+        if (ln > 0 && st <= n && st > Long.MinValue) {
+          val lnEff = if (st < 1) ln + (st - 1) else ln
+          if (lnEff > 0) {
+            var p = (math.max(st, 1L) - 1).toInt
+            val end = math.min(p + math.min(lnEff, n.toLong), n.toLong).toInt
+            while (p < end) { covered(p) = true; p += 1 }
+          }
         }
       }
       i += 1

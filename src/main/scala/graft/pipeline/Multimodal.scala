@@ -89,15 +89,25 @@ object ImageIoCodec extends MediaCodec {
   }
 
   override def open(): MediaCodec.Session = new MediaCodec.Session {
+    // one-entry decode memo, keyed by payload REFERENCE: the pipeline
+    // calls decodeDims then features on the same row's byte array, and
+    // without this each row pays TWO full PNG decodes. Per-partition
+    // session state, so no cross-thread sharing.
+    private var lastBytes: Array[Byte] = null
+    private var lastImg: java.awt.image.BufferedImage = null
+    private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (bytes ne lastBytes) { lastImg = read(bytes); lastBytes = bytes }
+      lastImg
+    }
     def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int) = {
-      val img = read(bytes)
+      val img = decode(bytes)
       (img.getWidth, img.getHeight)
     }
     /** Per-channel (R, G, B) pixel means. Sums are exact longs; each mean
       * is one double division — on constant-fill images the mean IS the
       * fill value, exactly (the q_mm_decode oracle relies on this). */
     def features(kind: String, bytes: Array[Byte]): Array[Float] = {
-      val img = read(bytes)
+      val img = decode(bytes)
       val (w, h) = (img.getWidth, img.getHeight)
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0

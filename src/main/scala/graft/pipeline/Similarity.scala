@@ -117,6 +117,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
   }
 
+  /** Shared IVF coarse-quantizer fit ([[ivfTopK]], [[ivfNearDupPairs]]):
+    * seed-stable bounded driver-side sample → [[kmeansFit]]. Null or
+    * empty embeddings are excluded from the SAMPLE here (they would NPE
+    * the driver fit); on the assignment side the malformed-row contract
+    * is `graft_argmin_cell`'s null return, which drops those rows from
+    * every cell join. An all-null/empty column fails loudly via
+    * kmeansFit's non-empty requirement. */
+  private def fitQuantizer(corpus: DataFrame, vec: String, nLists: Int,
+      maxFitRows: Int, fitSample: Double = 1.0): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.tokenize.GraftFunctions.register(spark)
+    val fitInput = if (fitSample >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitSample, 42L)
+    val sample = fitInput
+      .filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(vec).cast("array<double>"))
+      .limit(maxFitRows).as[Seq[Double]].collect().map(_.toArray)
+    kmeansFit(sample, nLists, iters = 10, seed = 42L)
+  }
+
+  /** Native codegen argmin cell assignment over the fitted centroid
+    * matrix (folded into the plan as a literal → reference object) — the
+    * corpus-wide pass stays inside whole-stage codegen with zero
+    * boxing. */
+  private def cellCol(centroids: Array[Array[Double]],
+      vecCol: Column): Column =
+    call_function("graft_argmin_cell", vecCol,
+      lit(centroids.flatten), lit(centroids.head.length))
+
   /** Deterministic Lloyd k-means with k-means++ seeding over a local point
     * set (the coarse-quantizer fit — points are the bounded fit sample,
     * never the corpus). */
@@ -186,20 +216,9 @@ object Similarity {
       vec: String = "embedding", fitSample: Double = 1.0,
       maxFitRows: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    graft.tokenize.GraftFunctions.register(spark)
-    val fitInput = if (fitSample >= 1.0) corpus
-      else corpus.sample(withReplacement = false, fitSample, 42L)
-    val sample = fitInput.select(col(vec).cast("array<double>"))
-      .limit(maxFitRows).as[Seq[Double]].collect().map(_.toArray)
-    val centroids = kmeansFit(sample, nLists, iters = 10, seed = 42L)
-    // native codegen argmin over the centroid matrix (folded into the plan
-    // as a literal → reference object) — the corpus-wide assignment pass
-    // stays inside whole-stage codegen with zero boxing
-    val dim = centroids.head.length
+    val centroids = fitQuantizer(corpus, vec, nLists, maxFitRows, fitSample)
     val lists = corpus
-      .select(call_function("graft_argmin_cell", col(vec),
-          lit(centroids.flatten), lit(dim)).as("list_id"),
+      .select(cellCol(centroids, col(vec)).as("list_id"),
         col(id).as("neighbor_id"),
         col(vec).as("cv"), norm2Col(col(vec)).as("cn"))
     // centroid table is tiny: ship to a broadcast join against the queries
@@ -377,16 +396,9 @@ object Similarity {
   def ivfNearDupPairs(corpus: DataFrame, minCos: Double, nLists: Int = 16,
       id: String = "vec_id", vec: String = "embedding",
       maxFitRows: Int = 100000): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    graft.tokenize.GraftFunctions.register(spark)
-    val sample = corpus.select(col(vec).cast("array<double>"))
-      .limit(maxFitRows).as[Seq[Double]].collect().map(_.toArray)
-    val centroids = kmeansFit(sample, nLists, iters = 10, seed = 42L)
-    val dim = centroids.head.length
+    val centroids = fitQuantizer(corpus, vec, nLists, maxFitRows)
     val assigned = corpus.select(
-      call_function("graft_argmin_cell", col(vec),
-        lit(centroids.flatten), lit(dim)).as("list_id"),
+      cellCol(centroids, col(vec)).as("list_id"),
       col(id), col(vec), norm2Col(col(vec)).as("n2"))
     val l = assigned.select(col("list_id"), col(id).as("id_a"),
       col(vec).as("va"), col("n2").as("na"))

@@ -60,6 +60,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * analog — one row per doc, MEMORY_AND_DISK so an executor short on
     * memory degrades to local disk instead of evicting). */
   def warm(includeDocs: Boolean = false): Unit = cacheLock.synchronized {
+    // warm() racing (or following) close() must not re-pin frames on a
+    // closed Searcher — the same leak class the per-term swap guards
+    if (isClosed) return
     if (!dictWarmed) {
       dict.persist(StorageLevel.MEMORY_AND_DISK).count()
       dictWarmed = true

@@ -332,6 +332,21 @@ class CorpusFiltersSpec extends SparkTestBase {
       byId(2L)._3.toDouble / byId(2L)._2)
   }
 
+  test("lmScore fails loudly on an empty reference slice") {
+    // V = 0 would quantize ln(Inf) to Long.MaxValue per gram — silent
+    // garbage; the operator must refuse the model instead
+    val corpus = Seq((0L, "some text here")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusFilters.lmScore(corpus, corpus.filter($"doc_id" < 0L))
+    }
+    assert(ex.getMessage.contains("reference slice"))
+    // all-empty texts are just as tokenless
+    val blankRef = Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusFilters.lmScore(corpus, blankRef)
+    }
+  }
+
   test("lmScore plan: corpus map-side, ref tables broadcast") {
     val corpus = docs
     val ref = docs.filter($"doc_id" < 3L)

@@ -106,6 +106,10 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(s.warmed, "dict pin must survive the boolean BM25 path")
     s.close()
     assert(!s.warmed)
+    // warm() after (or racing) close() must not re-pin on a closed
+    // searcher — that frame would never be released
+    s.warm()
+    assert(!s.warmed, "warm() on a closed searcher must be a no-op")
   }
 
   test("components and stratified sample on empty inputs") {

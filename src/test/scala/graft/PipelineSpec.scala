@@ -353,7 +353,14 @@ class PipelineSpec extends SparkTestBase {
     val dups = base.map { case (i, v) =>
       (i + 100L, unit(v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)))
     }
+    // a null and an empty embedding ride along: the fit must skip them
+    // (driver-side NPE otherwise) and the native assignment drops them
+    // from every cell join — they appear in no pair and no verdict
     val vecs = (base ++ dups).toDF("vec_id", "embedding")
+      .unionByName(spark.sql(
+        """SELECT 900L AS vec_id, CAST(null AS array<float>) AS embedding
+           UNION ALL
+           SELECT 901L, array()"""))
     val minCos = 0.995
     val brutePairs = Similarity.bruteNearDupPairs(vecs, minCos)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -229,6 +229,15 @@ class SpanDedupSpec extends SparkTestBase {
     // full cover and empty text
     assert(run("a b", (1L, 2L)) == ((0L, "")))
     assert(run("") == ((0L, "")))
+    // overflow-safe clipping: a huge length clips instead of wrapping
+    // negative and silently skipping the range
+    assert(run("a b c", (2L, Long.MaxValue)) == ((1L, "a")))
+    // negative start with a length long enough to reach into range
+    assert(run("a b c", (-5L, 1000L)) == ((0L, "")))
+    // negative start whose range ends before token 1: covers nothing
+    assert(run("a b c", (-5L, 3L)) == ((3L, "a b c")))
+    // Long.MinValue start can never reach token 1
+    assert(run("a b c", (Long.MinValue, Long.MaxValue)) == ((3L, "a b c")))
   }
 
   test("graft_despan agrees between codegen and interpreted eval") {
@@ -325,6 +334,48 @@ class SpanDedupSpec extends SparkTestBase {
         batch.toDF("doc_id", "text"), squashed, k))
       assert(viaSquash == expect, s"batch $bi via squash")
       layers ::= Dedup.gramCounts(batch.toDF("doc_id", "text"), k)
+    }
+  }
+
+  test("crossedGrams: the compaction rescan key is exact and sufficient") {
+    for (seed <- Seq(7L, 19L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("a", "b", "c", "d", "e")
+      val k = 3
+      val docs = (0L until 40L).map(i =>
+        i -> Seq.fill(rnd.nextInt(22))(vocab(rnd.nextInt(5))).mkString(" "))
+      val base = docs.filter(_._1 < 25)
+      val batch = docs.filter(_._1 >= 25)
+      def winds(ds: Seq[(Long, String)]): Seq[(Long, String)] = ds.flatMap {
+        case (id, t) =>
+          val w = t.split("\\s+").filter(_.nonEmpty)
+          (0 to w.length - k).filter(_ >= 0)
+            .map(p => id -> w.slice(p, p + k).mkString(" "))
+      }
+      val baseOcc = winds(base).groupBy(_._2).view.mapValues(_.size).toMap
+      val batchOcc = winds(batch).groupBy(_._2).view.mapValues(_.size).toMap
+      val expect = (baseOcc.keySet & batchOcc.keySet).filter(g =>
+        baseOcc(g) < 2 && baseOcc(g) + batchOcc(g) >= 2)
+      val crossed = Dedup.crossedGrams(batch.toDF("doc_id", "text"),
+          Dedup.gramCounts(base.toDF("doc_id", "text"), k), k)
+        .as[(String, Long, Long)].collect()
+      assert(crossed.map(_._1).toSet == expect, s"seed=$seed")
+      crossed.foreach { case (g, bo, to) =>
+        assert(bo == baseOcc(g).toLong && to == batchOcc(g).toLong)
+      }
+      // SUFFICIENCY: a base doc containing no crossed gram keeps its
+      // spans verbatim under the grown corpus — only docs the rescan key
+      // selects can change (the compaction contract)
+      val affected = base.filter { case (_, t) =>
+        winds(Seq(0L -> t)).exists(w => expect(w._2)) }.map(_._1).toSet
+      val before = brute(base, k).groupBy(_._1)
+      val after = brute(docs, k).filter(r => r._1 < 25).groupBy(_._1)
+      (base.map(_._1).toSet -- affected).foreach { d =>
+        assert(before.getOrElse(d, Nil) == after.getOrElse(d, Nil),
+          s"seed=$seed unaffected doc $d changed")
+      }
+      // and the split actually exercises the property
+      assert(affected.nonEmpty, s"seed=$seed planted no crossings")
     }
   }
 
