@@ -346,6 +346,62 @@ object Bench {
       despanSec, incSec, incSpans == incExpected))
   }
 
+  /** Semantic-dedup scale row: deterministic clustered embeddings with a
+    * planted near-copy for every first-half id (i ↔ i+n/2, cosine ≈
+    * 0.99999 against an intra-cluster spread of ~0.92), run through the
+    * IVF-celled pair generator + components at growing corpus size.
+    * Planted recall is closed-form like the doc rows: a planted pair is
+    * found iff the quantizer co-locates it (within-cell cosine is exact —
+    * SemDeDup's own approximation, measured here instead of assumed). */
+  private def semDedupScaleOnce(spark: SparkSession, n: Long,
+      nLists: Int): String = {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, Similarity}
+    import org.apache.spark.sql.functions._
+    val half = n / 2
+    val dim = 32
+    val nClusters = 8
+    def mark(s: String): Unit =
+      System.err.println(s"[bench] semdedup n=$n: $s")
+    val vecs = spark.range(n).map { i =>
+      def member(baseId: Long): Array[Double] = {
+        val cr = new scala.util.Random(1000L + (baseId % nClusters))
+        val c = Array.fill(dim)(cr.nextGaussian())
+        val r = new scala.util.Random(baseId)
+        c.map(x => x + 0.3 * r.nextGaussian())
+      }
+      val v = if (i < half) member(i)
+        else {
+          val r = new scala.util.Random(7777L + i)
+          member(i - half).map(x => x + 0.005 * r.nextGaussian())
+        }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (i, v.map(x => (x / norm).toFloat))
+    }.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    val ((nPairs, found), pairSec) = timed {
+      val pairs = Similarity.ivfNearDupPairs(vecs, minCos = 0.995,
+        nLists = nLists, maxFitRows = 20000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val np = pairs.count()
+      val f = pairs.filter(col("id_a") < half &&
+        col("id_b") === col("id_a") + half).count()
+      val (groups, compSec) = timed {
+        Dedup.components(pairs).agg(countDistinct(col("rep_id")))
+          .head().getLong(0)
+      }
+      mark(f"components $compSec%.1fs groups=$groups")
+      pairs.unpersist(blocking = false)
+      (np, f)
+    }
+    vecs.unpersist(blocking = false)
+    mark(f"pairs $pairSec%.1fs n_pairs=$nPairs planted=$found/$half " +
+      s"nlists=$nLists")
+    f"""{"n_vecs":$n,"n_lists":$nLists,"pairs_sec":$pairSec%.3f,""" +
+      f""""n_pairs":$nPairs,"planted_found":$found,"planted":$half}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
@@ -392,8 +448,16 @@ object Bench {
         .split(",").map(_.trim.toLong)
       val (loJ, loS) = dedupScaleOnce(spark, dLo)
       val (hiJ, hiS) = dedupScaleOnce(spark, dHi)
-      (s"""{"lo":$loJ,"hi":$hiJ}""",
-        s"""{"lo":${loS.json},"hi":${hiS.json}}""")
+      // embedding-family analog of the doc rows: planted-recall semantic
+      // dedup at two corpus sizes (nLists grows with n to hold cell size)
+      val Array(sLo, sHi) = sys.env
+        .getOrElse("SPARK_GRAFT_SEMDEDUP_LEVELS", "20000,80000")
+        .split(",").map(_.trim.toLong)
+      val semLoJ = semDedupScaleOnce(spark, sLo, nLists = 64)
+      val semHiJ = semDedupScaleOnce(spark, sHi, nLists = 128)
+      (s"""{"lo":$loJ,"hi":$hiJ,"sem_lo":$semLoJ,"sem_hi":$semHiJ}""",
+        s"""{"lo":${loS.json},"hi":${hiS.json},"sem_lo":$semLoJ,""" +
+          s""""sem_hi":$semHiJ}""")
     }
     if (dedupOnly) {
       val (dj, ds) = dedupScalePair()
