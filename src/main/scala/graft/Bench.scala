@@ -44,6 +44,13 @@ object Bench {
       // Knob kept for re-measuring on other hosts.
       .config("spark.scheduler.mode",
         sys.env.getOrElse("SPARK_GRAFT_SCHED", "FIFO"))
+      // shuffle/broadcast block codec. On this box shuffle dirs live in
+      // tmpfs, so the build's ~2.2 GB shuffle write moves through memory
+      // bandwidth — the same resource the 8→32 scaling study saturates; a
+      // denser codec trades abundant CPU for scarce bytes. Knob for the
+      // A/B (BASELINE.md round-5 record carries the measurement).
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       // shuffle spill to tmpfs: the sandbox's virtio disk has high

@@ -434,6 +434,21 @@ object EntryQueries {
       Dedup.minhashLshPairs(t(s, d, "documents"), numHashes = 64, bands = 16,
         minPct = 80).orderBy(col("id_a"), col("id_b"))),
 
+    // incremental MinHash (the arrival-loop economy, like
+    // q_dedup_spans_inc): base = 6/7 of the corpus contributes only its
+    // PERSISTED band table; the 1/7 batch is deduped against it. The
+    // contract — pairs identical to a full run restricted to those
+    // touching the batch — is exactly what the oracle computes
+    "q_dedup_minhash_inc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val batch = docs.filter(col("doc_id") % 7 === 3)
+      val base = docs.filter(col("doc_id") % 7 =!= 3)
+      Dedup.minhashLshPairsIncremental(batch, base,
+          Dedup.minhashBands(base, numHashes = 64, bands = 16),
+          numHashes = 64, bands = 16, minPct = 80)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents")).orderBy(col("doc_id"))),
 

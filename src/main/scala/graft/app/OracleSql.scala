@@ -425,6 +425,14 @@ object OracleSql {
     // documented bound to re-derive if the corpus grows.
     "q_dedup_minhash" -> JaccardPairs,
 
+    // incremental = the full exact-pair set restricted to pairs touching
+    // the batch (doc_id % 7 = 3); same precision-1 / recall-bound
+    // reasoning as q_dedup_minhash above
+    "q_dedup_minhash_inc" -> s"""
+      SELECT * FROM ($JaccardPairs)
+      WHERE id_a % 7 = 3 OR id_b % 7 = 3
+      ORDER BY id_a, id_b""",
+
     "q_dedup_simhash" -> simhashSql,
 
     // components = min reachable id over the symmetric closure of the

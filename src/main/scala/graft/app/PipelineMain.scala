@@ -16,7 +16,7 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   *          [--budget=2048] [--limit=20]
   *
   * Ops: dedup-exact, dedup-jaccard, dedup-minhash, dedup-simhash,
-  *      components, survivors, spans, spans-inc, despan, quality,
+  *      components, survivors, spans, spans-inc, despan, minhash-inc, quality,
   *      lm-score, langid, pii, repetition, urls, tokens, fingerprint,
   *      chunk, pack, ann-brute, semdedup.
   *
@@ -104,6 +104,14 @@ object PipelineMain {
       case "dedup-minhash" => Dedup.minhashLshPairs(docs, minPct = minPct,
         n = n)
       case "dedup-simhash" => Dedup.simhashPairs(docs, bits = 64)
+      case "minhash-inc" =>
+        // same arrival split as spans-inc: 1/7 of docs are the batch, the
+        // rest stand in for the base's persisted band table
+        val base = docs.filter(col("doc_id") % 7 =!= 3)
+        Dedup.minhashLshPairsIncremental(
+          docs.filter(col("doc_id") % 7 === 3), base,
+          Dedup.minhashBands(base, numHashes = 64, bands = 16),
+          minPct = minPct, n = n)
       case "components" => Dedup.components(jaccard)
       case "survivors" => Dedup.survivors(docs, jaccard)
       case "spans" => Dedup.spanDups(docs, k = k, hashGrams = hashGrams)

@@ -573,6 +573,62 @@ object Dedup {
     sized(inter, counts, id, minPct)
   }
 
+  /** Incremental MinHash+LSH: near-dup pairs TOUCHING an arriving batch,
+    * given the persisted band-bucket table of everything indexed before
+    * it (`baseBands` = [[minhashBands]] output, stored once and appended
+    * per batch — signatures carry no corpus-level state, so per-batch
+    * banding composes exactly). Output rows are IDENTICAL to
+    * `minhashLshPairs(base ∪ batch).filter(id_a ∈ batch ∨ id_b ∈ batch)`
+    * for disjoint id sets — the incremental analog of
+    * [[spanDupsIncremental]]'s contract, and the production arrival loop:
+    * dedup each batch against the corpus without ever re-hashing it.
+    *
+    * Shape at scale:
+    *  1. batch bands map-side + one Θ(batch) self-join for batch-internal
+    *     candidates;
+    *  2. cross candidates probe the persisted base table with a BROADCAST
+    *     of the batch bands — a pure scan of base bands, zero exchange on
+    *     the base side. `broadcastBands=false` degrades to an SMJ for a
+    *     batch that outgrows the broadcast limit — shuffling the band
+    *     table (24 bytes a row), never the corpus;
+    *  3. exact-verify candidates on shingle sets ([[minhashLshPairs]]'s
+    *     precision-1 contract): the base corpus is re-read ONLY for docs
+    *     in a candidate pair (semi-join pushdown on the id column). */
+  def minhashLshPairsIncremental(batch: DataFrame, base: DataFrame,
+      baseBands: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      minPct: Int = 80, n: Int = 3, id: String = "doc_id",
+      text: String = "text", broadcastBands: Boolean = true): DataFrame = {
+    val bb = minhashBands(batch, numHashes, bands, n, id, text)
+    val probe = if (broadcastBands) broadcast(bb) else bb
+    val intra = bb.select(col("band"), col("bucket"), col(id).as("id_a"))
+      .join(probe.select(col("band"), col("bucket"), col(id).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+    val cross = baseBands
+      .select(col("band"), col("bucket"), col(id).as("base_id"))
+      .join(probe.select(col("band"), col("bucket"),
+        col(id).as("batch_id")), Seq("band", "bucket"))
+      .select(least(col("base_id"), col("batch_id")).as("id_a"),
+        greatest(col("base_id"), col("batch_id")).as("id_b"))
+    val cands = intra.select(col("id_a"), col("id_b"))
+      .unionByName(cross).distinct()
+    // verification corpus: the batch plus ONLY the base docs a candidate
+    // names — never the whole base
+    val candIds = cands.select(col("id_a").as(id))
+      .unionByName(cands.select(col("id_b").as(id))).distinct()
+    val involved = batch.select(col(id), col(text)).unionByName(
+      base.select(col(id), col(text))
+        .join(broadcast(candIds), Seq(id), "left_semi"))
+    val sh = shingles(involved, n, id, text)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val inter = cands.join(sh.select(col(id).as("id_a"), col("shingle")),
+        "id_a")
+      .join(sh.select(col(id).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    sized(inter, counts, id, minPct)
+  }
+
   // ---- SimHash --------------------------------------------------------------
 
   /** Bits in the SimHash signature — 31 so every per-bit term and the

@@ -138,6 +138,59 @@ object Similarity {
     kmeansFit(sample, nLists, iters = 10, seed = 42L)
   }
 
+  /** Distributed Lloyd refinement of driver-seeded centroids over the
+    * FULL corpus — the 100-TB complement to [[fitQuantizer]]'s bounded
+    * driver-side sample fit: seed on the sample (bounded cost at any
+    * corpus size), then let every vector vote. Each iteration is one
+    * map-side native argmin assignment plus ONE typed partial aggregation
+    * whose combine is elementwise (sum, count) — k·dim doubles cross the
+    * wire per partition, never the corpus — and a driver-side mean over k
+    * rows. Cells no vector chose keep their centroid (the same emptied-
+    * cluster rule as the local fit); malformed vectors fall out through
+    * `graft_argmin_cell`'s null contract.
+    *
+    * Floating sums are partition-order dependent, so refined centroids
+    * are deterministic only up to ~1 ulp per add — callers needing
+    * bit-stable output across cluster layouts keep `refineIters = 0`
+    * (PipelineSpec pins the refinement against a local Lloyd step at
+    * 1e-9 relative tolerance instead of bit equality). */
+  def kmeansRefine(corpus: DataFrame, centroids: Array[Array[Double]],
+      iters: Int = 1, vec: String = "embedding"): Array[Array[Double]] = {
+    require(centroids.nonEmpty, "kmeansRefine needs seed centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.tokenize.GraftFunctions.register(spark)
+    val dim = centroids.head.length
+    val vecs = corpus
+      .filter(col(vec).isNotNull && size(col(vec)) === dim)
+      .select(col(vec).cast("array<double>").as("v"))
+    var c = centroids
+    var it = 0
+    while (it < iters) {
+      val stats = vecs
+        .select(cellCol(c, col("v")).as("cell"), col("v"))
+        .filter(col("cell").isNotNull)
+        .as[(Int, Array[Double])]
+        .groupByKey(_._1)
+        .mapValues { case (_, v) => (v, 1L) }
+        .reduceGroups { (x, y) =>
+          val s = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { s(i) = x._1(i) + y._1(i); i += 1 }
+          (s, x._2 + y._2)
+        }
+        .collect() // k rows of (cell, (sumVec, n)) — tiny at any scale
+      val next = c.map(_.clone())
+      stats.foreach { case (cell, (sum, n)) =>
+        var i = 0
+        while (i < dim) { next(cell)(i) = sum(i) / n; i += 1 }
+      }
+      c = next
+      it += 1
+    }
+    c
+  }
+
   /** Native codegen argmin cell assignment over the fitted centroid
     * matrix (folded into the plan as a literal → reference object) — the
     * corpus-wide pass stays inside whole-stage codegen with zero
@@ -214,9 +267,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
       nProbe: Int = 4, id: String = "vec_id",
       vec: String = "embedding", fitSample: Double = 1.0,
-      maxFitRows: Int = 100000): DataFrame = {
+      maxFitRows: Int = 100000, refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = fitQuantizer(corpus, vec, nLists, maxFitRows, fitSample)
+    val seed = fitQuantizer(corpus, vec, nLists, maxFitRows, fitSample)
+    val centroids = if (refineIters > 0)
+      kmeansRefine(corpus, seed, refineIters, vec) else seed
     val lists = corpus
       .select(cellCol(centroids, col(vec)).as("list_id"),
         col(id).as("neighbor_id"),
@@ -395,8 +450,13 @@ object Similarity {
     * are the operating point the quantizer fit targets. */
   def ivfNearDupPairs(corpus: DataFrame, minCos: Double, nLists: Int = 16,
       id: String = "vec_id", vec: String = "embedding",
-      maxFitRows: Int = 100000): DataFrame = {
-    val centroids = fitQuantizer(corpus, vec, nLists, maxFitRows)
+      maxFitRows: Int = 100000, refineIters: Int = 0): DataFrame = {
+    val seed = fitQuantizer(corpus, vec, nLists, maxFitRows)
+    // refineIters > 0: the sample-seeded centroids take `refineIters`
+    // full-corpus Lloyd votes ([[kmeansRefine]]) before assignment — the
+    // shape for corpora whose distribution the bounded sample undersells
+    val centroids = if (refineIters > 0)
+      kmeansRefine(corpus, seed, refineIters, vec) else seed
     val assigned = corpus.select(
       cellCol(centroids, col(vec)).as("list_id"),
       col(id), col(vec), norm2Col(col(vec)).as("n2"))
@@ -423,9 +483,10 @@ object Similarity {
     * pair-selective, like survivors). */
   def semDedup(corpus: DataFrame, minCos: Double, nLists: Int = 16,
       id: String = "vec_id", vec: String = "embedding",
-      maxFitRows: Int = 100000): DataFrame = {
+      maxFitRows: Int = 100000, refineIters: Int = 0): DataFrame = {
     val comp = Dedup.components(
-      ivfNearDupPairs(corpus, minCos, nLists, id, vec, maxFitRows))
+      ivfNearDupPairs(corpus, minCos, nLists, id, vec, maxFitRows,
+        refineIters))
     comp.select(col("id").as(id), col("rep_id"),
       (col("id") === col("rep_id")).as("is_survivor"))
   }

@@ -88,6 +88,76 @@ class PipelineSpec extends SparkTestBase {
     assert(lsh.contains((0L, 1L)) && lsh.contains((0L, 2L)))
   }
 
+  test("incremental minhash == full pairs restricted to the batch") {
+    // batch = odd ids {1,3,5,7}, base = even: the planted dups put pairs
+    // in BOTH classes the contract covers — batch-internal (1,5) and
+    // cross (0,1)/(0,5)/(2,5)... — while base-only pairs must not leak
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val full = Dedup.minhashLshPairs(docs, numHashes = 64, bands = 16,
+        minPct = 60).as[(Long, Long, Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(expected.exists(p => p._1 % 2 == 1 && p._2 % 2 == 1),
+      "fixture lost its batch-internal pair")
+    assert(expected.exists(p => p._1 % 2 != p._2 % 2),
+      "fixture lost its cross pair")
+    val baseBands = Dedup.minhashBands(base, numHashes = 64, bands = 16)
+    val inc = Dedup.minhashLshPairsIncremental(batch, base, baseBands,
+        numHashes = 64, bands = 16, minPct = 60)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == expected, s"diff: ${inc -- expected} / ${expected -- inc}")
+    // the degraded big-batch path (band table SMJ, corpus still never
+    // shuffled) must produce the identical set
+    val incSmj = Dedup.minhashLshPairsIncremental(batch, base, baseBands,
+        numHashes = 64, bands = 16, minPct = 60, broadcastBands = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(incSmj == expected)
+  }
+
+  test("kmeansRefine: distributed Lloyd step == local step; error drops") {
+    val rnd = new scala.util.Random(5)
+    val pts = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    // a wrong-dimension vector rides along and must be ignored
+    val df = (pts :+ (900L, Array.fill(3)(0.1f))).toDF("vec_id", "embedding")
+    val seed = Array.fill(4)(Array.fill(8)(rnd.nextGaussian()))
+    val refined = Similarity.kmeansRefine(df, seed, iters = 1)
+    // local replica of one Lloyd step over the same float→double casts
+    val local = pts.map(_._2.map(_.toDouble))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def nearest(p: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bd = d2(p, cs(0)); var j = 1
+      while (j < cs.length) {
+        val dj = d2(p, cs(j)); if (dj < bd) { bd = dj; best = j }; j += 1
+      }
+      best
+    }
+    val byCell = local.groupBy(p => nearest(p, seed))
+    val expected = seed.zipWithIndex.map { case (s0, cell) =>
+      byCell.get(cell) match {
+        case Some(ps) =>
+          val sum = new Array[Double](8)
+          ps.foreach(p => (0 until 8).foreach(i => sum(i) += p(i)))
+          sum.map(_ / ps.length)
+        case None => s0
+      }
+    }
+    refined.zip(expected).zipWithIndex.foreach { case ((r, e), cell) =>
+      r.zip(e).foreach { case (rv, ev) =>
+        assert(math.abs(rv - ev) < 1e-6, s"cell $cell: $rv vs $ev")
+      }
+    }
+    // quantization error is non-increasing (the Lloyd guarantee)
+    def qerr(cs: Array[Array[Double]]): Double =
+      local.map(p => cs.map(c => d2(p, c)).min).sum
+    assert(qerr(refined) <= qerr(seed) + 1e-9,
+      s"refinement raised error: ${qerr(seed)} -> ${qerr(refined)}")
+  }
+
   test("graft_fphash == the HOF ascii-fold formula (incl. unicode)") {
     graft.tokenize.GraftFunctions.register(spark)
     val texts = Seq("", "a", "hello world", "Mixed CASE 123 !?",
