@@ -369,6 +369,18 @@ object EntryQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy(col("text_hash"))),
 
+    // incremental exact dedup (the arrival-loop keep verdict): base = 6/7
+    // of the corpus contributes only its persisted digest table; each doc
+    // of the 1/7 batch is marked is_new iff it is the corpus-wide first
+    // occurrence of its text
+    "q_dedup_exact_inc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.exactIncremental(
+          docs.filter(col("doc_id") % 7 === 3),
+          Dedup.exact(docs.filter(col("doc_id") % 7 =!= 3)))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), n = 3, minPct = 80)
         .orderBy(col("id_a"), col("id_b"))),

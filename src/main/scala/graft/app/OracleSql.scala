@@ -368,6 +368,20 @@ object OracleSql {
              count(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY 1""",
 
+    // arrival-loop keep verdicts: is_new iff first occurrence corpus-wide
+    // (no lower-id batch doc and no base doc shares the digest)
+    "q_dedup_exact_inc" -> """
+      WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+      batch AS (SELECT * FROM h WHERE doc_id % 7 = 3),
+      firsts AS (SELECT text_hash, min(doc_id) AS first_id
+                 FROM batch GROUP BY 1),
+      base AS (SELECT DISTINCT text_hash FROM h WHERE doc_id % 7 <> 3)
+      SELECT b.doc_id, b.text_hash,
+             (b.doc_id = f.first_id AND base.text_hash IS NULL) AS is_new
+      FROM batch b JOIN firsts f USING (text_hash)
+      LEFT JOIN base USING (text_hash)
+      ORDER BY b.doc_id""",
+
     "q_dedup_jaccard" -> JaccardPairs,
 
     // the capped entry drops hot shingles from pair GENERATION only; on the

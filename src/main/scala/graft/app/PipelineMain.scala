@@ -15,10 +15,10 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   *          [--blocklist=a.com,b.org] [--size=512] [--overlap=64]
   *          [--budget=2048] [--limit=20]
   *
-  * Ops: dedup-exact, dedup-jaccard, dedup-minhash, dedup-simhash,
-  *      components, survivors, spans, spans-inc, despan, minhash-inc, quality,
-  *      lm-score, langid, pii, repetition, urls, tokens, fingerprint,
-  *      chunk, pack, ann-brute, semdedup.
+  * Ops: dedup-exact, exact-inc, dedup-jaccard, dedup-minhash,
+  *      minhash-inc, dedup-simhash, components, survivors, spans,
+  *      spans-inc, despan, quality, lm-score, langid, pii, repetition,
+  *      urls, tokens, fingerprint, chunk, pack, ann-brute, semdedup.
   *
   * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
   * testdata sf directory, in which case `documents.parquet` (and
@@ -100,6 +100,10 @@ object PipelineMain {
 
     val result: DataFrame = op match {
       case "dedup-exact" => Dedup.exact(docs)
+      case "exact-inc" =>
+        // same arrival split as the other -inc ops
+        Dedup.exactIncremental(docs.filter(col("doc_id") % 7 === 3),
+          Dedup.exact(docs.filter(col("doc_id") % 7 =!= 3)))
       case "dedup-jaccard" => jaccard
       case "dedup-minhash" => Dedup.minhashLshPairs(docs, minPct = minPct,
         n = n)

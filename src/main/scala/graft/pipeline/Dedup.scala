@@ -36,6 +36,41 @@ object Dedup {
     df.groupBy(md5(col(text)).as("text_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup: per-doc verdicts for an arriving batch
+    * against the persisted digest table of everything indexed before it
+    * (any frame with a `text_hash` column — [[exact]]'s output serves).
+    * Output one row per batch doc: (id, text_hash, is_new) with is_new =
+    * this doc is the corpus-wide FIRST occurrence of its text (no base
+    * doc and no lower-id batch doc shares the digest) — the keep verdict
+    * of the production arrival loop, completing the incremental family
+    * ([[spanDupsIncremental]], [[minhashLshPairsIncremental]]).
+    *
+    * Shape at scale: batch digests map-side + one Θ(batch) first-id
+    * aggregate; the base table is probed by a BROADCAST of the batch's
+    * digest set — a pure scan, zero exchange on the base side
+    * (`broadcastDigests=false` degrades to an SMJ of 32-byte digest rows,
+    * never the corpus). */
+  def exactIncremental(batch: DataFrame, baseDigests: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      broadcastDigests: Boolean = true): DataFrame = {
+    val b = batch.select(col(id), md5(col(text)).as("text_hash"))
+    val firsts = b.groupBy(col("text_hash")).agg(min(col(id)).as("first_id"))
+    val probe = if (broadcastDigests) broadcast(firsts) else firsts
+    // semi-join FIRST, distinct after: the probe bounds the rows entering
+    // the distinct to the batch's digest set, so the base table is scanned
+    // (never exchanged) — distinct-before-probe would hash-aggregate every
+    // base digest
+    val touched = baseDigests.select(col("text_hash"))
+      .join(probe.select(col("text_hash")), Seq("text_hash"), "left_semi")
+      .distinct()
+      .withColumn("in_base", lit(true))
+    val touchedSide = if (broadcastDigests) broadcast(touched) else touched
+    b.join(probe, "text_hash")
+      .join(touchedSide, Seq("text_hash"), "left")
+      .select(col(id), col("text_hash"),
+        (col(id) === col("first_id") && col("in_base").isNull).as("is_new"))
+  }
+
   // ---- shingling ----------------------------------------------------------
 
   /** Distinct word n-gram shingles per doc: (id, shingle) — computed
@@ -616,6 +651,11 @@ object Dedup {
     // names — never the whole base
     val candIds = cands.select(col("id_a").as(id))
       .unionByName(cands.select(col("id_b").as(id))).distinct()
+    // candIds broadcasts UNCONDITIONALLY: it is bounded by the candidate
+    // PAIR count (the dups a batch actually has), a far smaller regime
+    // than the band table the `broadcastBands` flag governs — degrading
+    // this semi-join too would shuffle the base corpus (id, text) rows,
+    // the one exchange this operator exists to avoid
     val involved = batch.select(col(id), col(text)).unionByName(
       base.select(col(id), col(text))
         .join(broadcast(candIds), Seq(id), "left_semi"))

@@ -153,7 +153,7 @@ object Similarity {
     * are deterministic only up to ~1 ulp per add — callers needing
     * bit-stable output across cluster layouts keep `refineIters = 0`
     * (PipelineSpec pins the refinement against a local Lloyd step at
-    * 1e-9 relative tolerance instead of bit equality). */
+    * 1e-6 absolute tolerance on unit-scale values, not bit equality). */
   def kmeansRefine(corpus: DataFrame, centroids: Array[Array[Double]],
       iters: Int = 1, vec: String = "embedding"): Array[Array[Double]] = {
     require(centroids.nonEmpty, "kmeansRefine needs seed centroids")

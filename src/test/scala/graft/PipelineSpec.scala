@@ -114,6 +114,35 @@ class PipelineSpec extends SparkTestBase {
     assert(incSmj == expected)
   }
 
+  test("incremental exact dedup: first-occurrence verdicts vs brute force") {
+    // batch = odd ids; doc 1 duplicates base doc 0 (not new), and a
+    // batch-internal dup pair exercises the lower-id-wins rule
+    // the planted pair's text appears NOWHERE else in the fixture, so its
+    // first occurrence is unambiguously doc 9 (both planted ids are odd →
+    // batch-internal pair, lower id wins)
+    val withBatchDup = docs.unionByName(Seq(
+      (9L, "a genuinely fresh sentence that only these two docs share"),
+      (11L, "a genuinely fresh sentence that only these two docs share")
+    ).toDF("doc_id", "text"))
+    val batch = withBatchDup.filter($"doc_id" % 2 === 1)
+    val base = withBatchDup.filter($"doc_id" % 2 === 0)
+    for (bc <- Seq(true, false)) {
+      val got = Dedup.exactIncremental(batch, Dedup.exact(base),
+          broadcastDigests = bc)
+        .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+      val baseTexts = base.select("text").as[String].collect().toSet
+      val local = batch.select("doc_id", "text").as[(Long, String)].collect()
+      val firstId = local.groupBy(_._2).map { case (t, ds) =>
+        t -> ds.map(_._1).min }
+      local.foreach { case (id, text) =>
+        val expect = !baseTexts.contains(text) && firstId(text) == id
+        assert(got(id) == expect, s"doc $id (broadcast=$bc)")
+      }
+      assert(!got(1L), "doc 1 duplicates base doc 0")
+      assert(got(9L) && !got(11L), "batch-internal dup: lower id wins")
+    }
+  }
+
   test("kmeansRefine: distributed Lloyd step == local step; error drops") {
     val rnd = new scala.util.Random(5)
     val pts = (0L until 200L).map(i =>
