@@ -361,7 +361,7 @@ object Bench {
     * found iff the quantizer co-locates it (within-cell cosine is exact —
     * SemDeDup's own approximation, measured here instead of assumed). */
   private def semDedupScaleOnce(spark: SparkSession, n: Long,
-      nLists: Int): String = {
+      nLists: Int, refineIters: Int = 0): String = {
     import spark.implicits._
     import graft.pipeline.{Dedup, Similarity}
     import org.apache.spark.sql.functions._
@@ -391,7 +391,7 @@ object Bench {
     // dedupScaleOnce pattern); the recall filter and clustering get their
     // own timings so the committed artifact attributes each stage
     val pairs = Similarity.ivfNearDupPairs(vecs, minCos = 0.995,
-      nLists = nLists, maxFitRows = 20000)
+      nLists = nLists, maxFitRows = 20000, refineIters = refineIters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (nPairs, pairSec) = timed(pairs.count())
     val found = pairs.filter(col("id_a") < half &&
@@ -405,8 +405,8 @@ object Bench {
     vecs.unpersist(blocking = false)
     mark(f"pairs $pairSec%.1fs n_pairs=$nPairs planted=$found/$half " +
       s"nlists=$nLists")
-    f"""{"n_vecs":$n,"n_lists":$nLists,"pairs_sec":$pairSec%.3f,""" +
-      f""""components_sec":$compSec%.3f,""" +
+    f"""{"n_vecs":$n,"n_lists":$nLists,"refine_iters":$refineIters,""" +
+      f""""pairs_sec":$pairSec%.3f,"components_sec":$compSec%.3f,""" +
       f""""n_pairs":$nPairs,"planted_found":$found,"planted":$half}"""
   }
 
@@ -466,8 +466,15 @@ object Bench {
         .getOrElse("SPARK_GRAFT_SEMDEDUP_LEVELS", "20000,80000")
         .split(",").map(_.trim.toLong)
       def semLists(n: Long): Int = math.max(16, (math.sqrt(n) / 2.2).toInt)
-      val semLoJ = semDedupScaleOnce(spark, sLo, nLists = semLists(sLo))
-      val semHiJ = semDedupScaleOnce(spark, sHi, nLists = semLists(sHi))
+      // SPARK_GRAFT_SEMDEDUP_REFINE=k adds k full-corpus Lloyd votes to
+      // the sample-seeded quantizer before assignment (kmeansRefine A/B:
+      // does refinement move cell co-location recall at this shape?)
+      val semRefine = sys.env
+        .getOrElse("SPARK_GRAFT_SEMDEDUP_REFINE", "0").toInt
+      val semLoJ = semDedupScaleOnce(spark, sLo, nLists = semLists(sLo),
+        refineIters = semRefine)
+      val semHiJ = semDedupScaleOnce(spark, sHi, nLists = semLists(sHi),
+        refineIters = semRefine)
       (s"""{"lo":$loJ,"hi":$hiJ,"sem_lo":$semLoJ,"sem_hi":$semHiJ}""",
         s"""{"lo":${loS.json},"hi":${hiS.json},"sem_lo":$semLoJ,""" +
           s""""sem_hi":$semHiJ}""")

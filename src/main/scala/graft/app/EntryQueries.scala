@@ -545,6 +545,15 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // trained-classifier quality scoring with FIXED published weights
+    // (training itself is float-nondeterministic across partitionings —
+    // spec-proven instead; the scoring pass is the corpus-wide op and its
+    // quantized sigmoid is engine-reproducible arithmetic)
+    "q_text_classifier" -> ((s, d) =>
+      CorpusFilters.classifierScore(t(s, d, "documents"),
+          Array(-2.0, 0.25, 0.45, -3.0, -4.0, 0.05))
+        .orderBy(col("doc_id"))),
+
     "q_decontaminate" -> ((s, d) => {
       // benchmark = a deterministic 1/97 slice of the corpus standing in
       // for the eval set; n = 3 because the synthetic vocabulary makes

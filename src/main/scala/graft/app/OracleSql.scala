@@ -628,6 +628,42 @@ object OracleSql {
     // vocabulary feed P(w2|w1) = (c2+1)/(c1+V); per-gram ln is quantized
     // to round(x*1e6)::BIGINT so the per-doc sum is order-independent
     // integer arithmetic (raw double sums are association-sensitive)
+    // mirrors classifierScore's arithmetic term for term (same left-assoc
+    // order, same quantization) with the entry's fixed weights
+    "q_text_classifier" -> s"""
+      WITH b AS (SELECT doc_id, length(coalesce(text, ''))::BIGINT AS n_chars,
+                        $WsToks AS toks,
+                        len(regexp_extract_all(coalesce(text, ''),
+                          '[^A-Za-z0-9\\s]'))::BIGINT
+                          AS n_punct
+                 FROM documents),
+      c AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+                   len(list_filter(toks, x -> list_contains($Stop, x)))::BIGINT
+                     AS n_stop,
+                   n_punct
+            FROM b),
+      r AS (SELECT *,
+                   CASE WHEN n_tokens > 0
+                        THEN n_stop::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END
+                     AS stop_ratio,
+                   CASE WHEN n_tokens > 0
+                        THEN (n_chars - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE
+                        ELSE 0.0 END AS mean_word_len
+            FROM c),
+      z AS (SELECT doc_id,
+                   (-2.0 * 1.0
+                    + 0.25 * ln(n_chars::DOUBLE + 1.0)
+                    + 0.45 * ln(n_tokens::DOUBLE + 1.0)
+                    + -3.0 * stop_ratio
+                    + -4.0 * (n_punct::DOUBLE / greatest(n_chars, 1)::DOUBLE)
+                    + 0.05 * mean_word_len) AS z
+            FROM r),
+      q AS (SELECT doc_id,
+                   round(1000000.0 / (exp(-z) + 1.0))::BIGINT AS score_q
+            FROM z)
+      SELECT doc_id, score_q, (score_q >= 500000) AS keep
+      FROM q ORDER BY doc_id""",
+
     "q_text_perplexity" -> s"""
       WITH ws AS (SELECT doc_id, $WsToks AS w FROM documents),
       rex AS (SELECT doc_id, unnest(w) AS tok,

@@ -17,8 +17,9 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   *
   * Ops: dedup-exact, exact-inc, dedup-jaccard, dedup-minhash,
   *      minhash-inc, dedup-simhash, components, survivors, spans,
-  *      spans-inc, despan, quality, lm-score, langid, pii, repetition,
-  *      urls, tokens, fingerprint, chunk, pack, ann-brute, semdedup.
+  *      spans-inc, despan, quality, classifier, lm-score, langid, pii,
+  *      repetition, urls, tokens, fingerprint, chunk, pack, ann-brute,
+  *      semdedup.
   *
   * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
   * testdata sf directory, in which case `documents.parquet` (and
@@ -130,6 +131,11 @@ object PipelineMain {
       case "despan" => Dedup.removeSpans(docs,
         Dedup.spanDups(docs, k = k, hashGrams = hashGrams))
       case "quality" => TextStats.quality(docs)
+      case "classifier" =>
+        // the catalog's fixed published weights; training is an API-level
+        // op (CorpusFilters.trainQualityClassifier) over a labeled frame
+        CorpusFilters.classifierScore(docs,
+          Array(-2.0, 0.25, 0.45, -3.0, -4.0, 0.05))
       case "lm-score" =>
         // ref = the deterministic 1/10 held-out slice (catalog convention)
         CorpusFilters.lmScore(docs, docs.filter(col("doc_id") % 10 === 0))

@@ -168,6 +168,110 @@ object CorpusFilters {
     * shuffled by gram. An EMPTY reference slice fails loudly: V = 0
     * would otherwise make every probability ln(Inf) and quantize to
     * Long.MaxValue — silent garbage scores. */
+  // ---- trained quality classifier (logistic regression) -------------------
+
+  /** Feature count of the trained quality classifier, bias included. */
+  val ClassifierDim: Int = 6
+
+  /** The classifier feature vector, as ONE array column over
+    * [[TextStats.quality]]'s signals: (1, ln(1+chars), ln(1+tokens),
+    * stop_ratio, punct_ratio, mean_word_len). Derived in Column space so
+    * training and scoring share byte-identical arithmetic (Spark's
+    * log/exp are java.lang.Math — the local-replica specs compare
+    * exactly). */
+  private def withFeatures(q: DataFrame): DataFrame =
+    q.withColumn("x", array(
+      lit(1.0),
+      log(col("n_chars").cast("double") + 1.0),
+      log(col("n_tokens").cast("double") + 1.0),
+      col("stop_ratio"),
+      col("n_punct").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"),
+      col("mean_word_len")))
+
+  /** (id, x) classifier features per doc — a zero-shuffle codegen
+    * projection (the quality signals are one native `graft_quality`
+    * pass). */
+  def classifierFeatures(df: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    withFeatures(TextStats.quality(df, id, text)).select(col(id), col("x"))
+
+  /** Distributed full-batch logistic-regression training over a LABELED
+    * frame (id, text, label∈{0,1}) — the fastText-classifier pattern of
+    * the public pipelines (FineWeb-Edu et al.): a model-based keep score
+    * trained on a labeled sample, applied corpus-wide by
+    * [[classifierScore]].
+    *
+    * Each iteration is one typed partial aggregation: the gradient
+    * Σ x·(σ(w·x) − y) combines elementwise map-side, so `ClassifierDim`
+    * doubles per partition cross the wire per step — the [[Similarity.kmeansRefine]]
+    * economy. The labeled set is the scarce resource (human/LLM labels),
+    * so it is bounded by construction; it persists once and is scanned
+    * `iters` times. Floating sums are partition-order dependent — trained
+    * weights are deterministic to ~1 ulp per add, and the spec pins one
+    * distributed step against a local replica at 1e-9.
+    *
+    * Returns the weight vector for [[classifierScore]]. */
+  def trainQualityClassifier(labeled: DataFrame, iters: Int = 100,
+      lr: Double = 1.0, id: String = "doc_id", text: String = "text",
+      label: String = "label"): Array[Double] = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val xy = classifierFeatures(labeled, id, text)
+      .join(labeled.select(col(id), col(label).cast("double").as("y")), id)
+      .select(col("x"), col("y")).as[(Array[Double], Double)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = xy.count().toDouble
+    require(n > 0, "trainQualityClassifier: empty labeled frame")
+    var w = new Array[Double](ClassifierDim)
+    var it = 0
+    while (it < iters) {
+      val wB = w
+      val grad = xy.map { case (x, y) =>
+        var z = 0.0
+        var i = 0
+        while (i < ClassifierDim) { z += wB(i) * x(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val g = new Array[Double](ClassifierDim)
+        i = 0
+        while (i < ClassifierDim) { g(i) = (p - y) * x(i); i += 1 }
+        g
+      }.groupByKey(_ => 0)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](ClassifierDim)
+          var i = 0
+          while (i < ClassifierDim) { s(i) = a(i) + b(i); i += 1 }
+          s
+        }.map(_._2).head()
+      val next = new Array[Double](ClassifierDim)
+      var i = 0
+      while (i < ClassifierDim) { next(i) = w(i) - lr * grad(i) / n; i += 1 }
+      w = next
+      it += 1
+    }
+    xy.unpersist(blocking = false)
+    w
+  }
+
+  /** Corpus-wide scoring with FIXED weights: (id, score_q, keep) with
+    * score_q = round(10⁶·σ(w·x)) and keep = score_q ≥ 500000 — the
+    * [[lmScore]] quantization trick, so the whole row is SQL-mirrorable
+    * arithmetic and the gate can hash-compare. Zero shuffles: weights
+    * fold in as literals and the pass stays inside whole-stage codegen. */
+  def classifierScore(df: DataFrame, weights: Array[Double],
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(weights.length == ClassifierDim,
+      s"classifierScore needs $ClassifierDim weights, got ${weights.length}")
+    val z = (0 until ClassifierDim)
+      .map(i => lit(weights(i)) * element_at(col("x"), i + 1))
+      .reduce(_ + _)
+    withFeatures(TextStats.quality(df, id, text))
+      .select(col(id),
+        round(lit(1000000.0) / (exp(-z) + lit(1.0))).cast("long")
+          .as("score_q"))
+      .withColumn("keep", col("score_q") >= 500000)
+  }
+
   def lmScore(corpus: DataFrame, ref: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     graft.tokenize.GraftFunctions.register(corpus.sparkSession)

@@ -47,9 +47,11 @@ object Dedup {
     *
     * Shape at scale: batch digests map-side + one Θ(batch) first-id
     * aggregate; the base table is probed by a BROADCAST of the batch's
-    * digest set — a pure scan, zero exchange on the base side
-    * (`broadcastDigests=false` degrades to an SMJ of 32-byte digest rows,
-    * never the corpus). */
+    * digest set — the base scan is never repartitioned; the only
+    * base-DERIVED exchange is the distinct over the probe-surviving
+    * (batch-bounded) touched set (`broadcastDigests=false` degrades to an
+    * SMJ of 32-byte digest rows, never the corpus). Pinned in
+    * SpanDedupSpec's exactIncremental plan test. */
   def exactIncremental(batch: DataFrame, baseDigests: DataFrame,
       id: String = "doc_id", text: String = "text",
       broadcastDigests: Boolean = true): DataFrame = {

@@ -367,4 +367,97 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join in:\n$plan")
   }
+
+  // ---- trained quality classifier -----------------------------------------
+
+  /** Local replica of the classifier feature vector — the same formulas
+    * `withFeatures` builds in Column space (both sides are
+    * java.lang.Math, so equality is exact). */
+  private def localFeatures(text: String): Array[Double] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val nChars = text.length.toDouble
+    val nToks = toks.length.toDouble
+    val nStop = toks.count(TextStats.Stopwords.contains).toDouble
+    // the kernel's punct class is [^A-Za-z0-9\s]: ASCII-alnum-or-\s
+    // excluded, everything else counted
+    def asciiAlnum(c: Char): Boolean =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9')
+    def wsClass(c: Char): Boolean = " \t\n\u000B\f\r".indexOf(c.toInt) >= 0
+    val nPunct = text.count(c => !asciiAlnum(c) && !wsClass(c)).toDouble
+    val stopRatio = if (nToks > 0) nStop / nToks else 0.0
+    val meanWl = if (nToks > 0) (nChars - (nToks - 1)) / nToks else 0.0
+    Array(1.0, math.log(nChars + 1.0), math.log(nToks + 1.0),
+      stopRatio, nPunct / math.max(nChars, 1.0), meanWl)
+  }
+
+  /** Labeled fixture: docs whose keep/drop signal is (noisily) linear in
+    * the features — low-stopword informative text vs stopword soup. */
+  private lazy val labeled: DataFrame = {
+    val rnd = new scala.util.Random(11)
+    val stopish = TextStats.Stopwords
+    val wordsGood = Seq("kernel", "shuffle", "partition", "codegen",
+      "lattice", "quantile", "spectrum", "manifold")
+    (0L until 120L).map { i =>
+      val good = i % 2 == 0
+      val n = 8 + rnd.nextInt(8)
+      val words = (0 until n).map { _ =>
+        val fromGood = if (good) rnd.nextInt(10) < 9 else rnd.nextInt(10) < 2
+        if (fromGood) wordsGood(rnd.nextInt(wordsGood.length))
+        else stopish(rnd.nextInt(stopish.length))
+      }
+      (i, words.mkString(" "), if (good) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+  }
+
+  test("classifierScore equals the local sigmoid replica exactly") {
+    val w = Array(-2.0, 0.25, 0.45, -3.0, -4.0, 0.05)
+    val got = CorpusFilters.classifierScore(docs, w)
+      .select("doc_id", "score_q", "keep")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val local = docs.as[(Long, String)].collect()
+    local.foreach { case (id, text) =>
+      val x = localFeatures(text)
+      val z = (0 until CorpusFilters.ClassifierDim)
+        .map(i => w(i) * x(i)).foldLeft(0.0)(_ + _)
+      val q = math.round(1000000.0 / (math.exp(-z) + 1.0))
+      assert(got(id)._2 == q, s"doc $id: ${got(id)._2} vs $q")
+      assert(got(id)._3 == (q >= 500000), s"doc $id keep")
+    }
+  }
+
+  test("trainQualityClassifier: one distributed step == local; learns") {
+    // one-step parity against a local full-batch gradient from w = 0
+    val oneStep = CorpusFilters.trainQualityClassifier(labeled, iters = 1,
+      lr = 1.0)
+    val xy = labeled.as[(Long, String, Int)].collect()
+      .map { case (_, t, y) => (localFeatures(t), y.toDouble) }
+    val grad = new Array[Double](CorpusFilters.ClassifierDim)
+    xy.foreach { case (x, y) =>
+      val p = 0.5 // sigma(0)
+      (0 until CorpusFilters.ClassifierDim)
+        .foreach(i => grad(i) += (p - y) * x(i))
+    }
+    val expected = grad.map(g => -1.0 * g / xy.length)
+    oneStep.zip(expected).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-9, s"$a vs $e")
+    }
+    // trained model separates the planted classes and beats the w=0 loss
+    val w = CorpusFilters.trainQualityClassifier(labeled, iters = 150,
+      lr = 2.0)
+    def loss(wv: Array[Double]): Double = xy.map { case (x, y) =>
+      val z = (0 until CorpusFilters.ClassifierDim)
+        .map(i => wv(i) * x(i)).sum
+      val p = 1.0 / (1.0 + math.exp(-z))
+      -(y * math.log(p + 1e-12) + (1 - y) * math.log(1 - p + 1e-12))
+    }.sum / xy.length
+    assert(loss(w) < loss(new Array[Double](CorpusFilters.ClassifierDim)),
+      s"training did not reduce loss: ${loss(w)}")
+    val acc = xy.count { case (x, y) =>
+      val z = (0 until CorpusFilters.ClassifierDim)
+        .map(i => w(i) * x(i)).sum
+      (if (z >= 0) 1.0 else 0.0) == y
+    }.toDouble / xy.length
+    assert(acc >= 0.9, s"accuracy $acc on the planted linear rule")
+  }
 }

@@ -404,4 +404,51 @@ class SpanDedupSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("exactIncremental plan: base digests scanned, batch-sized shuffles") {
+    // the arrival-loop contract for the exact family: a PERSISTED digest
+    // table rides broadcast probes; the only text_hash exchanges are the
+    // Θ(batch) firsts aggregate and the batch-bounded touched distinct —
+    // a third would mean the base table itself got repartitioned
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inc_digests").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.exact(docs.filter($"doc_id" % 2 === 0))
+      .write.mode("overwrite").parquet(dir)
+    val digests = spark.read.parquet(dir)
+    val inc = Dedup.exactIncremental(docs.filter($"doc_id" % 2 === 1),
+      digests)
+    inc.collect()
+    val plan = inc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .linesIterator.filterNot(_.contains("ReusedExchange")).mkString("\n")
+    assert("Exchange hashpartitioning\\(text_hash".r
+      .findAllIn(plan).length <= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("minhashIncremental plan: every base-side join is a broadcast") {
+    // the base band table and the base corpus appear only under broadcast
+    // probes (band collision + candidate semi-join): an SMJ anywhere in
+    // the final adaptive plan would mean a base-side frame got shuffled —
+    // the exchange this operator exists to avoid. Batch-sized shuffles
+    // (batch signatures, candidate distinct, verify aggregates) remain.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inc_bands").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    Dedup.minhashBands(base, numHashes = 64, bands = 16)
+      .write.mode("overwrite").parquet(dir)
+    val bands = spark.read.parquet(dir)
+    val inc = Dedup.minhashLshPairsIncremental(
+      docs.filter($"doc_id" % 2 === 1), base, bands,
+      numHashes = 64, bands = 16, minPct = 60)
+    inc.collect()
+    val plan = inc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
