@@ -371,7 +371,8 @@ object OracleSql {
     // arrival-loop keep verdicts: is_new iff first occurrence corpus-wide
     // (no lower-id batch doc and no base doc shares the digest)
     "q_dedup_exact_inc" -> """
-      WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+      WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS text_hash
+                 FROM documents),
       batch AS (SELECT * FROM h WHERE doc_id % 7 = 3),
       firsts AS (SELECT text_hash, min(doc_id) AS first_id
                  FROM batch GROUP BY 1),

@@ -55,14 +55,24 @@ object Dedup {
   def exactIncremental(batch: DataFrame, baseDigests: DataFrame,
       id: String = "doc_id", text: String = "text",
       broadcastDigests: Boolean = true): DataFrame = {
-    val b = batch.select(col(id), md5(col(text)).as("text_hash"))
+    // null text reads as an empty doc (the TextStats convention) on BOTH
+    // sides: a null digest key would silently drop the doc from every
+    // equality join — no verdict at all for a null-text arrival.
+    // [[exact]]'s output represents null-text base docs under a null
+    // text_hash (md5(NULL) groups as NULL there), so the base side
+    // normalizes that group to the empty-string digest here.
+    val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    val b = batch.select(col(id),
+      md5(coalesce(col(text), lit(""))).as("text_hash"))
+    val baseD = baseDigests.select(
+      coalesce(col("text_hash"), lit(EmptyMd5)).as("text_hash"))
     val firsts = b.groupBy(col("text_hash")).agg(min(col(id)).as("first_id"))
     val probe = if (broadcastDigests) broadcast(firsts) else firsts
     // semi-join FIRST, distinct after: the probe bounds the rows entering
     // the distinct to the batch's digest set, so the base table is scanned
     // (never exchanged) — distinct-before-probe would hash-aggregate every
     // base digest
-    val touched = baseDigests.select(col("text_hash"))
+    val touched = baseD
       .join(probe.select(col("text_hash")), Seq("text_hash"), "left_semi")
       .distinct()
       .withColumn("in_base", lit(true))

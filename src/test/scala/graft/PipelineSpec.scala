@@ -119,10 +119,14 @@ class PipelineSpec extends SparkTestBase {
     // batch-internal dup pair exercises the lower-id-wins rule
     // the planted pair's text appears NOWHERE else in the fixture, so its
     // first occurrence is unambiguously doc 9 (both planted ids are odd →
-    // batch-internal pair, lower id wins)
+    // batch-internal pair, lower id wins); 12/13 plant the null≡empty
+    // convention — a null-text arrival must get a verdict, and it matches
+    // a base empty-string doc
     val withBatchDup = docs.unionByName(Seq(
       (9L, "a genuinely fresh sentence that only these two docs share"),
-      (11L, "a genuinely fresh sentence that only these two docs share")
+      (11L, "a genuinely fresh sentence that only these two docs share"),
+      (12L, ""),
+      (13L, null.asInstanceOf[String])
     ).toDF("doc_id", "text"))
     val batch = withBatchDup.filter($"doc_id" % 2 === 1)
     val base = withBatchDup.filter($"doc_id" % 2 === 0)
@@ -130,16 +134,23 @@ class PipelineSpec extends SparkTestBase {
       val got = Dedup.exactIncremental(batch, Dedup.exact(base),
           broadcastDigests = bc)
         .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
-      val baseTexts = base.select("text").as[String].collect().toSet
+      // local replica under the null≡empty convention
+      def norm(t: String): String = if (t == null) "" else t
+      val baseTexts = base.select("text").as[String].collect()
+        .map(norm).toSet
       val local = batch.select("doc_id", "text").as[(Long, String)].collect()
+        .map { case (id, t) => (id, norm(t)) }
       val firstId = local.groupBy(_._2).map { case (t, ds) =>
         t -> ds.map(_._1).min }
+      assert(got.keySet == local.map(_._1).toSet,
+        "one verdict row per batch doc, null text included")
       local.foreach { case (id, text) =>
         val expect = !baseTexts.contains(text) && firstId(text) == id
         assert(got(id) == expect, s"doc $id (broadcast=$bc)")
       }
       assert(!got(1L), "doc 1 duplicates base doc 0")
       assert(got(9L) && !got(11L), "batch-internal dup: lower id wins")
+      assert(!got(13L), "null-text arrival matches the base empty doc")
     }
   }
 
