@@ -352,6 +352,39 @@ object EntryQueries {
         .orderBy($"user_id")
     }),
 
+    "q_dedup_stream" -> ((s, d) => {
+      // dedup-on-ingest (StreamingDedup): a bounded id-ordered slice of
+      // the documents table replays in three micro-batches; each batch is
+      // judged against the digest state the earlier batches appended.
+      // Ids increase with arrival order, so the verdicts must equal a
+      // corpus-wide first-occurrence pass over the slice — the oracle's
+      // window expression. The driver-side replay is the harness
+      // (production input is readStream on the documents source); the id
+      // cap bounds the collect like StreamUserCap above.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val all = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("long"), col("text"))
+        .orderBy(col("doc_id")).as[(Long, String)].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-qsdedup").toString
+      val q = graft.streaming.StreamingDedup.start(s,
+        source.toDF().toDF("doc_id", "text"), root, s"$root-ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try {
+        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+          source.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$root/verdicts")
+        .dropDuplicates("batch_id", "doc_id")
+        .select(col("doc_id"), col("text_hash"), col("is_new"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- text-analysis pipeline ---------------------------------------------
     "q_text_token_counts" -> ((s, d) =>
       TextStats.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))),

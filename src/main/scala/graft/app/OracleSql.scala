@@ -383,6 +383,15 @@ object OracleSql {
       LEFT JOIN base USING (text_hash)
       ORDER BY b.doc_id""",
 
+    // arrival order == id order in the entry's replay, so streaming
+    // first-occurrence verdicts equal the corpus-wide window pass
+    "q_dedup_stream" -> """
+      WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS text_hash
+                 FROM documents WHERE doc_id < 300)
+      SELECT doc_id, text_hash,
+             (doc_id = min(doc_id) OVER (PARTITION BY text_hash)) AS is_new
+      FROM h ORDER BY doc_id""",
+
     "q_dedup_jaccard" -> JaccardPairs,
 
     // the capped entry drops hot shingles from pair GENERATION only; on the

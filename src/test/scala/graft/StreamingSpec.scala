@@ -132,4 +132,39 @@ class StreamingSpec extends SparkTestBase {
     assert(a == b)
     assert(IndexCheck.healthy(spark, store))
   }
+
+  test("streaming dedup-on-ingest: arrival-order first-occurrence verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft-sdedup")
+    val ckpt = tmpDir("graft-sdedup-ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.start(spark,
+      source.toDF().toDF("doc_id", "text"), root, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: two fresh texts
+      source.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch dup of "alpha", a fresh text, and a
+      // within-batch dup of it (lower id wins)
+      source.addData((3L, "alpha"), (4L, "gamma"), (5L, "gamma"))
+      q.processAllAvailable()
+      // batch 3: a cross-batch dup two batches back, and one fresh
+      source.addData((6L, "beta"), (7L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .dropDuplicates("batch_id", "doc_id") // the documented reader shape
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+    val expected = Map(1L -> true, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false, 7L -> true)
+    assert(verdicts == expected, verdicts.toSeq.sorted.mkString(", "))
+    // the verdicts equal a corpus-wide first-occurrence pass (ids arrive
+    // in increasing order, so arrival order == id order)
+    val all = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"),
+      (5L, "gamma"), (6L, "beta"), (7L, "delta"))
+    val firstIds = all.groupBy(_._2).map { case (_, ds) =>
+      ds.map(_._1).min }.toSet
+    assert(verdicts.filter(_._2).keySet == firstIds)
+  }
 }
