@@ -370,8 +370,11 @@ object EntryQueries {
         .MemoryStream[(Long, String)]
       val root = java.nio.file.Files
         .createTempDirectory("graft-qsdedup").toString
+      // checkpoint lives UNDER root so the single recursive delete below
+      // cleans every run artifact (repeated gate runs were accumulating
+      // unbounded /tmp state)
       val q = graft.streaming.StreamingDedup.start(s,
-        source.toDF().toDF("doc_id", "text"), root, s"$root-ckpt",
+        source.toDF().toDF("doc_id", "text"), root, s"$root/ckpt",
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
       try {
         all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
@@ -379,9 +382,15 @@ object EntryQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
-      s.read.parquet(s"$root/verdicts")
+      // materialize the bounded verdict slice BEFORE deleting the state
+      // dirs (the returned frame outlives this function)
+      val rows = s.read.parquet(s"$root/verdicts")
         .dropDuplicates("batch_id", "doc_id")
         .select(col("doc_id"), col("text_hash"), col("is_new"))
+        .as[(Long, String, Boolean)].collect()
+      graft.index.IndexBuilder.deleteRecursive(
+        java.nio.file.Paths.get(root))
+      rows.toSeq.toDF("doc_id", "text_hash", "is_new")
         .orderBy(col("doc_id"))
     }),
 

@@ -13,33 +13,42 @@ import graft.pipeline.Dedup
   * as a `foreachBatch` sink.
   *
   * State layout under `root`:
-  *  - `root/digests` — the append-only digest table: each micro-batch
-  *    appends its own [[Dedup.exact]] digests after being judged. The
-  *    table is the probe target of the NEXT batch — scanned under a
-  *    broadcast of that batch's digest set, never shuffled (the
-  *    [[Dedup.spanDupsIncremental]] shape; duplicate digests across
-  *    layers are harmless — the probe distincts the touched set).
+  *  - `root/digests` — the append-only digest table, one
+  *    (text_hash, batch_id) row per distinct digest per batch. A batch is
+  *    judged ONLY against digests with `batch_id < its own` — so a batch
+  *    REPLAYED after its digest append (the foreachBatch at-least-once
+  *    window: crash after the appends, before the checkpoint commit)
+  *    never sees its own digests and re-emits byte-identical verdicts.
+  *    The probe is the [[Dedup.spanDupsIncremental]] shape: the state
+  *    table is scanned under a broadcast of the batch's digest set,
+  *    never shuffled.
   *  - `root/verdicts` — the sink: one (doc_id, text_hash, is_new,
   *    batch_id) row per arrived doc, `is_new` = first occurrence in
   *    arrival order (earlier batch wins; within a batch, lowest id — so
   *    with ids increasing in arrival order the verdicts equal a full
-  *    corpus-wide [[Dedup.exact]] first-occurrence pass).
+  *    corpus-wide first-occurrence pass). Digests derive from the SAME
+  *    judged frame (no second md5 scan of the batch), so the state table
+  *    carries the normalized null≡empty digests by construction.
   *
   * Exactly-once shape: the streaming checkpoint records batch coverage;
-  * a batch REPLAYED after a failure between the two appends re-appends
-  * rows. Digest duplicates are semantically inert (see above); verdict
-  * rows are at-least-once — readers needing exactly-once dedup verdicts
-  * read `dropDuplicates("batch_id", "doc_id")`, the usual idempotent-sink
+  * a replayed batch re-appends rows. Digest re-appends are inert (the
+  * batch_id filter plus the probe's distinct); verdict rows are
+  * at-least-once AND identical across replays (see above), so readers
+  * needing exactly-once verdicts read
+  * `dropDuplicates("batch_id", "doc_id")` — the usual idempotent-sink
   * convention for append-mode foreachBatch.
   *
   * The other incremental operators compose the same way: persist
   * [[Dedup.gramCounts]] layers for span dedup or [[Dedup.minhashBands]]
-  * for near-dup pairs, append per batch, probe on arrival.
+  * for near-dup pairs, append per batch with the same batch_id tag,
+  * probe on arrival.
   */
 object StreamingDedup {
 
   /** Start judging `docs` (a STREAMING DataFrame with `doc_id`, `text`)
-    * against the digest state at `root`. */
+    * against the digest state at `root`. The state dirs may live on any
+    * Hadoop-visible filesystem (existence is resolved through the same
+    * FileSystem Spark writes to, not the driver's local disk). */
   def start(spark: SparkSession, docs: DataFrame, root: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -54,16 +63,21 @@ object StreamingDedup {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           import s.implicits._
+          val hPath = new org.apache.hadoop.fs.Path(digestsDir)
+          val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           val base =
-            if (java.nio.file.Files.isDirectory(
-                java.nio.file.Paths.get(digestsDir)))
+            if (fs.exists(hPath))
               s.read.parquet(digestsDir)
+                .filter(col("batch_id") < batchId)
             else Seq.empty[String].toDF("text_hash")
-          Dedup.exactIncremental(batch, base)
+          val verdicts = Dedup.exactIncremental(batch, base)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(verdictsDir)
-          Dedup.exact(batch).select("text_hash")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          verdicts.write.mode("append").parquet(verdictsDir)
+          verdicts.select(col("text_hash")).distinct()
+            .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(digestsDir)
+          verdicts.unpersist(blocking = false)
           ()
         }
       }

@@ -166,5 +166,18 @@ class StreamingSpec extends SparkTestBase {
     val firstIds = all.groupBy(_._2).map { case (_, ds) =>
       ds.map(_._1).min }.toSet
     assert(verdicts.filter(_._2).keySet == firstIds)
+    // replay identity: re-judging the LAST batch against digests with
+    // batch_id < its own (exactly what a replayed foreachBatch sees)
+    // reproduces its recorded verdicts byte for byte
+    val digests = spark.read.parquet(s"$root/digests")
+    assert(digests.columns.toSet == Set("text_hash", "batch_id"))
+    assert(digests.filter($"text_hash".isNull).count() == 0)
+    val lastBatchId = digests.agg(org.apache.spark.sql.functions.max(
+      $"batch_id")).as[Long].head()
+    val replayed = graft.pipeline.Dedup.exactIncremental(
+        Seq((6L, "beta"), (7L, "delta")).toDF("doc_id", "text"),
+        digests.filter($"batch_id" < lastBatchId))
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+    assert(replayed == Map(6L -> false, 7L -> true))
   }
 }
