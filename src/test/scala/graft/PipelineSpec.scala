@@ -154,6 +154,48 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("seeded fuzz: incremental exact/minhash == full-run restriction") {
+    // random corpora from tiny vocabularies (heavy accidental shingle
+    // overlap — the adversarial regime for candidate generation), random
+    // batch predicates: both incremental operators must reproduce the
+    // full run restricted to pairs/docs touching the batch, on BOTH join
+    // paths
+    for ((seed, mod) <- Seq((41L, 2), (42L, 3), (43L, 5))) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("ga", "bu", "zo", "meu", "ren", "tok")
+      val corpus = (0L until 40L).map(i =>
+        i -> Seq.fill(4 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")).toDF("doc_id", "text")
+      val batch = corpus.filter($"doc_id" % mod === 1)
+      val base = corpus.filter($"doc_id" % mod =!= 1)
+      // minhash family
+      val full = Dedup.minhashLshPairs(corpus, numHashes = 64, bands = 16,
+        minPct = 60).as[(Long, Long, Long, Long)].collect().toSet
+      val expPairs = full.filter(p => p._1 % mod == 1 || p._2 % mod == 1)
+      val bands = Dedup.minhashBands(base, numHashes = 64, bands = 16)
+      for (bc <- Seq(true, false)) {
+        val inc = Dedup.minhashLshPairsIncremental(batch, base, bands,
+            numHashes = 64, bands = 16, minPct = 60, broadcastBands = bc)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(inc == expPairs, s"seed=$seed mod=$mod broadcast=$bc")
+      }
+      // exact family
+      val texts = corpus.as[(Long, String)].collect()
+      val baseTexts = texts.filter(_._1 % mod != 1).map(_._2).toSet
+      val batchDocs = texts.filter(_._1 % mod == 1)
+      val firstId = batchDocs.groupBy(_._2).map { case (t, ds) =>
+        t -> ds.map(_._1).min }
+      val expNew = batchDocs.map { case (id, t) =>
+        id -> (!baseTexts.contains(t) && firstId(t) == id) }.toMap
+      for (bc <- Seq(true, false)) {
+        val got = Dedup.exactIncremental(batch, Dedup.exact(base),
+            broadcastDigests = bc)
+          .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+        assert(got == expNew, s"seed=$seed mod=$mod broadcast=$bc")
+      }
+    }
+  }
+
   test("kmeansRefine: distributed Lloyd step == local step; error drops") {
     val rnd = new scala.util.Random(5)
     val pts = (0L until 200L).map(i =>
