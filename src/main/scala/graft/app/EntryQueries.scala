@@ -503,6 +503,22 @@ object EntryQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // incremental exact jaccard (the arrival loop's exact-recall member):
+    // base = 8/9 of the corpus contributes only its persisted shingle-set
+    // and set-size tables; the batch is judged at Θ(batch) — output
+    // identical to the full pair list restricted to pairs touching the
+    // batch (hash-exact against the same JaccardPairs oracle)
+    "q_dedup_jaccard_inc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val batch = docs.filter(col("doc_id") % 9 === 4)
+      val base = docs.filter(col("doc_id") % 9 =!= 4)
+      val baseSets = Dedup.shingleSets(base, n = 3)
+      Dedup.jaccardPairsIncremental(batch, baseSets,
+          baseSizes = Some(Dedup.shingleSetSizes(baseSets)),
+          n = 3, minPct = 80)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents")).orderBy(col("doc_id"))),
 
@@ -770,6 +786,29 @@ object EntryQueries {
     "q_fts_bm25" -> ((s, d) => {
       val res = searcher(s, indexDirFull(s, d))
         .searchBm25("customer stream window", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
+    // phrase search (engine extension — the reference index is
+    // positionless): index AND-prunes candidates, the native
+    // graft_phrase_count kernel confirms kept-token adjacency map-side
+    // over ONLY the candidate rows; cnt counts overlapping occurrences
+    "q_fts_phrase" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchPhrase(docsCorpus(s, d), "value table")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the phrase as ONE virtual BM25 term: tf = occurrence count,
+    // df = docs containing the phrase — rank-only output like q_fts_bm25
+    "q_fts_phrase_bm25" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d))
+        .searchPhraseBm25(docsCorpus(s, d), "value table", k = 20)
       val w = Window.orderBy(col("score").desc, col("doc_id"))
       res.select(asDocId(col("conv_id")), col("score"))
         .withColumn("rnk", row_number().over(w).cast("long"))

@@ -253,13 +253,16 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25] [--k=10]
-  *        [--exact] [--min-char=N] [--config=<file>] */
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25|phrase|phrase-bm25]
+  *        [--k=10] [--exact] [--min-char=N] [--config=<file>]
+  *        [--corpus=<parquet|gen:N|fs:dir>   (phrase modes: the index is
+  *         positionless, so adjacency confirms against the corpus text)] */
 object SearchMain {
 
   /** Fully-resolved search invocation (CLI flags over config values). */
   final case class Resolved(indexDir: String, query: String, mode: String,
-      k: Int, conf: EngineConf, logLevel: Option[String])
+      k: Int, conf: EngineConf, logLevel: Option[String],
+      corpus: Option[String] = None)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -284,10 +287,12 @@ object SearchMain {
               case s if s.startsWith("--min-char=") =>
                 s.stripPrefix("--min-char=").toInt
             }.getOrElse(base.minCharForMatch)),
-          logLevel = cfg.map(ConfigFile.logLevel)))
+          logLevel = cfg.map(ConfigFile.logLevel),
+          corpus = args.collectFirst { case s if s.startsWith("--corpus=") =>
+            s.stripPrefix("--corpus=") }))
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|bm25] [--k=10] [--exact] [--min-char=N] " +
-        "[--config=<file>]")
+        "[--mode=count|bm25|phrase|phrase-bm25] [--k=10] [--exact] " +
+        "[--min-char=N] [--config=<file>] [--corpus=<parquet|gen:N|fs:dir>]")
     }
   }
 
@@ -310,10 +315,29 @@ object SearchMain {
     }
     val searcher = new Searcher(spark, store, conf)
 
+    // phrase modes confirm adjacency against the corpus text (the index is
+    // positionless); resolve it once, lazily, so count/bm25 never pay it
+    lazy val phraseCorpus: org.apache.spark.sql.Dataset[graft.model.Turn] = {
+      import spark.implicits._
+      val src = r.corpus.getOrElse {
+        System.err.println("phrase modes need --corpus=<parquet|gen:N|fs:dir>")
+        searcher.close(); spark.stop(); sys.exit(2)
+      }
+      if (src.startsWith("gen:"))
+        TranscriptGen.dataset(spark, src.stripPrefix("gen:").toLong,
+          partitions = spark.sparkContext.defaultParallelism)
+      else if (src.startsWith("fs:"))
+        graft.sources.FileCorpus.read(spark, src.stripPrefix("fs:"))
+      else spark.read.parquet(src).as[graft.model.Turn]
+    }
+
     def runOne(q: String): Unit = {
       val t0 = System.nanoTime()
       val rows = mode match {
         case "bm25" => searcher.searchBm25(q, k).collect()
+        case "phrase" => searcher.searchPhrase(phraseCorpus, q).collect()
+        case "phrase-bm25" =>
+          searcher.searchPhraseBm25(phraseCorpus, q, k).collect()
         case _ => searcher.searchCount(q).collect()
       }
       Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)

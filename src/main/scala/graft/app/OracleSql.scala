@@ -124,6 +124,51 @@ object OracleSql {
   /** BM25 constants written as the engine computes them (1.2 + 1.0, not a
     * pre-folded literal) so both engines round identically. */
   private val Bm25Terms = Seq("customer", "stream", "window")
+  /** [[FtsTok]] with token positions kept and re-ranked densely over the
+    * KEPT stream (`p`): phrase adjacency is adjacency among kept tokens —
+    * dropped words do not break a phrase, exactly like a positional index
+    * built from the same stream. */
+  private val FtsPosTok = """
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ex AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos,
+                  len(w) AS n
+           FROM ws),
+    tokp AS (SELECT doc_id, pos, word AS term FROM ex
+             WHERE (pos < n AND length(word) > 4 AND length(word) < 15)
+                OR (pos = n AND length(word) > 3 AND length(word) < 20)),
+    rk AS (SELECT doc_id, term,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+           FROM tokp)"""
+
+  /** The catalog phrase (folded form; see q_fts_phrase). */
+  private val Phrase = "value table"
+
+  /** Phrase-occurrence counts per doc: kept-token bigrams vs the phrase. */
+  private val PhraseHits = s"""
+    gr AS (SELECT doc_id, term || ' ' || lead(term, 1) OVER win AS gram
+           FROM rk WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+    hits AS (SELECT doc_id, count(*) AS cnt FROM gr
+             WHERE gram = '$Phrase' GROUP BY 1)"""
+
+  /** Phrase BM25 (one virtual term — a single contribution, so no float
+    * sum-order concern; rank-only output like [[bm25Sql]]). */
+  private def phraseBm25Sql: String = s"""
+    WITH $FtsPosTok,
+    $PhraseHits,
+    st AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY 1),
+    alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+             FROM documents d LEFT JOIN st USING (doc_id)),
+    m AS (SELECT count(*)::DOUBLE AS nd,
+                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+    dfc AS (SELECT count(*)::DOUBLE AS df FROM hits),
+    sc AS (SELECT h.doc_id,
+        ln(1.0 + (m.nd - dfc.df + 0.5) / (dfc.df + 0.5)) *
+          ((h.cnt::DOUBLE * (1.2 + 1.0)) /
+           (h.cnt::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS score
+        FROM hits h JOIN alld a USING (doc_id) CROSS JOIN m CROSS JOIN dfc)
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+
   private def bm25Sql: String = {
     val in = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
     s"""WITH $FtsTok,
@@ -455,6 +500,13 @@ object OracleSql {
     "q_dedup_minhash_inc" -> s"""
       SELECT * FROM ($JaccardPairs)
       WHERE id_a % 7 = 3 OR id_b % 7 = 3
+      ORDER BY id_a, id_b""",
+
+    // incremental exact jaccard == the full pair list restricted to pairs
+    // touching the batch slice (doc_id % 9 = 4)
+    "q_dedup_jaccard_inc" -> s"""
+      SELECT * FROM ($JaccardPairs)
+      WHERE id_a % 9 = 4 OR id_b % 9 = 4
       ORDER BY id_a, id_b""",
 
     "q_dedup_simhash" -> simhashSql,
@@ -806,6 +858,13 @@ object OracleSql {
       ORDER BY doc_id""",
 
     "q_fts_bm25" -> bm25Sql,
+
+    "q_fts_phrase" -> s"""
+      WITH $FtsPosTok,
+      $PhraseHits
+      SELECT doc_id, cnt::BIGINT AS cnt FROM hits ORDER BY doc_id""",
+
+    "q_fts_phrase_bm25" -> phraseBm25Sql,
 
     "q_fts_bm25_bool" -> bm25BoolSql,
 

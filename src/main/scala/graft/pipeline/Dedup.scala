@@ -154,6 +154,124 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  // ---- incremental n-gram Jaccard ------------------------------------------
+
+  /** The persisted state of incremental Jaccard: per-doc shingle SETS
+    * (id, shingle) — the shingle inverted index. The frame is computed
+    * entirely map-side ([[shingles]]), so "building state" is writing it;
+    * per-batch maintenance is a plain append (sets carry no corpus-level
+    * aggregation). `hashShingles` stores 8-byte xxhash64 keys instead of
+    * n-word strings — the trillion-key tradeoff of [[gramCounts]]'
+    * hashGrams: a collision can only ADD intersection counts at ppm rates
+    * (an extra candidate/slightly-inflated jaccard, never a missed dup).
+    * Must match across every table probed or merged together. */
+  def shingleSets(df: DataFrame, n: Int = 3, id: String = "doc_id",
+      text: String = "text", hashShingles: Boolean = false): DataFrame = {
+    val sh = shingles(df, n, id, text)
+    if (hashShingles) sh.select(col(id), xxhash64(col("shingle")).as("shingle"))
+    else sh
+  }
+
+  /** Companion state: per-doc set sizes (id, n_sh) — Θ(batch) to build,
+    * appended per batch; lets the incremental op attach exact jaccard
+    * denominators without re-scanning the base set table per query. */
+  def shingleSetSizes(sets: DataFrame, id: String = "doc_id"): DataFrame =
+    sets.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+
+  /** Companion state for the skew cap: corpus-wide shingle document
+    * frequency (shingle, df) — additive like [[gramCounts]]; keep
+    * per-batch layers and squash at compaction cadence via
+    * [[mergeShingleDf]]. */
+  def shingleDfCounts(sets: DataFrame): DataFrame =
+    sets.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
+  /** Fold per-batch df layers into one (additive). */
+  def mergeShingleDf(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+
+  /** Incremental exact n-gram Jaccard: near-dup pairs TOUCHING an arriving
+    * batch, given the persisted shingle state of everything before it.
+    * Output rows are IDENTICAL to
+    * `jaccardPairs(base ∪ batch).filter(id_a ∈ batch ∨ id_b ∈ batch)` for
+    * disjoint id sets — including under `hotShingleCap`, whose df is the
+    * corpus-relative base+batch total (base df from the persisted
+    * `baseDf` table + the batch's own Θ(batch) counts), so the cap
+    * engages exactly where a full recompute's would. Completes the
+    * incremental family (exact digests / MinHash bands / span gram-counts
+    * / shingle sets) with its exact-recall member.
+    *
+    * Shape at scale:
+    *  1. batch shingles map-side + one Θ(batch) self-join for
+    *     batch-internal pairs;
+    *  2. cross pairs: the base set table is SCANNED under a broadcast of
+    *     the batch's shingles — intersection counts come straight off the
+    *     probe join's partial aggregation; the base side pays zero
+    *     exchange. `broadcastShingles=false` degrades to an SMJ that
+    *     shuffles the (hashed) shingle table — 16-byte rows, never text;
+    *  3. denominators from the persisted size table (or a one-pass
+    *     derivation when `baseSizes` is absent): `sized`'s joins see a
+    *     pair-list-sized left side, so AQE broadcasts it over the size
+    *     scan.
+    *
+    * The hot-shingle set under the cap is assembled from three bounded
+    * sources (base-hot by scan filter, base+batch crossers by broadcast
+    * probe, batch-only hot) and broadcast-anti-joined off both sides —
+    * the same logged no-silent-caps contract as [[jaccardPairs]]. */
+  def jaccardPairsIncremental(batch: DataFrame, baseSets: DataFrame,
+      baseSizes: Option[DataFrame] = None, baseDf: Option[DataFrame] = None,
+      n: Int = 3, minPct: Int = 80, hotShingleCap: Option[Int] = None,
+      id: String = "doc_id", text: String = "text",
+      hashShingles: Boolean = false,
+      broadcastShingles: Boolean = true): DataFrame = {
+    require(hotShingleCap.isEmpty || baseDf.nonEmpty,
+      "hotShingleCap needs the persisted shingle-df table (baseDf)")
+    val bs = shingleSets(batch, n, id, text, hashShingles)
+    val bCounts = shingleSetSizes(bs, id)
+    val (joinableB, joinableBase) = hotShingleCap match {
+      case Some(cap) =>
+        val batchDf = shingleDfCounts(bs)
+        val bdf = baseDf.get
+        // shingles over the cap on the COMBINED corpus: base-alone hot,
+        // base+batch crossing the cap (broadcast probe of the Θ(batch)
+        // df delta — the base table is scanned, never shuffled), and
+        // batch-alone hot; each source is boilerplate-sized
+        val hot = bdf.filter(col("df") > cap).select("shingle")
+          .unionByName(bdf
+            .join(broadcast(batchDf.withColumnRenamed("df", "bdf")),
+              Seq("shingle"))
+            .filter(col("df") + col("bdf") > cap).select("shingle"))
+          .unionByName(batchDf.filter(col("df") > cap).select("shingle"))
+          .distinct()
+        val nHot = hot.count()
+        if (nHot > 0)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"jaccardPairsIncremental: dropped $nHot shingles with " +
+              s"combined df > $cap from pair generation (skew cap)")
+        (bs.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          baseSets.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      case None => (bs, baseSets)
+    }
+    val probe = if (broadcastShingles) broadcast(joinableB) else joinableB
+    val intra = joinableB.select(col(id).as("id_a"), col("shingle"))
+      .join(probe.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val cross = joinableBase
+      .select(col(id).as("base_id"), col("shingle"))
+      .join(probe.select(col(id).as("batch_id"), col("shingle")),
+        Seq("shingle"))
+      .select(least(col("base_id"), col("batch_id")).as("id_a"),
+        greatest(col("base_id"), col("batch_id")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val inter = intra.unionByName(cross)
+    // denominators are UNCAPPED set sizes (the full op counts before
+    // capping); sized()'s inner joins drop the uninvolved base rows
+    val counts = bCounts.unionByName(
+      baseSizes.getOrElse(shingleSetSizes(baseSets, id)))
+    sized(inter, counts, id, minPct)
+  }
+
   /** Connected components over a near-dup pair list → (id, rep_id) with
     * rep = the component's minimum id: the survivor-selection step after
     * ANY pair generator (exact, jaccard, minhash, simhash, embedding) —

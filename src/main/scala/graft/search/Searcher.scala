@@ -1,11 +1,12 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.index.{Codec, IndexMeta, IndexStore}
-import graft.model.EngineConf
+import graft.model.{EngineConf, Turn}
+import graft.tokenize.GraftPhraseCount
 
 /** Query execution over the index tables.
   *
@@ -26,6 +27,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   private lazy val dict: DataFrame = store.dict(spark)
   private lazy val postings: DataFrame = store.postings(spark)
   private lazy val docs: DataFrame = store.docs(spark)
+  private lazy val docStats: DataFrame = store.docStats(spark)
 
   // the per-term frame of the LATEST query stays cached (repeat-query
   // speed); issuing a new query or close() drops the previous one —
@@ -172,13 +174,12 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       acc.join(x, Seq("doc_id"), "left_anti")
   }
 
-  private def evalQuery(query: String, perTermValue: DataFrame): DataFrame = {
-    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
-    if (!parsed.valid || parsed.searchWords.isEmpty)
-      return new DfAlgebra(_ => null).empty
-    val cached = perTermValue.persist(StorageLevel.MEMORY_AND_DISK)
-    // atomic swap: the PREVIOUS frame unpersists exactly once, whichever
-    // thread replaced it (a racing job on it just recomputes)
+  /** Persist `df` as THE query-scoped cached frame: the previous one
+    * unpersists exactly once, whichever thread replaced it (a racing job
+    * on it just recomputes); a swap against a closed Searcher releases the
+    * fresh frame instead of storing it. */
+  private def cacheSwap(df: DataFrame): DataFrame = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cacheLock.synchronized {
       if (isClosed) cached.unpersist(blocking = false)
       else {
@@ -186,6 +187,14 @@ final class Searcher(spark: SparkSession, store: IndexStore,
         cachedPerTerm = Some(cached)
       }
     }
+    cached
+  }
+
+  private def evalQuery(query: String, perTermValue: DataFrame): DataFrame = {
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid || parsed.searchWords.isEmpty)
+      return new DfAlgebra(_ => null).empty
+    val cached = cacheSwap(perTermValue)
     val alg = new DfAlgebra(i => cached.filter($"term_idx" === i)
       .select($"doc_id", $"v"))
     parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
@@ -275,4 +284,79 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     "turn_idx" -> org.apache.spark.sql.types.IntegerType,
     valCol -> (if (valCol == "cnt") org.apache.spark.sql.types.LongType
                else org.apache.spark.sql.types.DoubleType))
+
+  // ---- phrase search (engine extension) ----------------------------------
+
+  /** Shared phrase pipeline: (doc_id, conv_id, turn_idx, cnt>0) for every
+    * doc whose kept-token stream contains the folded phrase consecutively.
+    * None when the phrase is unsatisfiable (no foldable words, or a word
+    * outside the 4..19 range no tokenizer output can ever contain).
+    *
+    * 100-TB shape: the positionless index AND-prunes candidates first —
+    * pruned dict scan + pushed postings predicates (the same letter
+    * partition pruning / parquet min/max skipping as every query) feed ONE
+    * pair-list-sized doc_id aggregate — then candidate keys resolve
+    * against the docs table and ONLY candidate rows of `corpus` are
+    * re-read: adjacency is confirmed by the native [[GraftPhraseCount]]
+    * kernel in one map-side pass. The corpus is never shuffled — the
+    * candidate key set is the selective side and AQE broadcasts it; a
+    * phrase of common words degrades to a key-side shuffle join of
+    * (conv_id, turn_idx) rows, never of text. */
+  private def phraseCounts(corpus: Dataset[Turn], phraseRaw: String)
+      : Option[DataFrame] = {
+    val words = GraftPhraseCount.foldWords(phraseRaw)
+    if (words.isEmpty || words.exists(w => w.length < 4 || w.length > 19))
+      return None
+    val terms = words.distinct.map((_, true))
+    val mp = matchedPostings(matchedWords(terms), coarsePred(terms))
+    val cand = mp.groupBy($"doc_id")
+      .agg(countDistinct($"term_idx").as("nw"))
+      .filter($"nw" === terms.length).select($"doc_id")
+    val keys = cand.join(docs, Seq("doc_id"))
+      .select($"doc_id", $"conv_id", $"turn_idx")
+    val phraseLit = words.mkString(" ") // folded: pure [a-z ], quote-safe
+    Some(corpus.toDF
+      .join(keys, Seq("conv_id", "turn_idx"))
+      .withColumn("cnt", expr(s"graft_phrase_count(text, '$phraseLit')"))
+      .filter($"cnt" > 0)
+      .select($"doc_id", $"conv_id", $"turn_idx", $"cnt"))
+  }
+
+  /** Phrase search: (conv_id, turn_idx, cnt) for docs containing the
+    * folded phrase as consecutive kept tokens, cnt = overlapping
+    * occurrence count, ranked like [[searchCount]]. The reference index
+    * stores positionless word sets (Indexer.cpp:77), so this is an engine
+    * extension: index-pruned candidates + map-side positional confirm
+    * against the corpus text (see [[phraseCounts]] for the plan shape). */
+  def searchPhrase(corpus: Dataset[Turn], phraseRaw: String): DataFrame =
+    phraseCounts(corpus, phraseRaw) match {
+      case None => emptyResult("cnt")
+      case Some(hits) => hits
+        .select($"conv_id", $"turn_idx", $"cnt".cast("long").as("cnt"))
+        .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+    }
+
+  /** BM25-scored phrase search: the phrase is scored as ONE virtual term
+    * with tf = occurrence count and df = number of docs containing it
+    * (the classical positional-index phrase ranking), k1/b and the idf
+    * form identical to [[searchBm25]]. df comes from a bounded aggregate
+    * over the hit frame (one row) broadcast back over the hits — the
+    * corpus-scale tables are never re-read. */
+  def searchPhraseBm25(corpus: Dataset[Turn], phraseRaw: String,
+      k: Int): DataFrame = phraseCounts(corpus, phraseRaw) match {
+    case None => emptyResult("score")
+    case Some(raw) =>
+      val hits = cacheSwap(raw) // df-agg + scoring both read it
+      val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+      val n = lit(meta.numDocs.toDouble)
+      val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)
+      val idf = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      val tfN = ($"cnt" * lit(conf.k1 + 1)) /
+        ($"cnt" + lit(conf.k1) *
+          (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
+      hits.join(docStats.select($"doc_id", $"dl"), Seq("doc_id"))
+        .crossJoin(broadcast(dfc))
+        .select($"conv_id", $"turn_idx", (idf * tfN).as("score"), $"doc_id")
+        .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
+  }
 }

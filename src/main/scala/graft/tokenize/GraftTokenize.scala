@@ -68,6 +68,7 @@ object GraftFunctions {
   private[tokenize] val all: Seq[(String, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     ("graft_tokenize", GraftTokenize.info, GraftTokenize.builder _),
+    ("graft_phrase_count", GraftPhraseCount.info, GraftPhraseCount.builder _),
     ("graft_postings", graft.index.GraftPostings.info,
       graft.index.GraftPostings.builder _),
     ("graft_shingles", graft.pipeline.GraftShingles.info,

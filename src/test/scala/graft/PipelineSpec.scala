@@ -114,6 +114,80 @@ class PipelineSpec extends SparkTestBase {
     assert(incSmj == expected)
   }
 
+  test("incremental jaccard == full pairs restricted to the batch") {
+    // same split as the minhash test: planted dups give batch-internal
+    // AND cross pairs; base-only pairs must not leak
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val full = Dedup.jaccardPairs(docs, n = 3, minPct = 60)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(expected.exists(p => p._1 % 2 != p._2 % 2),
+      "fixture lost its cross pair")
+    val baseSets = Dedup.shingleSets(base, n = 3)
+    for (bc <- Seq(true, false);
+         sizes <- Seq(Some(Dedup.shingleSetSizes(baseSets)), None)) {
+      val inc = Dedup.jaccardPairsIncremental(batch, baseSets,
+          baseSizes = sizes, n = 3, minPct = 60, broadcastShingles = bc)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(inc == expected,
+        s"broadcast=$bc sizes=${sizes.nonEmpty}: " +
+          s"diff ${inc -- expected} / ${expected -- inc}")
+    }
+  }
+
+  test("incremental jaccard: hashed-shingle state identical on this corpus") {
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val expected = Dedup.jaccardPairs(docs, n = 3, minPct = 60)
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    val hashedSets = Dedup.shingleSets(base, n = 3, hashShingles = true)
+    val inc = Dedup.jaccardPairsIncremental(batch, hashedSets,
+        n = 3, minPct = 60, hashShingles = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == expected)
+  }
+
+  test("incremental jaccard: combined-df skew cap == capped full run") {
+    // plant boilerplate shared by half the corpus so the cap engages on
+    // the COMBINED df (base df 3 + batch df 2 crosses cap 4; neither side
+    // alone does): the incremental hot set must equal the full run's
+    val boiler = "every one of these documents shares this exact header line"
+    val bodies = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      "kilo lima mike november oscar papa quebec romeo sierra tango",
+      "uniform victor whiskey xray yankee zulu one two three four",
+      "red orange yellow green blue indigo violet pink brown black",
+      "monday tuesday wednesday thursday friday saturday sunday noon dusk dawn",
+      "north south east west center upper lower inner outer middle")
+    val corpus = (0L until 10L).map { i =>
+      val body = bodies((i % bodies.length).toInt)
+      val text = if (i < 5) s"$boiler $body extra$i" else s"$body tail$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val batch = corpus.filter($"doc_id" % 2 === 1)
+    val base = corpus.filter($"doc_id" % 2 === 0)
+    val cap = 4
+    val fullCapped = Dedup.jaccardPairs(corpus, n = 3, minPct = 20,
+        hotShingleCap = Some(cap))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = fullCapped.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    val fullUncapped = Dedup.jaccardPairs(corpus, n = 3, minPct = 20)
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(expected != fullUncapped,
+      "fixture must make the cap change the answer, or the test is vacuous")
+    val baseSets = Dedup.shingleSets(base, n = 3)
+    val inc = Dedup.jaccardPairsIncremental(batch, baseSets,
+        baseSizes = Some(Dedup.shingleSetSizes(baseSets)),
+        baseDf = Some(Dedup.shingleDfCounts(baseSets)),
+        n = 3, minPct = 20, hotShingleCap = Some(cap))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == expected,
+      s"diff ${inc -- expected} / ${expected -- inc}")
+  }
+
   test("incremental exact dedup: first-occurrence verdicts vs brute force") {
     // batch = odd ids; doc 1 duplicates base doc 0 (not new), and a
     // batch-internal dup pair exercises the lower-id-wins rule

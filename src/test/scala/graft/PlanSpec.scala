@@ -67,6 +67,23 @@ class PlanSpec extends SparkTestBase {
     searcher.close()
   }
 
+  test("phrase plan: exact EqualTo pushed per word; corpus text never exploded") {
+    val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+    val corpus = TranscriptGen.dataset(spark, 40, partitions = 4)
+    val plan = formatted(searcher.searchPhrase(corpus, "which would"))
+    // each phrase word dictionary-prunes as an exact term (letter
+    // partition pruning + pushed equality for parquet min/max skipping)
+    assert(plan.contains("EqualTo(term,which)"), plan)
+    assert(plan.contains("EqualTo(term,would)"), plan)
+    // the adjacency confirm is ONE scalar kernel projection over the
+    // candidate join — the token stream is never exploded into rows or
+    // re-assembled (the removeSpans r4 anti-pattern)
+    assert(plan.contains("graft_phrase_count"), plan)
+    assert(!plan.contains("posexplode"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    searcher.close()
+  }
+
   test("shingle generation is map-side: zero exchanges before the join") {
     // r3 rewrote shingles from posexplode + per-doc window + post-explode
     // distinct (two shuffles) to a sliding array transform with

@@ -451,4 +451,35 @@ class SpanDedupSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("jaccardIncremental plan: shingle table never shuffled") {
+    // the exact-recall family member: persisted shingle sets + sizes ride
+    // broadcast probes of the batch's shingles — intersection counts come
+    // off the probe join's partial aggregation, so NOTHING exchanges by
+    // shingle (an `Exchange hashpartitioning(shingle` would mean the base
+    // inverted index got repartitioned — the full op's join, the exact
+    // cost the incremental mode exists to avoid); pair/doc aggregates
+    // stay batch- or pair-list-sized
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inc_shingles").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    Dedup.shingleSets(base, n = 3).write.mode("overwrite")
+      .parquet(s"$dir/sets")
+    val sets = spark.read.parquet(s"$dir/sets")
+    Dedup.shingleSetSizes(sets).write.mode("overwrite")
+      .parquet(s"$dir/sizes")
+    val inc = Dedup.jaccardPairsIncremental(
+      docs.filter($"doc_id" % 2 === 1), sets,
+      baseSizes = Some(spark.read.parquet(s"$dir/sizes")),
+      n = 3, minPct = 60)
+    inc.collect()
+    val plan = inc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .linesIterator.filterNot(_.contains("ReusedExchange")).mkString("\n")
+    assert(!plan.contains("Exchange hashpartitioning(shingle"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
