@@ -664,6 +664,21 @@ object EntryQueries {
       Similarity.semDedup(t(s, d, "embeddings"), minCos = 0.42, nLists = 4)
         .orderBy(col("vec_id"))),
 
+    // the embedding member of the incremental dedup family: greedy
+    // arrival-order verdicts for a batch against the persisted
+    // assigned-cell state under a frozen quantizer. Rows-only by design
+    // (k-means outside SQL); the restriction/greedy contracts are
+    // PipelineSpec's job
+    "q_sim_semdedup_inc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val batch = emb.filter(col("vec_id") % 4 === 1)
+      val base = emb.filter(col("vec_id") % 4 =!= 1)
+      val cents = Similarity.fitCentroids(base, nLists = 4)
+      Similarity.semDedupIncremental(batch,
+          Similarity.assignCells(base, cents), cents, minCos = 0.42)
+        .orderBy(col("vec_id"))
+    }),
+
     // -- multimodal plumbing -------------------------------------------------
     "q_mm_features" -> ((s, d) => {
       Multimodal.featuresTable(s, t(s, d, "documents"))
@@ -800,6 +815,15 @@ object EntryQueries {
     "q_fts_phrase" -> ((s, d) => {
       searcher(s, indexDirFull(s, d))
         .searchPhrase(docsCorpus(s, d), "value table")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // proximity (NEAR): co-occurrence of two words within 3 kept-token
+    // positions — same prune-then-native-confirm shape as q_fts_phrase
+    "q_fts_near" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchNear(docsCorpus(s, d), "customer vector", d = 3)
         .select(asDocId(col("conv_id")), col("cnt"))
         .orderBy(col("doc_id"))
     }),

@@ -253,8 +253,8 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25|phrase|phrase-bm25]
-  *        [--k=10] [--exact] [--min-char=N] [--config=<file>]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25|phrase|phrase-bm25|near]
+  *        [--k=10] [--dist=3] [--exact] [--min-char=N] [--config=<file>]
   *        [--corpus=<parquet|gen:N|fs:dir>   (phrase modes: the index is
   *         positionless, so adjacency confirms against the corpus text)] */
 object SearchMain {
@@ -262,7 +262,7 @@ object SearchMain {
   /** Fully-resolved search invocation (CLI flags over config values). */
   final case class Resolved(indexDir: String, query: String, mode: String,
       k: Int, conf: EngineConf, logLevel: Option[String],
-      corpus: Option[String] = None)
+      corpus: Option[String] = None, dist: Int = 3)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -289,10 +289,13 @@ object SearchMain {
             }.getOrElse(base.minCharForMatch)),
           logLevel = cfg.map(ConfigFile.logLevel),
           corpus = args.collectFirst { case s if s.startsWith("--corpus=") =>
-            s.stripPrefix("--corpus=") }))
+            s.stripPrefix("--corpus=") },
+          dist = args.collectFirst { case s if s.startsWith("--dist=") =>
+            s.stripPrefix("--dist=").toInt }.getOrElse(3)))
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|bm25|phrase|phrase-bm25] [--k=10] [--exact] " +
-        "[--min-char=N] [--config=<file>] [--corpus=<parquet|gen:N|fs:dir>]")
+        "[--mode=count|bm25|phrase|phrase-bm25|near] [--k=10] [--dist=3] " +
+        "[--exact] [--min-char=N] [--config=<file>] " +
+        "[--corpus=<parquet|gen:N|fs:dir>]")
     }
   }
 
@@ -338,6 +341,7 @@ object SearchMain {
         case "phrase" => searcher.searchPhrase(phraseCorpus, q).collect()
         case "phrase-bm25" =>
           searcher.searchPhraseBm25(phraseCorpus, q, k).collect()
+        case "near" => searcher.searchNear(phraseCorpus, q, r.dist).collect()
         case _ => searcher.searchCount(q).collect()
       }
       Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)

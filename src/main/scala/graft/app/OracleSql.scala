@@ -866,6 +866,16 @@ object OracleSql {
 
     "q_fts_phrase_bm25" -> phraseBm25Sql,
 
+    // NEAR(customer, vector, 3): position pairs within distance 3 over the
+    // kept-token stream (distinct words, so the pair join is the count)
+    "q_fts_near" -> s"""
+      WITH $FtsPosTok,
+      pa AS (SELECT doc_id, p FROM rk WHERE term = 'customer'),
+      pb AS (SELECT doc_id, p FROM rk WHERE term = 'vector')
+      SELECT pa.doc_id AS doc_id, count(*)::BIGINT AS cnt
+      FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
+      GROUP BY 1 ORDER BY pa.doc_id""",
+
     "q_fts_bm25_bool" -> bm25BoolSql,
 
     // a healthy snapshot reports zero violations for every check

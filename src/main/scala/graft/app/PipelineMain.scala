@@ -15,11 +15,11 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   *          [--blocklist=a.com,b.org] [--size=512] [--overlap=64]
   *          [--budget=2048] [--limit=20]
   *
-  * Ops: dedup-exact, exact-inc, dedup-jaccard, dedup-minhash,
+  * Ops: dedup-exact, exact-inc, dedup-jaccard, jaccard-inc, dedup-minhash,
   *      minhash-inc, dedup-simhash, components, survivors, spans,
   *      spans-inc, despan, quality, classifier, lm-score, langid, pii,
   *      repetition, urls, tokens, fingerprint, chunk, pack, ann-brute,
-  *      semdedup.
+  *      semdedup, semdedup-inc.
   *
   * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
   * testdata sf directory, in which case `documents.parquet` (and
@@ -106,6 +106,14 @@ object PipelineMain {
         Dedup.exactIncremental(docs.filter(col("doc_id") % 7 === 3),
           Dedup.exact(docs.filter(col("doc_id") % 7 =!= 3)))
       case "dedup-jaccard" => jaccard
+      case "jaccard-inc" =>
+        // same arrival split; the base contributes its persisted shingle
+        // set + size tables (the exact-recall incremental member)
+        val base = docs.filter(col("doc_id") % 7 =!= 3)
+        val baseSets = Dedup.shingleSets(base, n = n)
+        Dedup.jaccardPairsIncremental(docs.filter(col("doc_id") % 7 === 3),
+          baseSets, baseSizes = Some(Dedup.shingleSetSizes(baseSets)),
+          n = n, minPct = minPct)
       case "dedup-minhash" => Dedup.minhashLshPairs(docs, minPct = minPct,
         n = n)
       case "dedup-simhash" => Dedup.simhashPairs(docs, bits = 64)
@@ -155,6 +163,15 @@ object PipelineMain {
         // --min-pct doubles as the cosine threshold in percent
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
         Similarity.semDedup(emb, minCos = minPct / 100.0, nLists = 4)
+      case "semdedup-inc" =>
+        // same arrival split as the other -inc ops; the base fits the
+        // frozen quantizer and contributes its assigned-cell state
+        val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
+        val base = emb.filter(col("vec_id") % 7 =!= 3)
+        val cents = Similarity.fitCentroids(base, nLists = 4)
+        Similarity.semDedupIncremental(emb.filter(col("vec_id") % 7 === 3),
+          Similarity.assignCells(base, cents), cents,
+          minCos = minPct / 100.0)
       case other =>
         System.err.println(s"unknown op: $other")
         spark.stop(); sys.exit(2); return

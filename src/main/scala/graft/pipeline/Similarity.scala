@@ -450,13 +450,19 @@ object Similarity {
     * are the operating point the quantizer fit targets. */
   def ivfNearDupPairs(corpus: DataFrame, minCos: Double, nLists: Int = 16,
       id: String = "vec_id", vec: String = "embedding",
-      maxFitRows: Int = 100000, refineIters: Int = 0): DataFrame = {
-    val seed = fitQuantizer(corpus, vec, nLists, maxFitRows)
-    // refineIters > 0: the sample-seeded centroids take `refineIters`
-    // full-corpus Lloyd votes ([[kmeansRefine]]) before assignment — the
-    // shape for corpora whose distribution the bounded sample undersells
-    val centroids = if (refineIters > 0)
-      kmeansRefine(corpus, seed, refineIters, vec) else seed
+      maxFitRows: Int = 100000, refineIters: Int = 0,
+      quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
+    // `quantizer`: run over a GIVEN (frozen) centroid matrix — the full-
+    // recompute reference point of the incremental family's identity
+    // contract ([[ivfNearDupPairsIncremental]])
+    val centroids = quantizer.getOrElse {
+      val seed = fitQuantizer(corpus, vec, nLists, maxFitRows)
+      // refineIters > 0: the sample-seeded centroids take `refineIters`
+      // full-corpus Lloyd votes ([[kmeansRefine]]) before assignment — the
+      // shape for corpora whose distribution the bounded sample undersells
+      if (refineIters > 0) kmeansRefine(corpus, seed, refineIters, vec)
+      else seed
+    }
     val assigned = corpus.select(
       cellCol(centroids, col(vec)).as("list_id"),
       col(id), col(vec), norm2Col(col(vec)).as("n2"))
@@ -489,5 +495,176 @@ object Similarity {
         refineIters))
     comp.select(col("id").as(id), col("rep_id"),
       (col("id") === col("rep_id")).as("is_survivor"))
+  }
+
+  // ---- incremental semantic dedup (the embedding arrival loop) -------------
+
+  /** Persistable form of a fitted coarse quantizer: (cell, centroid) —
+    * the FROZEN state incremental semantic dedup composes over (cell
+    * assignment depends only on the centroids, so per-batch assignment
+    * composes exactly iff every batch uses the same matrix; refitting
+    * mid-stream is a compaction-cadence event that rebuilds the assigned
+    * table). */
+  def centroidTable(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+  }
+
+  /** Read a [[centroidTable]] frame back into the driver-side matrix
+    * (k·dim doubles — tiny at any corpus scale). */
+  def centroidsFrom(table: DataFrame): Array[Array[Double]] =
+    table.orderBy(col("cell"))
+      .select(col("centroid").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Fit a quantizer for the incremental family: the bounded sample fit
+    * (optionally full-corpus-refined) exposed as a public state builder. */
+  def fitCentroids(corpus: DataFrame, nLists: Int = 16,
+      vec: String = "embedding", maxFitRows: Int = 100000,
+      refineIters: Int = 0): Array[Array[Double]] = {
+    val seed = fitQuantizer(corpus, vec, nLists, maxFitRows)
+    if (refineIters > 0) kmeansRefine(corpus, seed, refineIters, vec)
+    else seed
+  }
+
+  /** The assigned-cell state table: (list_id, id, vec, n2) — one map-side
+    * codegen pass, appended per batch (kept rows only, in the arrival
+    * loop). Malformed embeddings fall out via `graft_argmin_cell`'s null
+    * contract, mirroring the full op. */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]],
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    ensureRegistered()
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(cellCol(centroids, col(vec)).as("list_id"),
+        col(id), col(vec), norm2Col(col(vec)).as("n2"))
+      .filter(col("list_id").isNotNull)
+  }
+
+  /** Incremental within-cell near-dup pairs: pairs TOUCHING an arriving
+    * batch, given the frozen quantizer and the persisted assigned table
+    * of everything before it. Output rows are IDENTICAL to
+    * `ivfNearDupPairs(base ∪ batch)` restricted to pairs touching the
+    * batch, PROVIDED the full run uses the same centroid matrix (the
+    * composability condition the state exists to pin).
+    *
+    * Shape at scale: batch assignment is map-side; batch-internal pairs
+    * are a Θ(batch) cell self-join; cross pairs SCAN the base assigned
+    * table under a broadcast of the batch's assigned rows — exact cosine
+    * evaluates inside the probe join's projection, the base side pays
+    * zero exchange. `broadcastAssigned=false` degrades to an SMJ of
+    * fixed-width (dim-float) assigned rows for a batch that outgrows the
+    * broadcast limit. */
+  def ivfNearDupPairsIncremental(batch: DataFrame, baseAssigned: DataFrame,
+      centroids: Array[Array[Double]], minCos: Double,
+      id: String = "vec_id", vec: String = "embedding",
+      broadcastAssigned: Boolean = true): DataFrame = {
+    val ba = assignCells(batch, centroids, id, vec)
+    val probe = if (broadcastAssigned) broadcast(ba) else ba
+    val intra = ba.select(col("list_id"), col(id).as("id_a"),
+        col(vec).as("va"), col("n2").as("na"))
+      .join(probe.select(col("list_id"), col(id).as("id_b"),
+        col(vec).as("vb"), col("n2").as("nb")), Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+    val cross = baseAssigned.select(col("list_id"), col(id).as("base_id"),
+        col(vec).as("bv"), col("n2").as("bn"))
+      .join(probe.select(col("list_id"), col(id).as("batch_id"),
+        col(vec).as("qv"), col("n2").as("qn")), Seq("list_id"))
+      .select(least(col("base_id"), col("batch_id")).as("id_a"),
+        greatest(col("base_id"), col("batch_id")).as("id_b"),
+        col("bv").as("va"), col("qv").as("vb"),
+        col("bn").as("na"), col("qn").as("nb"))
+    intra.select(col("id_a"), col("id_b"), col("va"), col("vb"),
+        col("na"), col("nb"))
+      .unionByName(cross)
+      .withColumn("cos", cosineCol(col("va"), col("vb"), col("na"),
+        col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Arrival-order semantic dedup verdicts for a batch — the online
+    * analog of [[semDedup]] (and the embedding member of the incremental
+    * dedup family): a batch doc is KEPT iff it near-dups no doc of the
+    * persisted kept state and no lower-id KEPT doc of its own batch (the
+    * greedy keep rule every dedup-on-ingest loop implements; exact dup is
+    * transitive so [[Dedup.exactIncremental]]'s first-occurrence rule is
+    * this same greedy — near-duplication is not, so greedy and
+    * batch-holistic components genuinely differ on chains and the ONLINE
+    * semantics is the one the state can answer at Θ(batch)).
+    * Returns one verdict row per batch doc with a non-null cell:
+    * (id, is_new). Append `assignCells(kept rows)` to the state table
+    * afterwards — the loop [[graft.streaming.StreamingDedup]] runs for
+    * digests.
+    *
+    * The within-batch greedy chain is resolved on the driver over the
+    * batch-internal pair list (Θ(batch dups), the [[Dedup.components]]
+    * union-find regime — greedy keep is inherently sequential in id
+    * order, so a distributed fixpoint would iterate chain-length times
+    * over a pair list this small anyway). */
+  def semDedupIncremental(batch: DataFrame, baseAssigned: DataFrame,
+      centroids: Array[Array[Double]], minCos: Double,
+      id: String = "vec_id", vec: String = "embedding",
+      broadcastAssigned: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ba = assignCells(batch, centroids, id, vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = if (broadcastAssigned) broadcast(ba) else ba
+      // batch docs hit by ANY kept base doc: distributed, zero base
+      // exchange (base table scanned under the broadcast probe); the
+      // frame is batch-dup-bounded and stays distributed
+      val baseHit = baseAssigned.select(col("list_id"),
+          col(vec).as("bv"), col("n2").as("bn"))
+        .join(probe.select(col("list_id"), col(id).as("bid"),
+          col(vec).as("qv"), col("n2").as("qn")), Seq("list_id"))
+        .filter(cosineCol(col("bv"), col("qv"), col("bn"), col("qn"))
+          >= minCos)
+        .select(col("bid")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // batch-internal near-dup pairs: ONLY docs in this pair list need
+      // the sequential greedy — everything else is decided by baseHit
+      // alone, so the driver sees the Θ(batch dups) chain, never the batch
+      val intra = ba.select(col("list_id"), col(id).as("id_a"),
+          col(vec).as("va"), col("n2").as("na"))
+        .join(probe.select(col("list_id"), col(id).as("id_b"),
+          col(vec).as("vb"), col("n2").as("nb")), Seq("list_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosineCol(col("va"), col("vb"), col("na"), col("nb"))
+          >= minCos)
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+      val chainIds = intra.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val chainHit: Set[Long] = if (chainIds.isEmpty) Set.empty
+        else baseHit.join(
+            broadcast(chainIds.toSeq.toDF("bid")), Seq("bid"), "left_semi")
+          .as[Long].collect().toSet
+      val nbrs = intra.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap // lower-id neighbours
+      val kept = scala.collection.mutable.Set.empty[Long]
+      val chainDropped = scala.collection.mutable.Set.empty[Long]
+      chainIds.foreach { i =>
+        val ok = !chainHit.contains(i) &&
+          !nbrs.getOrElse(i, Set.empty).exists(kept.contains)
+        if (ok) kept += i else chainDropped += i
+      }
+      // final verdicts distributed: is_new = no base hit AND not dropped
+      // by the greedy chain (both predicates batch-dup-bounded). The
+      // returned frame may recompute ba/baseHit after the unpersists
+      // below — deterministic plans, so recompute-over-leak (the
+      // Searcher cache convention)
+      val droppedDf = broadcast(chainDropped.toSeq.toDF("did"))
+      val out = ba.select(col(id))
+        .join(baseHit.withColumnRenamed("bid", id)
+          .withColumn("hit", lit(true)), Seq(id), "left_outer")
+        .join(droppedDf.withColumnRenamed("did", id)
+          .withColumn("chain_drop", lit(true)), Seq(id), "left_outer")
+        .select(col(id),
+          (coalesce(col("hit"), lit(false)) === false &&
+            coalesce(col("chain_drop"), lit(false)) === false).as("is_new"))
+      baseHit.unpersist(blocking = false)
+      out
+    } finally ba.unpersist(blocking = false)
   }
 }

@@ -305,6 +305,19 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   private def phraseCounts(corpus: Dataset[Turn], phraseRaw: String)
       : Option[DataFrame] = {
     val words = GraftPhraseCount.foldWords(phraseRaw)
+    // folded words are pure [a-z]+, so splicing into the kernel call is
+    // quote-safe by construction
+    confirmCounts(corpus, words,
+      s"graft_phrase_count(text, '${words.mkString(" ")}')")
+  }
+
+  /** The shared positional pipeline: AND-prune candidates through the
+    * index for `words`, then evaluate `confirmSql` (a scalar native
+    * kernel over `text`) on ONLY the candidate corpus rows, keeping
+    * cnt > 0. None when a word is outside the 4..19 kept range (no
+    * tokenizer output can ever contain it). */
+  private def confirmCounts(corpus: Dataset[Turn], words: Seq[String],
+      confirmSql: String): Option[DataFrame] = {
     if (words.isEmpty || words.exists(w => w.length < 4 || w.length > 19))
       return None
     val terms = words.distinct.map((_, true))
@@ -314,10 +327,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .filter($"nw" === terms.length).select($"doc_id")
     val keys = cand.join(docs, Seq("doc_id"))
       .select($"doc_id", $"conv_id", $"turn_idx")
-    val phraseLit = words.mkString(" ") // folded: pure [a-z ], quote-safe
     Some(corpus.toDF
       .join(keys, Seq("conv_id", "turn_idx"))
-      .withColumn("cnt", expr(s"graft_phrase_count(text, '$phraseLit')"))
+      .withColumn("cnt", expr(confirmSql))
       .filter($"cnt" > 0)
       .select($"doc_id", $"conv_id", $"turn_idx", $"cnt"))
   }
@@ -329,12 +341,30 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * extension: index-pruned candidates + map-side positional confirm
     * against the corpus text (see [[phraseCounts]] for the plan shape). */
   def searchPhrase(corpus: Dataset[Turn], phraseRaw: String): DataFrame =
-    phraseCounts(corpus, phraseRaw) match {
-      case None => emptyResult("cnt")
-      case Some(hits) => hits
-        .select($"conv_id", $"turn_idx", $"cnt".cast("long").as("cnt"))
-        .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+    rankedCounts(phraseCounts(corpus, phraseRaw))
+
+  /** Proximity search (NEAR): docs where the two folded words co-occur
+    * within `d` kept-token positions, cnt = number of co-occurring
+    * position pairs (unordered; i < j for a repeated word). Same engine
+    * shape as [[searchPhrase]] — the positionless index AND-prunes, the
+    * native [[graft.tokenize.GraftNearCount]] kernel confirms distance
+    * map-side over candidate rows only. A query that does not fold to
+    * exactly two feasible words, or d < 1, returns empty. */
+  def searchNear(corpus: Dataset[Turn], wordsRaw: String, d: Int): DataFrame =
+    rankedCounts {
+      val words = GraftPhraseCount.foldWords(wordsRaw)
+      if (words.length == 2 && d >= 1)
+        confirmCounts(corpus, words,
+          s"graft_near_count(text, '${words.mkString(" ")}', $d)")
+      else None
     }
+
+  private def rankedCounts(hits: Option[DataFrame]): DataFrame = hits match {
+    case None => emptyResult("cnt")
+    case Some(h) => h
+      .select($"conv_id", $"turn_idx", $"cnt".cast("long").as("cnt"))
+      .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+  }
 
   /** BM25-scored phrase search: the phrase is scored as ONE virtual term
     * with tf = occurrence count and df = number of docs containing it

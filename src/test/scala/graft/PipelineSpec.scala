@@ -613,6 +613,64 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("incremental semdedup: pair restriction identity + greedy verdicts") {
+    // frozen quantizer (three axis cells) + handcrafted geometry:
+    //  cell 0 — a 20°-spaced CHAIN of batch-only docs 21-23-25 (21·23 and
+    //    23·25 ≥ minCos, 21·25 below): greedy keeps 21, drops 23, keeps 25
+    //    — the case where arrival-greedy genuinely diverges from
+    //    batch-holistic components (which would drop 25 too);
+    //  cell 1 — base docs 2,6 + batch docs 7,9 all identical: (2,6) is a
+    //    base-only pair that must NOT leak; 7,9 are base-hit drops;
+    //  cell 2 — batch-only exact dups 11,13 (11 kept, 13 dropped) and 15
+    //    at 30° (in-cell but below threshold: kept).
+    val rad = math.Pi / 180
+    def v(deg: Double, cell: Int): Seq[Float] = {
+      val (c, s) = (math.cos(deg * rad).toFloat, math.sin(deg * rad).toFloat)
+      cell match {
+        case 0 => Seq(c, s, 0f, 0f)
+        case 1 => Seq(0f, c, s, 0f)
+        case _ => Seq(0f, s, c, 0f)
+      }
+    }
+    val rows = Seq(
+      (21L, v(0, 0)), (23L, v(20, 0)), (25L, v(40, 0)),
+      (2L, v(0, 1)), (6L, v(0, 1)), (7L, v(0, 1)), (9L, v(0, 1)),
+      (11L, v(0, 2)), (13L, v(0, 2)), (15L, v(30, 2)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val batch = corpus.filter($"vec_id" % 2 === 1)
+    val base = corpus.filter($"vec_id" % 2 === 0)
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+      Array(0, 0, 1.0, 0))
+    val minCos = 0.9
+
+    // centroid state round-trips through its persistable table form
+    val roundTrip = Similarity.centroidsFrom(
+      Similarity.centroidTable(spark, cents))
+    assert(roundTrip.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+
+    val full = Similarity.ivfNearDupPairs(corpus, minCos, nLists = 3,
+        quantizer = Some(cents))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.contains((21L, 23L)) && full.contains((23L, 25L)) &&
+      !full.contains((21L, 25L)), s"chain geometry broken: $full")
+    val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(full.contains((2L, 6L)) && !expected.contains((2L, 6L)),
+      "fixture lost its base-only pair")
+    val baseAssigned = Similarity.assignCells(base, cents)
+    for (bc <- Seq(true, false)) {
+      val inc = Similarity.ivfNearDupPairsIncremental(batch, baseAssigned,
+          cents, minCos, broadcastAssigned = bc)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(inc == expected,
+        s"broadcast=$bc: ${inc -- expected} / ${expected -- inc}")
+    }
+    val verdicts = Similarity.semDedupIncremental(batch, baseAssigned,
+        cents, minCos).as[(Long, Boolean)].collect().toMap
+    assert(verdicts == Map(21L -> true, 23L -> false, 25L -> true,
+      7L -> false, 9L -> false, 11L -> true, 13L -> false, 15L -> true),
+      verdicts.toString)
+  }
+
   test("text stats: token counts, quality, fingerprint vs brute force") {
     val tc = TextStats.tokenCounts(docs).as[(Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
