@@ -292,6 +292,12 @@ object SearchMain {
             s.stripPrefix("--corpus=") },
           dist = args.collectFirst { case s if s.startsWith("--dist=") =>
             s.stripPrefix("--dist=").toInt }.getOrElse(3)))
+          // phrase modes need the corpus at the first query; catching it
+          // here fails the INVOCATION instead of killing a warmed REPL
+          // mid-session at the user's first prompt
+          .filterOrElse(r => !r.mode.startsWith("phrase") &&
+              r.mode != "near" || r.corpus.nonEmpty,
+            "phrase/near modes need --corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
         "[--mode=count|bm25|phrase|phrase-bm25|near] [--k=10] [--dist=3] " +
         "[--exact] [--min-char=N] [--config=<file>] " +

@@ -454,15 +454,11 @@ object Similarity {
       quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
     // `quantizer`: run over a GIVEN (frozen) centroid matrix — the full-
     // recompute reference point of the incremental family's identity
-    // contract ([[ivfNearDupPairsIncremental]])
-    val centroids = quantizer.getOrElse {
-      val seed = fitQuantizer(corpus, vec, nLists, maxFitRows)
-      // refineIters > 0: the sample-seeded centroids take `refineIters`
-      // full-corpus Lloyd votes ([[kmeansRefine]]) before assignment — the
-      // shape for corpora whose distribution the bounded sample undersells
-      if (refineIters > 0) kmeansRefine(corpus, seed, refineIters, vec)
-      else seed
-    }
+    // contract ([[ivfNearDupPairsIncremental]]); otherwise the one shared
+    // fit path ([[fitCentroids]]: bounded sample seed + optional
+    // full-corpus Lloyd refinement)
+    val centroids = quantizer.getOrElse(
+      fitCentroids(corpus, nLists, vec, maxFitRows, refineIters))
     val assigned = corpus.select(
       cellCol(centroids, col(vec)).as("list_id"),
       col(id), col(vec), norm2Col(col(vec)).as("n2"))
@@ -615,15 +611,18 @@ object Similarity {
       val probe = if (broadcastAssigned) broadcast(ba) else ba
       // batch docs hit by ANY kept base doc: distributed, zero base
       // exchange (base table scanned under the broadcast probe); the
-      // frame is batch-dup-bounded and stays distributed
-      val baseHit = baseAssigned.select(col("list_id"),
-          col(vec).as("bv"), col("n2").as("bn"))
-        .join(probe.select(col("list_id"), col(id).as("bid"),
-          col(vec).as("qv"), col("n2").as("qn")), Seq("list_id"))
-        .filter(cosineCol(col("bv"), col("qv"), col("bn"), col("qn"))
-          >= minCos)
-        .select(col("bid")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // frame is batch-dup-bounded, stays distributed, and is consumed
+      // EXACTLY ONCE — by the returned verdict join — so the full base
+      // scan is paid once per arriving batch
+      def hitProbe(batchSide: DataFrame): DataFrame =
+        baseAssigned.select(col("list_id"),
+            col(vec).as("bv"), col("n2").as("bn"))
+          .join(batchSide, Seq("list_id"))
+          .filter(cosineCol(col("bv"), col("qv"), col("bn"), col("qn"))
+            >= minCos)
+          .select(col("bid")).distinct()
+      val baseHit = hitProbe(probe.select(col("list_id"),
+        col(id).as("bid"), col(vec).as("qv"), col("n2").as("qn")))
       // batch-internal near-dup pairs: ONLY docs in this pair list need
       // the sequential greedy — everything else is decided by baseHit
       // alone, so the driver sees the Θ(batch dups) chain, never the batch
@@ -636,9 +635,15 @@ object Similarity {
           >= minCos)
         .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
       val chainIds = intra.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      // the chain's own base-hit flags come from a NARROW probe carrying
+      // only the chain docs' vectors (chain ≪ batch) — not by forcing
+      // the full baseHit frame early, which would make the caller's
+      // verdict action re-scan the base table a second time
       val chainHit: Set[Long] = if (chainIds.isEmpty) Set.empty
-        else baseHit.join(
-            broadcast(chainIds.toSeq.toDF("bid")), Seq("bid"), "left_semi")
+        else hitProbe(broadcast(ba.join(
+            broadcast(chainIds.toSeq.toDF(id)), Seq(id), "left_semi")
+          .select(col("list_id"), col(id).as("bid"),
+            col(vec).as("qv"), col("n2").as("qn"))))
           .as[Long].collect().toSet
       val nbrs = intra.groupBy(_._2).view
         .mapValues(_.map(_._1).toSet).toMap // lower-id neighbours
@@ -651,11 +656,11 @@ object Similarity {
       }
       // final verdicts distributed: is_new = no base hit AND not dropped
       // by the greedy chain (both predicates batch-dup-bounded). The
-      // returned frame may recompute ba/baseHit after the unpersists
-      // below — deterministic plans, so recompute-over-leak (the
+      // returned frame may recompute ba after the unpersist below —
+      // a deterministic map-side assign, so recompute-over-leak (the
       // Searcher cache convention)
       val droppedDf = broadcast(chainDropped.toSeq.toDF("did"))
-      val out = ba.select(col(id))
+      ba.select(col(id))
         .join(baseHit.withColumnRenamed("bid", id)
           .withColumn("hit", lit(true)), Seq(id), "left_outer")
         .join(droppedDf.withColumnRenamed("did", id)
@@ -663,8 +668,6 @@ object Similarity {
         .select(col(id),
           (coalesce(col("hit"), lit(false)) === false &&
             coalesce(col("chain_drop"), lit(false)) === false).as("is_new"))
-      baseHit.unpersist(blocking = false)
-      out
     } finally ba.unpersist(blocking = false)
   }
 }

@@ -54,8 +54,10 @@ object GraftNearCount {
   def count(s: UTF8String, a: String, b: String, d: Int): Int = {
     val toks = Tokenizer.tokens(s.toString)
     val same = a == b
-    var pa = List.newBuilder[Int]
-    var pb = List.newBuilder[Int]
+    // primitive builders: this runs per candidate row inside codegen, and
+    // a stopword-soup doc has thousands of positions — no boxing
+    val pa = new scala.collection.mutable.ArrayBuilder.ofInt
+    val pb = new scala.collection.mutable.ArrayBuilder.ofInt
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
@@ -63,7 +65,7 @@ object GraftNearCount {
       if (!same && t == b) pb += i
       i += 1
     }
-    val la = pa.result().toArray
+    val la = pa.result()
     if (same) {
       // unordered pairs i < j with j - i <= d over one position list
       var c = 0
@@ -76,7 +78,7 @@ object GraftNearCount {
       }
       c
     } else {
-      val lb = pb.result().toArray
+      val lb = pb.result()
       // sliding window over the second list per first-list position
       var c = 0
       var x = 0

@@ -179,9 +179,19 @@ class PipelineSpec extends SparkTestBase {
     assert(expected != fullUncapped,
       "fixture must make the cap change the answer, or the test is vacuous")
     val baseSets = Dedup.shingleSets(base, n = 3)
+    // the df state maintained as per-batch LAYERS folded by mergeShingleDf
+    // (the compaction-cadence path) must equal the one-shot table — feed
+    // the cap from the layered form to prove the maintenance loop
+    val layered = Dedup.mergeShingleDf(
+      Dedup.shingleDfCounts(Dedup.shingleSets(base.filter($"doc_id" < 4),
+        n = 3)),
+      Dedup.shingleDfCounts(Dedup.shingleSets(base.filter($"doc_id" >= 4),
+        n = 3)))
+    assert(layered.as[(String, Long)].collect().toMap ==
+      Dedup.shingleDfCounts(baseSets).as[(String, Long)].collect().toMap)
     val inc = Dedup.jaccardPairsIncremental(batch, baseSets,
         baseSizes = Some(Dedup.shingleSetSizes(baseSets)),
-        baseDf = Some(Dedup.shingleDfCounts(baseSets)),
+        baseDf = Some(layered),
         n = 3, minPct = 20, hotShingleCap = Some(cap))
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(inc == expected,
