@@ -819,6 +819,17 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // phrases COMPOSED into the reference's boolean algebra ('...'-quoted
+    // virtual terms, counts add under AND like word terms): phrase AND
+    // exact-word NOT phrase
+    "q_fts_phrase_bool" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchCountWithPhrases(docsCorpus(s, d),
+          """'value table' AND "customer" NOT 'spark batch'""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // proximity (NEAR): co-occurrence of two words within 3 kept-token
     // positions — same prune-then-native-confirm shape as q_fts_phrase
     "q_fts_near" -> ((s, d) => {

@@ -253,7 +253,7 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|bm25|phrase|phrase-bm25|near]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|phrase|phrase-bm25|near]
   *        [--k=10] [--dist=3] [--exact] [--min-char=N] [--config=<file>]
   *        [--corpus=<parquet|gen:N|fs:dir>   (phrase modes: the index is
   *         positionless, so adjacency confirms against the corpus text)] */
@@ -296,10 +296,10 @@ object SearchMain {
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
           .filterOrElse(r => !r.mode.startsWith("phrase") &&
-              r.mode != "near" || r.corpus.nonEmpty,
-            "phrase/near modes need --corpus=<parquet|gen:N|fs:dir>")
+              r.mode != "near" && r.mode != "countp" || r.corpus.nonEmpty,
+            "phrase/near/countp modes need --corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|bm25|phrase|phrase-bm25|near] [--k=10] [--dist=3] " +
+        "[--mode=count|countp|bm25|phrase|phrase-bm25|near] [--k=10] [--dist=3] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
     }
@@ -348,6 +348,8 @@ object SearchMain {
         case "phrase-bm25" =>
           searcher.searchPhraseBm25(phraseCorpus, q, k).collect()
         case "near" => searcher.searchNear(phraseCorpus, q, r.dist).collect()
+        case "countp" =>
+          searcher.searchCountWithPhrases(phraseCorpus, q).collect()
         case _ => searcher.searchCount(q).collect()
       }
       Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)

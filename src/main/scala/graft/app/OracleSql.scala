@@ -866,6 +866,21 @@ object OracleSql {
 
     "q_fts_phrase_bm25" -> phraseBm25Sql,
 
+    // ('value table' AND "customer" NOT 'spark batch'): phrase-in-boolean
+    // — AND adds counts (phrase occurrences + 1 matched word), NOT erases
+    "q_fts_phrase_bool" -> s"""
+      WITH $FtsPosTok,
+      gr AS (SELECT doc_id, term || ' ' || lead(term, 1) OVER win AS gram
+             FROM rk WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+      h1 AS (SELECT doc_id, count(*) AS cnt FROM gr
+             WHERE gram = 'value table' GROUP BY 1),
+      h2 AS (SELECT DISTINCT doc_id FROM gr WHERE gram = 'spark batch'),
+      hc AS (SELECT DISTINCT doc_id FROM tokp WHERE term = 'customer')
+      SELECT h1.doc_id AS doc_id, (h1.cnt + 1)::BIGINT AS cnt
+      FROM h1 JOIN hc ON h1.doc_id = hc.doc_id
+      WHERE h1.doc_id NOT IN (SELECT doc_id FROM h2)
+      ORDER BY h1.doc_id""",
+
     // NEAR(customer, vector, 3): position pairs within distance 3 over the
     // kept-token stream (distinct words, so the pair join is the count)
     "q_fts_near" -> s"""

@@ -366,6 +366,58 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
   }
 
+  /** Boolean search WITH composable phrases (engine extension): the
+    * reference grammar plus `'...'`-quoted phrases as virtual terms —
+    * `('value table' AND customer NOT 'spark batch')` intersects the
+    * phrase's docs with customer's under the reference's own boolean
+    * algebra (counts add under AND/OR exactly like word terms; a phrase
+    * term's count is its occurrence count). Double quotes keep the
+    * reference's exact-term meaning untouched; single quotes have no
+    * reference meaning to collide with (CharFold folds them to the
+    * separator, so an unquoted apostrophe never reached term text anyway).
+    *
+    * Implementation: each quoted phrase is substituted with a reserved
+    * sentinel word before the reference parser runs, so the parse —
+    * validation quirks included — is EXACTLY [[QueryParser]]'s; the
+    * boolean evaluation then routes sentinel term indexes to the phrase
+    * pipeline ([[confirmCounts]]: index AND-prune + map-side kernel
+    * confirm) and everything else to the ordinary postings path. The
+    * sentinels never touch the dictionary scan (their lookup is masked),
+    * so a corpus word can never collide with one. */
+  def searchCountWithPhrases(corpus: Dataset[Turn], query: String)
+      : DataFrame = {
+    val (rewritten, phraseOf) = Searcher.rewritePhrases(query)
+    val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
+    if (!parsed.valid) return emptyResult("cnt")
+    // dict/postings lookup sees sentinels as unmatchable (empty) words;
+    // indexes stay aligned with parsed.searchWords
+    val lookupWords = parsed.searchWords.map { case (w, e) =>
+      if (phraseOf.contains(w)) ("", e) else (w, e) }
+    val mp = matchedPostings(matchedWords(lookupWords),
+      coarsePred(lookupWords))
+    val perTerm = mp.groupBy($"term_idx", $"doc_id")
+      .agg(count(lit(1)).cast("double").as("v"))
+    if (parsed.searchWords.isEmpty) return emptyResult("cnt")
+    val cached = cacheSwap(perTerm)
+    val alg = new DfAlgebra(i => {
+      val (w, _) = parsed.searchWords(i)
+      phraseOf.get(w) match {
+        case Some(p) =>
+          confirmCounts(corpus, GraftPhraseCount.foldWords(p),
+              s"graft_phrase_count(text, '${
+                GraftPhraseCount.foldWords(p).mkString(" ")}')")
+            .map(_.select($"doc_id", $"cnt".cast("double").as("v")))
+            .getOrElse(new DfAlgebra(_ => null).empty)
+        case None => cached.filter($"term_idx" === i)
+          .select($"doc_id", $"v")
+      }
+    })
+    val res = parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
+    res.join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"v".cast("long").as("cnt"))
+      .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+  }
+
   /** BM25-scored phrase search: the phrase is scored as ONE virtual term
     * with tf = occurrence count and df = number of docs containing it
     * (the classical positional-index phrase ranking), k1/b and the idf
@@ -388,5 +440,57 @@ final class Searcher(spark: SparkSession, store: IndexStore,
         .crossJoin(broadcast(dfc))
         .select($"conv_id", $"turn_idx", (idf * tfN).as("score"), $"doc_id")
         .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
+  }
+}
+
+object Searcher {
+
+  /** n → a, b, …, z, aa, ab, … (sentinel suffixes past 26 phrases). */
+  private def alphaSuffix(n: Int): String = {
+    var x = n
+    val sb = new StringBuilder
+    var first = true
+    while (first || x > 0) {
+      sb.insert(0, ('a' + x % 26).toChar)
+      x /= 26
+      first = false
+    }
+    sb.toString
+  }
+
+  /** Extract `'...'`-quoted phrases from an extended query: returns the
+    * query with each phrase replaced by a reserved EXACT-quoted sentinel
+    * word (so the reference parser — validation quirks included — handles
+    * the rewritten query verbatim, in both wildcard and exactMatch modes)
+    * plus the sentinel→phrase map. The sentinel base grows until it
+    * appears nowhere in the original query, so a user word can never
+    * hijack a phrase slot. An unterminated quote passes the tail through
+    * verbatim (the reference's tolerance posture: malformed pieces simply
+    * fail to match). */
+  private[graft] def rewritePhrases(query: String)
+      : (String, Map[String, String]) = {
+    if (query == null || !query.contains('\''))
+      return (query, Map.empty)
+    var base = "graftphraseq"
+    while (query.contains(base)) base += "q"
+    val sb = new StringBuilder
+    val phrases = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    var n = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (c == '\'') {
+        val end = query.indexOf('\'', i + 1)
+        if (end < 0) { sb.append(query.substring(i)); i = query.length }
+        else {
+          val sentinel = base + alphaSuffix(n)
+          n += 1
+          phrases(sentinel) = query.substring(i + 1, end)
+          sb.append('"').append(sentinel).append('"')
+          i = end + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, phrases.toMap)
   }
 }
