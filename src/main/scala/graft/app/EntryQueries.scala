@@ -407,6 +407,19 @@ object EntryQueries {
     "q_text_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(t(s, d, "documents")).orderBy(col("doc_id"))),
 
+    // feature-hashing vectors (the hashing trick): the model-free text →
+    // embedding bridge, one map-side kernel pass; emitted exploded as
+    // (doc_id, idx, val) non-zero integer counts so the oracle mirrors the
+    // hash/sign/bucket arithmetic exactly
+    "q_text_hashvec" -> ((s, d) => {
+      TextStats.hashingVectors(t(s, d, "documents"), dim = 32)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .filter(col("col") =!= 0.0f)
+        .select(col("doc_id"), col("pos").cast("long").as("idx"),
+          col("col").cast("long").as("val"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // -- deduplication -------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy(col("text_hash"))),

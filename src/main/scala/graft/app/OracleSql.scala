@@ -408,6 +408,18 @@ object OracleSql {
     "q_text_fingerprint" ->
       s"SELECT doc_id, ${rollHash("text")} AS fp FROM documents ORDER BY doc_id",
 
+    // hashing-trick vectors: per kept-token occurrence, bucket (h/2) mod 32
+    // and sign from h's low bit — integer arithmetic both engines share
+    "q_text_hashvec" -> s"""
+      WITH $FtsTok,
+      h AS (SELECT doc_id, ${rollHash("term")} AS h FROM tok),
+      c AS (SELECT doc_id, (h // 2) % 32 AS idx,
+                   CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM h)
+      SELECT doc_id, idx::BIGINT AS idx, sum(sgn)::BIGINT AS val
+      FROM c GROUP BY 1, 2 HAVING sum(sgn) <> 0
+      ORDER BY doc_id, idx""",
+
     "q_dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
              count(*) AS n_dups

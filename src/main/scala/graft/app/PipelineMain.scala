@@ -18,8 +18,8 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   * Ops: dedup-exact, exact-inc, dedup-jaccard, jaccard-inc, dedup-minhash,
   *      minhash-inc, dedup-simhash, components, survivors, spans,
   *      spans-inc, despan, quality, classifier, lm-score, langid, pii,
-  *      repetition, urls, tokens, fingerprint, chunk, pack, ann-brute,
-  *      semdedup, semdedup-inc.
+  *      repetition, urls, tokens, fingerprint, hashvec, chunk, pack,
+  *      ann-brute, semdedup, semdedup-inc.
   *
   * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
   * testdata sf directory, in which case `documents.parquet` (and
@@ -49,10 +49,10 @@ object PipelineMain {
     }
 
   private val KnownFlags = Set("k", "min-pct", "n", "blocklist", "size",
-    "overlap", "budget", "limit")
+    "overlap", "budget", "limit", "dim")
 
   private val Usage = "usage: PipelineMain <op> <docs.parquet|sfDir> " +
-    "[outDir] [--k=8] [--min-pct=80] [--n=3] [--hash-grams] " +
+    "[outDir] [--k=8] [--min-pct=80] [--n=3] [--dim=64] [--hash-grams] " +
     "[--blocklist=a,b] [--size=512] [--overlap=64] [--budget=2048] " +
     "[--limit=20]"
 
@@ -88,6 +88,7 @@ object PipelineMain {
     val chunkSize = numFlag(args, "size")(_.toInt).getOrElse(512)
     val chunkOverlap = numFlag(args, "overlap")(_.toInt).getOrElse(64)
     val packBudget = numFlag(args, "budget")(_.toLong).getOrElse(2048L)
+    val hashDim = numFlag(args, "dim")(_.toInt).getOrElse(64)
 
     val spark = Mains.session("graft-pipeline")
     val docsPath =
@@ -159,6 +160,10 @@ object PipelineMain {
       case "ann-brute" =>
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
         Similarity.bruteForceTopK(emb, emb.limit(5), k = 10)
+      case "hashvec" =>
+        // the model-free text -> embedding bridge (feature hashing); the
+        // written table feeds the ANN/semdedup ops directly
+        TextStats.hashingVectors(docs, dim = hashDim)
       case "semdedup" =>
         // --min-pct doubles as the cosine threshold in percent
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")

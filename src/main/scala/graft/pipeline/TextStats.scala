@@ -135,6 +135,22 @@ object TextStats {
   /** Word hash used by [[Dedup.simhash]]: same rolling hash per word. */
   def wordHashCol(word: Column): Column = fingerprintCol(word)
 
+  /** Feature-hashing doc vectors (the hashing trick, Weinberger et al.
+    * 2009): a `dim`-wide signed token-count vector per doc via the native
+    * one-pass [[GraftHashVec]] kernel — no vocabulary, no external model,
+    * ZERO shuffles (pure scan projection). The model-free bridge from the
+    * text corpus into the embedding family: the output column feeds
+    * [[Similarity]]'s ANN and semantic-dedup operators directly (exact
+    * dup texts collide to identical vectors; sign-hashing keeps inner
+    * products unbiased). Deterministic integer arithmetic end to end, so
+    * a SQL oracle reproduces every component bit-for-bit. */
+  def hashingVectors(df: DataFrame, dim: Int = 64, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
+    df.select(col(id),
+      call_function("graft_hashvec", col(text), lit(dim)).as("embedding"))
+  }
+
   /** Document chunking for training/RAG pipelines: split each doc into
     * token windows of `size` starting every `step = size - overlap`
     * tokens. Starts past `n_tokens - overlap` are dropped (except start

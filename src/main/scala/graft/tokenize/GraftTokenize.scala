@@ -93,7 +93,9 @@ object GraftFunctions {
     ("graft_posgrams", graft.pipeline.GraftPosGrams.info,
       graft.pipeline.GraftPosGrams.builder _),
     ("graft_despan", graft.pipeline.GraftDespan.info,
-      graft.pipeline.GraftDespan.builder _))
+      graft.pipeline.GraftDespan.builder _),
+    ("graft_hashvec", graft.pipeline.GraftHashVec.info,
+      graft.pipeline.GraftHashVec.builder _))
 
   /** Imperative registration for an already-running session. */
   def register(spark: SparkSession): Unit =

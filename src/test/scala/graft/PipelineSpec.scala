@@ -623,6 +623,40 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("hashing-trick vectors: kernel identity; dup texts feed the ANN family") {
+    import graft.pipeline.GraftFpHash
+    import graft.tokenize.Tokenizer
+    val dim = 16
+    def run(): Map[Long, Seq[Float]] = TextStats.hashingVectors(docs, dim)
+      .as[(Long, Seq[Float])].collect().toMap
+    val got = run()
+    val local = docs.as[(Long, String)].collect().toMap
+    for ((id, text) <- local) {
+      val v = new Array[Float](dim)
+      for (t <- Tokenizer.tokens(text)) {
+        val h = GraftFpHash.hashStr(t)
+        v(((h >> 1) % dim).toInt) += (if ((h & 1L) == 0L) 1f else -1f)
+      }
+      assert(got(id).toSeq == v.toSeq, s"doc $id")
+    }
+    // codegen and interpreted eval agree (house kernel standard)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == got)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // the text→embedding bridge: exact-dup texts collide to identical
+    // vectors, so the exact blocked kernel finds the planted dup pair at
+    // cosine 1 over HASHED vectors (zero-vector docs fall out via NaN)
+    val vecs = TextStats.hashingVectors(docs, dim)
+      .withColumnRenamed("doc_id", "vec_id")
+    val pairs = Similarity.blockedNearDupPairs(vecs, minCos = 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("incremental semdedup: pair restriction identity + greedy verdicts") {
     // frozen quantizer (three axis cells) + handcrafted geometry:
     //  cell 0 — a 20°-spaced CHAIN of batch-only docs 21-23-25 (21·23 and
