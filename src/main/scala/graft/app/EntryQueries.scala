@@ -843,6 +843,19 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 over the phrase-extended boolean language: the phrase's
+    // virtual-term score composes with the word's term score under AND
+    "q_fts_phrase_bm25_bool" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d))
+        .searchBm25WithPhrases(docsCorpus(s, d),
+          """'value table' AND "customer"""", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
     // proximity (NEAR): co-occurrence of two words within 3 kept-token
     // positions — same prune-then-native-confirm shape as q_fts_phrase
     "q_fts_near" -> ((s, d) => {

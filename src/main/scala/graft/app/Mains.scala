@@ -253,7 +253,7 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|phrase|phrase-bm25|near]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near]
   *        [--k=10] [--dist=3] [--exact] [--min-char=N] [--config=<file>]
   *        [--corpus=<parquet|gen:N|fs:dir>   (phrase modes: the index is
   *         positionless, so adjacency confirms against the corpus text)] */
@@ -296,10 +296,11 @@ object SearchMain {
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
           .filterOrElse(r => !r.mode.startsWith("phrase") &&
-              r.mode != "near" && r.mode != "countp" || r.corpus.nonEmpty,
-            "phrase/near/countp modes need --corpus=<parquet|gen:N|fs:dir>")
+              r.mode != "near" && r.mode != "countp" && r.mode != "bm25p" ||
+              r.corpus.nonEmpty,
+            "phrase/near/countp/bm25p modes need --corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|phrase|phrase-bm25|near] [--k=10] [--dist=3] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near] [--k=10] [--dist=3] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
     }
@@ -350,6 +351,8 @@ object SearchMain {
         case "near" => searcher.searchNear(phraseCorpus, q, r.dist).collect()
         case "countp" =>
           searcher.searchCountWithPhrases(phraseCorpus, q).collect()
+        case "bm25p" =>
+          searcher.searchBm25WithPhrases(phraseCorpus, q, k).collect()
         case _ => searcher.searchCount(q).collect()
       }
       Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)

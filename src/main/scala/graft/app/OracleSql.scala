@@ -893,6 +893,34 @@ object OracleSql {
       WHERE h1.doc_id NOT IN (SELECT doc_id FROM h2)
       ORDER BY h1.doc_id""",
 
+    // BM25 of ('value table' AND "customer"): phrase virtual-term score +
+    // word term score (two-operand IEEE addition is commutative, so the
+    // oracle's sum matches the engine's bit-for-bit); rank-only output
+    "q_fts_phrase_bm25_bool" -> s"""
+      WITH $FtsPosTok,
+      $PhraseHits,
+      st AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      dfp AS (SELECT count(*)::DOUBLE AS df FROM hits),
+      tfc AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokp
+              WHERE term = 'customer' GROUP BY 1),
+      dfw AS (SELECT count(*)::DOUBLE AS df FROM tfc),
+      sc AS (SELECT h.doc_id,
+          ln(1.0 + (m.nd - dfp.df + 0.5) / (dfp.df + 0.5)) *
+            ((h.cnt::DOUBLE * (1.2 + 1.0)) /
+             (h.cnt::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl))))
+          + ln(1.0 + (m.nd - dfw.df + 0.5) / (dfw.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS score
+        FROM hits h JOIN tfc t ON h.doc_id = t.doc_id
+        JOIN alld a ON a.doc_id = h.doc_id
+        CROSS JOIN m CROSS JOIN dfp CROSS JOIN dfw)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+
     // NEAR(customer, vector, 3): position pairs within distance 3 over the
     // kept-token stream (distinct words, so the pair join is the count)
     "q_fts_near" -> s"""

@@ -418,6 +418,61 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
   }
 
+  /** BM25 over the phrase-extended boolean language — the scoring
+    * sibling of [[searchCountWithPhrases]]: word terms contribute their
+    * summed BM25 term scores (the [[searchBm25]] DataFrame-algebra path),
+    * a `'...'`-quoted phrase contributes ONE virtual-term BM25 score
+    * (tf = occurrence count, df = phrase hit count — the
+    * [[searchPhraseBm25]] formula), and contributions compose under the
+    * reference algebra (AND/OR add, NOT erases). Top-k ranked like
+    * [[searchBm25]]. Each phrase's confirm pipeline evaluates per
+    * consumer (df aggregate + score join — recompute-over-persist, the
+    * operator-wide convention; the candidate frame is dup-bounded). */
+  def searchBm25WithPhrases(corpus: Dataset[Turn], query: String,
+      k: Int): DataFrame = {
+    val (rewritten, phraseOf) = Searcher.rewritePhrases(query)
+    val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
+    if (!parsed.valid || parsed.searchWords.isEmpty)
+      return emptyResult("score")
+    val lookupWords = parsed.searchWords.map { case (w, e) =>
+      if (phraseOf.contains(w)) ("", e) else (w, e) }
+    val mp = matchedPostings(matchedWords(lookupWords),
+      coarsePred(lookupWords))
+    val n = lit(meta.numDocs.toDouble)
+    val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)
+    val idfW = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val tfNormW = ($"tf" * lit(conf.k1 + 1)) /
+      ($"tf" + lit(conf.k1) * (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
+    val perTerm = mp.withColumn("c", idfW * tfNormW)
+      .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
+    val cached = cacheSwap(perTerm)
+    val alg = new DfAlgebra(i => {
+      val (w, _) = parsed.searchWords(i)
+      phraseOf.get(w) match {
+        case Some(p) =>
+          phraseCounts(corpus, p) match {
+            case None => new DfAlgebra(_ => null).empty
+            case Some(hits) =>
+              val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+              val tfNormP = ($"cnt" * lit(conf.k1 + 1)) /
+                ($"cnt" + lit(conf.k1) *
+                  (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
+              hits.join(docStats.select($"doc_id", $"dl"), Seq("doc_id"))
+                .crossJoin(broadcast(dfc))
+                .select($"doc_id", (idfW * tfNormP).as("v"))
+          }
+        case None => cached.filter($"term_idx" === i)
+          .select($"doc_id", $"v")
+      }
+    })
+    val res = parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
+    res.orderBy($"v".desc, $"doc_id").limit(k)
+      .join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
+      .orderBy($"score".desc, $"doc_id")
+      .drop("doc_id")
+  }
+
   /** BM25-scored phrase search: the phrase is scored as ONE virtual term
     * with tf = occurrence count and df = number of docs containing it
     * (the classical positional-index phrase ranking), k1/b and the idf

@@ -310,6 +310,48 @@ class PhraseSpec extends SparkTestBase {
     assert(run("""'alpha of' AND "words"""").isEmpty)
   }
 
+  test("phrase BM25 composes in the boolean algebra") {
+    val res = edgeSearcher.searchBm25WithPhrases(spark.createDataset(edge),
+        """'alpha bravo' AND "words"""", k = 10)
+      .collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s)
+      }
+    val meta = new IndexStore(edgeIdx).currentMeta
+    val phraseHits = bruteSearch(edge, "alpha bravo")
+    def key(t: Turn): DocKey = DocKey(t.conv_id, t.turn_idx)
+    val dl = edge.map(t => key(t) -> Tokenizer.tokens(t.text).length).toMap
+    val wordTf = edge.flatMap { t =>
+      val c = Tokenizer.tokens(t.text).count(_ == "words")
+      if (c > 0) Some(key(t) -> c) else None
+    }.toMap
+    def idf(df: Double): Double =
+      math.log(1.0 + (meta.numDocs - df + 0.5) / (df + 0.5))
+    def tfn(tf: Double, d: Int): Double =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * d / meta.avgdl))
+    val expected = phraseHits.flatMap { case (k0, c) =>
+      wordTf.get(k0).map { wtf =>
+        k0 -> (idf(phraseHits.size) * tfn(c.toDouble, dl(k0)) +
+          idf(wordTf.size) * tfn(wtf.toDouble, dl(k0)))
+      }
+    }
+    assert(res.map(_._1).toSet == expected.keySet)
+    for ((k0, s) <- res) assert(math.abs(s - expected(k0)) < 1e-12, k0)
+    // NOT erases; a plain query scores like the ordinary BM25 algebra path
+    val not = edgeSearcher.searchBm25WithPhrases(spark.createDataset(edge),
+        """"alpha" NOT 'alpha bravo'""", k = 10)
+      .collect().map { case Row(c: String, t: Int, _) => DocKey(c, t) }.toSet
+    assert(not.nonEmpty && not.intersect(phraseHits.keySet).isEmpty)
+    val plainExt = edgeSearcher.searchBm25WithPhrases(
+        spark.createDataset(edge), """"alpha" AND "words"""", k = 10)
+      .collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s) }.toMap
+    val plainRef = edgeSearcher.searchBm25(""""alpha" AND "words"""",
+        k = 10, useWand = false)
+      .collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s) }.toMap
+    assert(plainExt == plainRef)
+  }
+
   test("SearchMain resolve: phrase/near modes without --corpus fail fast") {
     import graft.app.SearchMain
     assert(SearchMain.resolve(Array("/idx", "q", "--mode=phrase")).isLeft)
