@@ -162,8 +162,10 @@ object PipelineMain {
         Similarity.bruteForceTopK(emb, emb.limit(5), k = 10)
       case "hashvec" =>
         // the model-free text -> embedding bridge (feature hashing); the
-        // written table feeds the ANN/semdedup ops directly
+        // id column is renamed to vec_id so the written table feeds the
+        // ANN/semdedup ops (which key on vec_id) directly
         TextStats.hashingVectors(docs, dim = hashDim)
+          .withColumnRenamed("doc_id", "vec_id")
       case "semdedup" =>
         // --min-pct doubles as the cosine threshold in percent
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")

@@ -142,8 +142,10 @@ object TextStats {
     * text corpus into the embedding family: the output column feeds
     * [[Similarity]]'s ANN and semantic-dedup operators directly (exact
     * dup texts collide to identical vectors; sign-hashing keeps inner
-    * products unbiased). Deterministic integer arithmetic end to end, so
-    * a SQL oracle reproduces every component bit-for-bit. */
+    * products unbiased) — rename the id column to the consumers' `vec_id`
+    * when feeding them (the PipelineMain `hashvec` op writes it renamed).
+    * Deterministic integer arithmetic end to end, so a SQL oracle
+    * reproduces every component bit-for-bit. */
   def hashingVectors(df: DataFrame, dim: Int = 64, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     graft.tokenize.GraftFunctions.register(df.sparkSession)

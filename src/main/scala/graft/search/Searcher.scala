@@ -216,6 +216,31 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
   }
 
+  /** Shared BM25 building blocks — ONE definition each, so the scoring
+    * paths (WAND dispatch weights, DataFrame algebra, phrase virtual
+    * terms) can never drift apart in the last ulp and silently break the
+    * hash-exact oracle contract (r5 review finding). `bm25TfNorm` reads
+    * the frame's `dl` column. */
+  private def bm25Idf(df: Column): Column = {
+    val n = lit(meta.numDocs.toDouble)
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+  }
+
+  private def bm25TfNorm(tf: Column): Column = {
+    val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)
+    (tf * lit(conf.k1 + 1)) /
+      (tf + lit(conf.k1) * (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
+  }
+
+  /** Shared ranked-result tail: top-k by score with the doc-id tie-break,
+    * keys resolved against the docs table. */
+  private def rankTopK(res: DataFrame, k: Int): DataFrame =
+    res.orderBy($"v".desc, $"doc_id").limit(k)
+      .join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
+      .orderBy($"score".desc, $"doc_id")
+      .drop("doc_id")
+
   /** BM25 search over the same boolean structure (north-star scoring).
     *
     * Pure-OR queries (the common top-k case) run distributed block-max WAND
@@ -239,12 +264,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * distributed — [[Wand.topK]] broadcast-joins it against the postings
     * scan, so wide wildcards never collect to the driver. */
   private def searchBm25Wand(parsed: QueryParser.Parsed, k: Int): DataFrame = {
-    val n = lit(meta.numDocs.toDouble)
     val words = matchedWords(parsed.searchWords)
       .groupBy($"word").agg(count(lit(1)).as("mult"), first($"df").as("df"))
-      .select($"word",
-        (log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
-          $"mult").as("weight"))
+      .select($"word", (bm25Idf($"df") * $"mult").as("weight"))
     // coarse scan predicate from the query words alone (no job): letter
     // equality prunes the letter= partitions, equals/startsWith push to
     // parquet min/max file skipping; the broadcast join refines to the
@@ -264,19 +286,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       k: Int): DataFrame = {
     val mp = matchedPostings(matchedWords(parsed.searchWords),
       coarsePred(parsed.searchWords))
-    val n = lit(meta.numDocs.toDouble)
-    val idf = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-    val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)
-    val tfNorm = ($"tf" * lit(conf.k1 + 1)) /
-      ($"tf" + lit(conf.k1) * (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
-    val perTerm = mp.withColumn("c", idf * tfNorm)
+    val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
-    val res = evalQuery(query, perTerm)
-    res.orderBy($"v".desc, $"doc_id").limit(k)
-      .join(docs, Seq("doc_id"))
-      .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
-      .orderBy($"score".desc, $"doc_id")
-      .drop("doc_id")
+    rankTopK(evalQuery(query, perTerm), k)
   }
 
   private def emptyResult(valCol: String): DataFrame = emptyDf(
@@ -438,12 +450,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       if (phraseOf.contains(w)) ("", e) else (w, e) }
     val mp = matchedPostings(matchedWords(lookupWords),
       coarsePred(lookupWords))
-    val n = lit(meta.numDocs.toDouble)
-    val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)
-    val idfW = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-    val tfNormW = ($"tf" * lit(conf.k1 + 1)) /
-      ($"tf" + lit(conf.k1) * (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
-    val perTerm = mp.withColumn("c", idfW * tfNormW)
+    val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
     val cached = cacheSwap(perTerm)
     val alg = new DfAlgebra(i => {
@@ -454,23 +461,16 @@ final class Searcher(spark: SparkSession, store: IndexStore,
             case None => new DfAlgebra(_ => null).empty
             case Some(hits) =>
               val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
-              val tfNormP = ($"cnt" * lit(conf.k1 + 1)) /
-                ($"cnt" + lit(conf.k1) *
-                  (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
               hits.join(docStats.select($"doc_id", $"dl"), Seq("doc_id"))
                 .crossJoin(broadcast(dfc))
-                .select($"doc_id", (idfW * tfNormP).as("v"))
+                .select($"doc_id",
+                  (bm25Idf($"df") * bm25TfNorm($"cnt")).as("v"))
           }
         case None => cached.filter($"term_idx" === i)
           .select($"doc_id", $"v")
       }
     })
-    val res = parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
-    res.orderBy($"v".desc, $"doc_id").limit(k)
-      .join(docs, Seq("doc_id"))
-      .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
-      .orderBy($"score".desc, $"doc_id")
-      .drop("doc_id")
+    rankTopK(parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty), k)
   }
 
   /** BM25-scored phrase search: the phrase is scored as ONE virtual term
@@ -485,15 +485,10 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     case Some(raw) =>
       val hits = cacheSwap(raw) // df-agg + scoring both read it
       val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
-      val n = lit(meta.numDocs.toDouble)
-      val avgdl = if (meta.avgdl == 0) lit(1.0) else lit(meta.avgdl)
-      val idf = log(lit(1.0) + (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-      val tfN = ($"cnt" * lit(conf.k1 + 1)) /
-        ($"cnt" + lit(conf.k1) *
-          (lit(1 - conf.b) + lit(conf.b) * $"dl" / avgdl))
       hits.join(docStats.select($"doc_id", $"dl"), Seq("doc_id"))
         .crossJoin(broadcast(dfc))
-        .select($"conv_id", $"turn_idx", (idf * tfN).as("score"), $"doc_id")
+        .select($"conv_id", $"turn_idx",
+          (bm25Idf($"df") * bm25TfNorm($"cnt")).as("score"), $"doc_id")
         .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
   }
 }
