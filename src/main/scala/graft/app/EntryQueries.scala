@@ -535,6 +535,18 @@ object EntryQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents")).orderBy(col("doc_id"))),
 
+    // incremental simhash (closes the family: every dedup member now has
+    // an arrival mode): base = 6/7 contributes only its persisted
+    // signature table; 31-bit so the banding + hamming arithmetic is
+    // SQL-mirrorable and the gate is hash-exact
+    "q_dedup_simhash_inc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.simhashPairsIncremental(docs.filter(col("doc_id") % 7 === 2),
+          Dedup.simhash(docs.filter(col("doc_id") % 7 =!= 2)),
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash64" -> ((s, d) =>
       // the SCALE config (rows-only: FNV-64 word hashing is not
       // SQL-oracle arithmetic): 64-bit signatures + 16-bit banding — the

@@ -87,17 +87,44 @@ object OracleSql {
     WHERE inter * 100 >= (ca.n_sh + cb.n_sh - inter) * 80
     ORDER BY id_a, id_b"""
 
-  private def simhashSql: String = {
+  /** The 31-bit signature computation as CTEs ending in `sig` — shared by
+    * the signature entry and the incremental-pairs entry. */
+  private def simhashCtes: String = {
     val bitSums = (0 until Dedup.SimhashBits).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS b$i")
       .mkString(", ")
     val assemble = (0 until Dedup.SimhashBits).map(i =>
       s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest($WsToks) AS w FROM documents),
+    s"""t AS (SELECT doc_id, unnest($WsToks) AS w FROM documents),
       tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
       h AS (SELECT doc_id, tf, ${rollHash("w")} AS h FROM tf),
-      bits AS (SELECT doc_id, $bitSums FROM h GROUP BY 1)
-      SELECT doc_id, ($assemble)::BIGINT AS simhash FROM bits ORDER BY doc_id"""
+      bits AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+      sig AS (SELECT doc_id, ($assemble)::BIGINT AS simhash FROM bits)"""
+  }
+
+  private def simhashSql: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+  /** 31-bit SimHash near-dup pairs restricted to the arrival batch
+    * (doc_id % 7 = 2): band collision (8/8/8/7 chunks — 31-bit sigs are
+    * nonnegative, so // and % mirror the engine's unsigned shift + mask)
+    * then Hamming ≤ 3 via xor/bit_count — all integer arithmetic. */
+  private def simhashIncSql: String = {
+    val bands = Seq((0, 8), (8, 8), (16, 8), (24, 7)).zipWithIndex
+      .map { case ((off, len), bi) =>
+        s"SELECT doc_id, simhash, $bi AS chunk, " +
+          s"(simhash // ${1L << off}) % ${1L << len} AS key FROM sig"
+      }.mkString(" UNION ALL ")
+    s"""WITH $simhashCtes,
+      b AS ($bands),
+      c AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   l.simhash AS sa, r.simhash AS sb
+            FROM b l JOIN b r ON l.chunk = r.chunk AND l.key = r.key
+              AND l.doc_id < r.doc_id)
+      SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+      FROM c
+      WHERE bit_count(xor(sa, sb)) <= 3 AND (id_a % 7 = 2 OR id_b % 7 = 2)
+      ORDER BY id_a, id_b"""
   }
 
   private def langIdSql: String = {
@@ -522,6 +549,8 @@ object OracleSql {
       ORDER BY id_a, id_b""",
 
     "q_dedup_simhash" -> simhashSql,
+
+    "q_dedup_simhash_inc" -> simhashIncSql,
 
     // components = min reachable id over the symmetric closure of the
     // exact-pair edge list (recursive CTE); matches the engine's min-label

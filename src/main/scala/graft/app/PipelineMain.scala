@@ -118,6 +118,12 @@ object PipelineMain {
       case "dedup-minhash" => Dedup.minhashLshPairs(docs, minPct = minPct,
         n = n)
       case "dedup-simhash" => Dedup.simhashPairs(docs, bits = 64)
+      case "simhash-inc" =>
+        // same arrival split; the base contributes only its persisted
+        // signature table (64-bit scale config, like dedup-simhash)
+        Dedup.simhashPairsIncremental(docs.filter(col("doc_id") % 7 === 3),
+          Dedup.simhash(docs.filter(col("doc_id") % 7 =!= 3), bits = 64),
+          bits = 64)
       case "minhash-inc" =>
         // same arrival split as spans-inc: 1/7 of docs are the batch, the
         // rest stand in for the base's persisted band table

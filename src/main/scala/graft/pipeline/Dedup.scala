@@ -840,17 +840,13 @@ object Dedup {
       id: String = "doc_id", text: String = "text",
       bits: Int = SimhashBits): DataFrame = {
     val sig = simhash(df, id, text, bits) // map-side native hash: recompute
-    val chunks = if (bits == 64) Seq((0, 16), (16, 16), (32, 16), (48, 16))
-                 else Seq((0, 8), (8, 8), (16, 8), (24, 7))
-    // unsigned shift + BITMASK (not %): Java remainder keeps the
-    // dividend's sign, so a 64-bit sig with bit 63 set would get a
-    // negative band-0 key and never collide with a positive sig sharing
-    // the same low chunk — silently breaking the pigeonhole guarantee
-    val banded = chunks.zipWithIndex.map { case ((off, len), bi) =>
-      sig.select(col(id), lit(bi).as("chunk"),
-        shiftrightunsigned(col("simhash"), off)
-          .bitwiseAND(lit((1L << len) - 1)).as("key"))
-    }.reduce(_ unionByName _)
+    // unsigned shift + BITMASK (not %) inside simhashBandKeys: Java
+    // remainder keeps the dividend's sign, so a 64-bit sig with bit 63
+    // set would get a negative band-0 key and never collide with a
+    // positive sig sharing the same low chunk — silently breaking the
+    // pigeonhole guarantee
+    val banded = simhashBandKeys(sig, bits, id)
+      .select(col(id), col("chunk"), col("key"))
     val l = banded.select(col("chunk"), col("key"), col(id).as("id_a"))
     val r = banded.select(col("chunk"), col("key"), col(id).as("id_b"))
     val cands = l.join(r, Seq("chunk", "key"))
@@ -859,6 +855,62 @@ object Dedup {
     val sa = sig.select(col(id).as("id_a"), col("simhash").as("sig_a"))
     val sb = sig.select(col(id).as("id_b"), col("simhash").as("sig_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("hamming",
+        bit_count(expr("sig_a ^ sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Band keys of a signature frame: (id, chunk, key, simhash). */
+  private def simhashBandKeys(sig: DataFrame, bits: Int,
+      id: String): DataFrame = {
+    val chunks = if (bits == 64) Seq((0, 16), (16, 16), (32, 16), (48, 16))
+                 else Seq((0, 8), (8, 8), (16, 8), (24, 7))
+    chunks.zipWithIndex.map { case ((off, len), bi) =>
+      sig.select(col(id), lit(bi).as("chunk"),
+        shiftrightunsigned(col("simhash"), off)
+          .bitwiseAND(lit((1L << len) - 1)).as("key"), col("simhash"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Incremental SimHash: near-dup pairs TOUCHING an arriving batch,
+    * given the persisted signature table of everything before it
+    * ([[simhash]] output, appended per batch — signatures carry no
+    * corpus-level state, so per-batch signing composes exactly). Output
+    * rows are IDENTICAL to `simhashPairs(base ∪ batch)` restricted to
+    * pairs touching the batch, for disjoint id sets — the last member of
+    * the incremental dedup family (exact / jaccard / minhash / spans /
+    * semdedup all have arrival modes; this closes simhash).
+    *
+    * Shape at scale: batch signatures map-side (native kernel) + one
+    * Θ(batch) band self-join; cross candidates SCAN the base signature
+    * table under a broadcast of the batch's band keys (Hamming verifies
+    * straight off the probe join's projection — signatures ride along,
+    * so no second base lookup); zero base-side exchange.
+    * `broadcastSigs=false` degrades to an SMJ of 16-byte signature rows,
+    * never the corpus. */
+  def simhashPairsIncremental(batch: DataFrame, baseSigs: DataFrame,
+      maxHamming: Int = 3, id: String = "doc_id", text: String = "text",
+      bits: Int = SimhashBits, broadcastSigs: Boolean = true): DataFrame = {
+    val bs = simhash(batch, id, text, bits)
+    val bb = simhashBandKeys(bs, bits, id)
+    val probe = if (broadcastSigs) broadcast(bb) else bb
+    val intra = bb.select(col("chunk"), col("key"), col(id).as("id_a"),
+        col("simhash").as("sig_a"))
+      .join(probe.select(col("chunk"), col("key"), col(id).as("id_b"),
+        col("simhash").as("sig_b")), Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+    val cross = simhashBandKeys(baseSigs, bits, id)
+      .select(col("chunk"), col("key"), col(id).as("base_id"),
+        col("simhash").as("base_sig"))
+      .join(probe.select(col("chunk"), col("key"), col(id).as("batch_id"),
+        col("simhash").as("batch_sig")), Seq("chunk", "key"))
+      .select(least(col("base_id"), col("batch_id")).as("id_a"),
+        greatest(col("base_id"), col("batch_id")).as("id_b"),
+        col("base_sig").as("sig_a"), col("batch_sig").as("sig_b"))
+    intra.select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .unionByName(cross)
+      .distinct() // several chunks can collide for one pair
       .withColumn("hamming",
         bit_count(expr("sig_a ^ sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)

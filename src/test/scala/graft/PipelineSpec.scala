@@ -198,6 +198,25 @@ class PipelineSpec extends SparkTestBase {
       s"diff ${inc -- expected} / ${expected -- inc}")
   }
 
+  test("incremental simhash == full pairs restricted to the batch") {
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    for (bits <- Seq(31, 64)) {
+      val full = Dedup.simhashPairs(docs, maxHamming = 3, bits = bits)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+      assert(expected.nonEmpty, s"fixture lost its pairs at bits=$bits")
+      val sigs = Dedup.simhash(base, bits = bits)
+      for (bc <- Seq(true, false)) {
+        val inc = Dedup.simhashPairsIncremental(batch, sigs,
+            maxHamming = 3, bits = bits, broadcastSigs = bc)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(inc == expected,
+          s"bits=$bits broadcast=$bc: ${inc -- expected} / ${expected -- inc}")
+      }
+    }
+  }
+
   test("incremental exact dedup: first-occurrence verdicts vs brute force") {
     // batch = odd ids; doc 1 duplicates base doc 0 (not new), and a
     // batch-internal dup pair exercises the lower-id-wins rule
