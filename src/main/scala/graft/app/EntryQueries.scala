@@ -394,6 +394,42 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // semantic dedup-on-ingest (StreamingDedup.startSemantic): a bounded
+    // embeddings slice replays in three micro-batches under a frozen
+    // quantizer, each batch judged against the kept assigned-cell state
+    // earlier batches appended. Rows-only by design (greedy arrival
+    // verdicts over k-means cells are outside SQL); the greedy and
+    // restriction contracts are PipelineSpec/StreamingSpec's job
+    "q_sim_semdedup_stream" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 300)
+      val cents = Similarity.fitCentroids(emb, nLists = 4)
+      val all = emb.select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy(col("vec_id")).as[(Long, Seq[Float])].collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-qsemstream").toString
+      val q = graft.streaming.StreamingDedup.startSemantic(s,
+        source.toDF().toDF("vec_id", "embedding"), root, s"$root/ckpt",
+        cents, minCos = 0.42,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try {
+        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+          source.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val rows = s.read.parquet(s"$root/verdicts")
+        .dropDuplicates("batch_id", "vec_id")
+        .select(col("vec_id"), col("is_new"))
+        .as[(Long, Boolean)].collect()
+      graft.index.IndexBuilder.deleteRecursive(
+        java.nio.file.Paths.get(root))
+      rows.toSeq.toDF("vec_id", "is_new").orderBy(col("vec_id"))
+    }),
+
     // -- text-analysis pipeline ---------------------------------------------
     "q_text_token_counts" -> ((s, d) =>
       TextStats.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))),

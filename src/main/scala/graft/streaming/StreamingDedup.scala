@@ -83,4 +83,60 @@ object StreamingDedup {
       }
       .start()
   }
+
+  /** Semantic dedup-on-ingest: the embedding arrival loop
+    * ([[graft.pipeline.Similarity.semDedupIncremental]]) as the same
+    * foreachBatch sink over a streaming (vec_id, embedding) source. The
+    * quantizer is FROZEN for the stream's lifetime (the composability pin
+    * of the incremental family — refitting is a compaction-cadence event
+    * that rebuilds the state table).
+    *
+    * State layout under `root`:
+    *  - `root/cells` — assigned-cell rows of KEPT docs only (the greedy
+    *    keep rule needs exactly the kept set as the future base),
+    *    batch_id-tagged: a replayed batch judges only `batch_id < its
+    *    own`, so re-verdicts are byte-identical (the digest-table trick);
+    *  - `root/verdicts` — (vec_id, is_new, batch_id), at-least-once with
+    *    the `dropDuplicates("batch_id", "vec_id")` reader shape. Rows
+    *    exist only for docs with a valid embedding (malformed vectors
+    *    fall out via the assignment kernel's null contract). */
+  def startSemantic(spark: SparkSession, vecs: DataFrame, root: String,
+      checkpointDir: String, centroids: Array[Array[Double]],
+      minCos: Double,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(vecs.isStreaming, "vecs must be a streaming DataFrame")
+    val cellsDir = s"$root/cells"
+    val verdictsDir = s"$root/verdicts"
+    vecs
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val hPath = new org.apache.hadoop.fs.Path(cellsDir)
+          val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val base =
+            if (fs.exists(hPath))
+              s.read.parquet(cellsDir)
+                .filter(col("batch_id") < batchId).drop("batch_id")
+            else
+              graft.pipeline.Similarity.assignCells(batch.limit(0),
+                centroids)
+          val verdicts = graft.pipeline.Similarity
+            .semDedupIncremental(batch, base, centroids, minCos)
+            .withColumn("batch_id", lit(batchId))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          verdicts.write.mode("append").parquet(verdictsDir)
+          graft.pipeline.Similarity.assignCells(batch, centroids)
+            .join(verdicts.filter(col("is_new")).select(col("vec_id")),
+              Seq("vec_id"), "left_semi")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(cellsDir)
+          verdicts.unpersist(blocking = false)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -180,4 +180,48 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
     assert(replayed == Map(6L -> false, 7L -> true))
   }
+
+  test("streaming SEMANTIC dedup-on-ingest: greedy arrival verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft-semdedup")
+    val ckpt = tmpDir("graft-semdedup-ckpt")
+    // frozen axis quantizer; vectors are exact axis copies or far-off-axis
+    // singletons, so near-dup (cos >= 0.9) == same-axis exact copy
+    val cents = Array(Array(1.0, 0, 0), Array(0, 1.0, 0), Array(0, 0, 1.0))
+    def v(cell: Int): Seq[Float] = cents(cell).map(_.toFloat).toSeq
+    def mid(a: Int, b: Int): Seq[Float] = { // in a's cell, below threshold
+      val m = cents(a).zip(cents(b)).map { case (x, y) => x * 0.8 + y * 0.6 }
+      m.map(_.toFloat).toSeq
+    }
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingDedup.startSemantic(spark,
+      source.toDF().toDF("vec_id", "embedding"), root, ckpt,
+      cents, minCos = 0.9, trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: three distinct cells — all kept
+      source.addData((1L, v(0)), (2L, v(1)), (3L, mid(2, 1)))
+      q.processAllAvailable()
+      // batch 2: 4 dups kept doc 1 (dropped); 5 is cell-2 but below
+      // threshold vs 3 (kept); 6+7 within-batch dups (6 kept, 7 dropped)
+      source.addData((4L, v(0)), (5L, v(2)), (6L, mid(0, 1)),
+        (7L, mid(0, 1)))
+      q.processAllAvailable()
+      // batch 3: dup of a DROPPED doc's vector — 4 was dropped but 1 (its
+      // dup) is kept, so 8 still near-dups the kept state → dropped;
+      // 9 dups batch-2's kept 5 → dropped
+      source.addData((8L, v(0)), (9L, v(2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .dropDuplicates("batch_id", "vec_id")
+      .select("vec_id", "is_new").as[(Long, Boolean)].collect().toMap
+    val expected = Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true, 7L -> false, 8L -> false, 9L -> false)
+    assert(verdicts == expected, verdicts.toSeq.sorted.mkString(", "))
+    // the cell state holds exactly the kept docs, batch-tagged
+    val cells = spark.read.parquet(s"$root/cells")
+    assert(cells.select("vec_id").as[Long].collect().toSet ==
+      expected.filter(_._2).keySet)
+    assert(cells.columns.contains("batch_id"))
+  }
 }
