@@ -710,6 +710,18 @@ object EntryQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF-PQ: product-quantized codes on the scan side + per-query ADC
+    // tables + exact rerank of the candidate pool. Rows-only by design
+    // (k-means codebooks are outside SQL); recall vs brute force is
+    // PqSpec's job
+    "q_sim_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nLists = 16, nProbe = 4, m = 8, ksub = 16, fitSample = 0.5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "q_sim_neardup" -> ((s, d) =>
       // exact all-pairs >= 0.42 via the tiled block kernel (NOT the
       // row-exploded cross join): same left-fold dot => same oracle
@@ -911,6 +923,35 @@ object EntryQueries {
         .searchNear(docsCorpus(s, d), "customer vector", d = 3)
         .select(asDocId(col("conv_id")), col("cnt"))
         .orderBy(col("doc_id"))
+    }),
+
+    // fuzzy term search (engine extension): dictionary words within one
+    // edit of the (misspelled) query word, probed as a bounded generated
+    // neighborhood of exact keys — cnt = distinct matched words per doc
+    "q_fts_fuzzy" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d)).searchFuzzy("custmer", maxEdits = 1)
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the maxEdits >= 2 fallback path: bounded-levenshtein dictionary scan
+    // (no generated neighborhood), same counting semantics
+    "q_fts_fuzzy2" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d)).searchFuzzy("custme", maxEdits = 2)
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 over the fuzzy neighborhood: matched words score as OR'd terms
+    // through the WAND path — rank-only output like q_fts_bm25
+    "q_fts_fuzzy_bm25" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d))
+        .searchFuzzyBm25("custmer", k = 20, maxEdits = 1)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
     }),
 
     // the phrase as ONE virtual BM25 term: tf = occurrence count,

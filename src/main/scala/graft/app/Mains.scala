@@ -253,8 +253,8 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near]
-  *        [--k=10] [--dist=3] [--exact] [--min-char=N] [--config=<file>]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25]
+  *        [--k=10] [--dist=3] [--edits=1] [--exact] [--min-char=N] [--config=<file>]
   *        [--corpus=<parquet|gen:N|fs:dir>   (phrase modes: the index is
   *         positionless, so adjacency confirms against the corpus text)] */
 object SearchMain {
@@ -262,7 +262,7 @@ object SearchMain {
   /** Fully-resolved search invocation (CLI flags over config values). */
   final case class Resolved(indexDir: String, query: String, mode: String,
       k: Int, conf: EngineConf, logLevel: Option[String],
-      corpus: Option[String] = None, dist: Int = 3)
+      corpus: Option[String] = None, dist: Int = 3, edits: Int = 1)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -291,7 +291,9 @@ object SearchMain {
           corpus = args.collectFirst { case s if s.startsWith("--corpus=") =>
             s.stripPrefix("--corpus=") },
           dist = args.collectFirst { case s if s.startsWith("--dist=") =>
-            s.stripPrefix("--dist=").toInt }.getOrElse(3)))
+            s.stripPrefix("--dist=").toInt }.getOrElse(3),
+          edits = args.collectFirst { case s if s.startsWith("--edits=") =>
+            s.stripPrefix("--edits=").toInt }.getOrElse(1)))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
@@ -300,7 +302,8 @@ object SearchMain {
               r.corpus.nonEmpty,
             "phrase/near/countp/bm25p modes need --corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near] [--k=10] [--dist=3] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25] " +
+        "[--k=10] [--dist=3] [--edits=1] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
     }
@@ -353,6 +356,9 @@ object SearchMain {
           searcher.searchCountWithPhrases(phraseCorpus, q).collect()
         case "bm25p" =>
           searcher.searchBm25WithPhrases(phraseCorpus, q, k).collect()
+        case "fuzzy" => searcher.searchFuzzy(q, r.edits).collect()
+        case "fuzzy-bm25" =>
+          searcher.searchFuzzyBm25(q, k, r.edits).collect()
         case _ => searcher.searchCount(q).collect()
       }
       Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)

@@ -222,6 +222,33 @@ object OracleSql {
       FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  /** Fuzzy BM25: the [[bm25Sql]] arithmetic with the term set defined by
+    * edit distance <= 1 of the misspelled query word (rank-only output;
+    * contributions reduce in term-sorted order like [[bm25Sql]]). */
+  private def fuzzyBm25Sql: String = s"""
+    WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE levenshtein(term, 'custmer') <= 1 GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+             WHERE levenshtein(term, 'custmer') <= 1 GROUP BY 1),
+      contrib AS (SELECT t.doc_id, t.term,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS c
+          FROM tf t JOIN df f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      sc AS (SELECT doc_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                                (x, y) -> x + y) AS score
+             FROM contrib GROUP BY doc_id)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** Boolean-structured BM25: ("customer" AND "stream") OR windo-prefix.
     * Every score is built from sums of at most two doubles (IEEE addition
     * of two operands is order-independent), so the oracle is bit-exact. */
@@ -899,6 +926,25 @@ object OracleSql {
       ORDER BY doc_id""",
 
     "q_fts_bm25" -> bm25Sql,
+
+    // fuzzy term search: the oracle states the SEMANTICS (any dictionary
+    // word within edit distance 1) directly via levenshtein — the engine's
+    // generated-neighborhood probe must be extensionally identical
+    "q_fts_fuzzy" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT doc_id, count(DISTINCT term)::BIGINT AS cnt FROM has
+      WHERE levenshtein(term, 'custmer') <= 1
+      GROUP BY 1 ORDER BY doc_id""",
+
+    "q_fts_fuzzy2" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT doc_id, count(DISTINCT term)::BIGINT AS cnt FROM has
+      WHERE levenshtein(term, 'custme') <= 2
+      GROUP BY 1 ORDER BY doc_id""",
+
+    "q_fts_fuzzy_bm25" -> fuzzyBm25Sql,
 
     "q_fts_phrase" -> s"""
       WITH $FtsPosTok,

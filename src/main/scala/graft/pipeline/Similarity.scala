@@ -126,16 +126,32 @@ object Similarity {
     * kmeansFit's non-empty requirement. */
   private def fitQuantizer(corpus: DataFrame, vec: String, nLists: Int,
       maxFitRows: Int, fitSample: Double = 1.0): Array[Array[Double]] = {
+    graft.tokenize.GraftFunctions.register(corpus.sparkSession)
+    kmeansFit(fitRows(corpus, vec, maxFitRows, fitSample), nLists,
+      iters = 10, seed = 42L)
+  }
+
+  /** The bounded, seed-stable driver-side fit sample shared by the coarse
+    * quantizer and the PQ codebooks ([[pqTopK]]) — cost capped at
+    * `maxFitRows` rows at ANY corpus size. */
+  private def fitRows(corpus: DataFrame, vec: String, maxFitRows: Int,
+      fitSample: Double): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    graft.tokenize.GraftFunctions.register(spark)
     val fitInput = if (fitSample >= 1.0) corpus
       else corpus.sample(withReplacement = false, fitSample, 42L)
-    val sample = fitInput
+    val rows = fitInput
       .filter(col(vec).isNotNull && size(col(vec)) > 0)
       .select(col(vec).cast("array<double>"))
       .limit(maxFitRows).as[Seq[Double]].collect().map(_.toArray)
-    kmeansFit(sample, nLists, iters = 10, seed = 42L)
+    if (rows.isEmpty) return rows
+    // a wrong-dimension row in the sample would AIOOBE the k-means fit:
+    // keep the modal dimension (deterministic tie-break toward smaller) —
+    // assignment-side malformed rows already drop via the argmin/size
+    // contracts, this applies the same posture to the fit
+    val dim = rows.groupBy(_.length)
+      .maxBy { case (l, g) => (g.length, -l) }._1
+    rows.filter(_.length == dim)
   }
 
   /** Distributed Lloyd refinement of driver-seeded centroids over the
@@ -276,7 +292,25 @@ object Similarity {
       .select(cellCol(centroids, col(vec)).as("list_id"),
         col(id).as("neighbor_id"),
         col(vec).as("cv"), norm2Col(col(vec)).as("cn"))
-    // centroid table is tiny: ship to a broadcast join against the queries
+    val probes = probeCells(queries, centroids, nProbe, id, vec)
+    val scored = broadcast(probes).join(lists, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+  }
+
+  /** Per-query probe list: the `nProbe` coarse cells nearest each query —
+    * (query_id, qv, qn, list_id). The centroid table is quantizer-sized,
+    * so it broadcasts; queries stay distributed (shared by [[ivfTopK]]
+    * and [[pqTopK]]). */
+  private def probeCells(queries: DataFrame,
+      centroids: Array[Array[Double]], nProbe: Int,
+      id: String, vec: String): DataFrame = {
+    val spark = queries.sparkSession
     val cents = spark.createDataFrame(
       centroids.toSeq.zipWithIndex.map { case (c, i) =>
         (i, c.map(_.toFloat))
@@ -291,15 +325,113 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("list_id"))
-    val probes = qDist.withColumn("pr", row_number().over(probeW))
+    qDist.withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("list_id"))
-    val scored = broadcast(probes).join(lists, Seq("list_id"))
+  }
+
+  /** IVF-PQ ANN top-k (product quantization, Jégou/Douze/Schmid 2011):
+    * [[ivfTopK]]'s coarse quantizer plus a product-quantized code in
+    * place of the raw vector on the scan side. The dimension splits into
+    * `m` subspaces; per subspace a `ksub`-centroid codebook (fit on the
+    * same bounded driver sample) quantizes the sub-vector to one small
+    * int, so a D-dim float vector scans as m ints + one stored norm —
+    * the 100-TB memory/IO lever: probed lists read ~m bytes per row
+    * instead of 4·D (16 vs 256 bytes at D=64, m=16), and the codes
+    * column is a pure map-side projection of the corpus (encode = m
+    * native `graft_argmin_cell` passes over sliced sub-vectors, all
+    * inside whole-stage codegen).
+    *
+    * Scoring is ADC (asymmetric distance computation): per query, the
+    * m×ksub table of exact sub-dot-products query·codebook is computed
+    * ONCE (a queries × broadcast(codebook) join — nq·m·ksub rows, never
+    * the corpus) and reshaped to an array-of-arrays carried on the
+    * broadcast probe row; a candidate's approximate dot is then m array
+    * lookups (`zip_with(codes, tab)` + fold — O(m) per row, builtin
+    * codegen). Approximate cosine divides by the EXACT stored norm, so
+    * only the numerator is quantized. The top `refineFactor·k` ADC
+    * candidates rerank with exact cosine against the raw vectors (the
+    * standard refine step — a selective join back to the corpus by id,
+    * reading full vectors for candidates only). Output is
+    * (query_id, neighbor_id, rank) like [[ivfTopK]]; recall vs the
+    * brute-force oracle is PqSpec's job (rows-only at the gate — the
+    * k-means codebooks are outside SQL). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      refineFactor: Int = 4, id: String = "vec_id",
+      vec: String = "embedding", fitSample: Double = 1.0,
+      maxFitRows: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.tokenize.GraftFunctions.register(spark)
+    val sample = fitRows(corpus, vec, maxFitRows, fitSample)
+    require(sample.nonEmpty, "pqTopK: fit sample is empty")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0, s"pqTopK: m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val coarse = kmeansFit(sample, nLists, iters = 10, seed = 42L)
+    // per-subspace codebooks over the same sample (seed offset per
+    // subspace: identical sub-distributions still seed independently)
+    val books = Array.tabulate(m) { s =>
+      kmeansFit(sample.map(_.slice(s * dsub, (s + 1) * dsub)), ksub,
+        iters = 10, seed = 42L + s)
+    }
+    // encode: list assignment + m sub-codes, one map-side pass; rows of
+    // the wrong dimension drop here, all-NaN vectors drop via the argmin
+    // null contract (null list_id never joins a probe)
+    val codeCols = (0 until m).map { s =>
+      cellCol(books(s), slice(col(vec), s * dsub + 1, dsub))
+    }
+    val codes = corpus
+      .filter(col(vec).isNotNull && size(col(vec)) === dim)
+      .select(cellCol(coarse, col(vec)).as("list_id"),
+        col(id).as("neighbor_id"),
+        array(codeCols: _*).as("codes"),
+        norm2Col(col(vec)).as("cn"))
+    // ADC tables: (query_id, sub, code, dot) -> per-query array-of-arrays
+    val bookDf = spark.createDataFrame(
+      for (s <- 0 until m; c <- 0 until ksub)
+        yield (s, c, books(s)(c))).toDF("sub", "code", "cent")
+    val tabs = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"))
+      .crossJoin(broadcast(bookDf))
+      .withColumn("dot",
+        aggregate(zip_with(
+            slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("cent"),
+            (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("dot")))).as("es"))
+      // es is (sub, code)-sorted, so entry s*ksub + c is subspace s code c
+      .withColumn("tab", expr(
+        s"""transform(sequence(0, ${m - 1}),
+              s -> transform(sequence(0, $ksub - 1),
+                c -> es[s * $ksub + c].dot))"""))
+      .select(col("query_id"), col("tab"))
+    val probes = probeCells(queries, coarse, nProbe, id, vec)
+      .join(tabs, Seq("query_id")) // nq·nProbe rows — stays broadcastable
+    val refineK = math.max(k, k * refineFactor)
+    val adc = broadcast(probes).join(codes, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosineCol(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("approx",
+        aggregate(zip_with(col("codes"), col("tab"),
+            (cd, t) => element_at(t, cd + 1)),
+          lit(0.0), (acc, v) => acc + v) /
+        (sqrt(col("qn")) * sqrt(col("cn"))))
+    val aw = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cands = adc.withColumn("ar", row_number().over(aw))
+      .filter(col("ar") <= refineK)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+    // exact rerank: the refine join reads raw vectors for candidates only
+    val raw = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      norm2Col(col(vec)).as("rn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    cands.join(raw, Seq("neighbor_id"))
+      .withColumn("cos",
+        cosineCol(col("qv"), col("cv"), col("qn"), col("rn")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
   }

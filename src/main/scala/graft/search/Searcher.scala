@@ -371,6 +371,80 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       else None
     }
 
+  // ---- fuzzy term search (engine extension) -------------------------------
+
+  /** Dictionary words within `maxEdits` edits of the query word, as a
+    * (matched-words frame, coarse postings predicate) pair — the
+    * [[matchedWords]]/[[coarsePred]] analog for approximate matching.
+    *
+    * maxEdits == 1 probes the bounded generated neighborhood
+    * ([[Fuzzy.neighborhood1]] — at most 52n+27 keys for a length-n word,
+    * independent of corpus size) as exact dictionary keys: the scan keeps
+    * letter-partition pruning and pushed isin predicates exactly like an
+    * exact-term query. maxEdits >= 2 falls back to a dictionary scan with
+    * Spark's bounded `levenshtein(l, r, threshold)` — vocabulary-sized
+    * (sublinear in corpus), but no letter pruning is possible because one
+    * edit can rewrite the first character; the postings scan then has no
+    * coarse predicate and relies on the matched-words join. */
+  private def fuzzyMatched(word: String, maxEdits: Int)
+      : Option[(DataFrame, Option[Column])] = {
+    if (word == null || word.isEmpty || maxEdits < 1 ||
+        word.exists(c => c < 'a' || c > 'z'))
+      return None
+    if (maxEdits == 1) {
+      val cands = Fuzzy.neighborhood1(word)
+      if (cands.isEmpty) return None
+      val letters = cands.map(_.substring(0, 1)).distinct
+      val cond = $"letter".isin(letters: _*) && $"term".isin(cands: _*)
+      Some((dict.filter(cond)
+        .select(lit(0).as("term_idx"), $"term".as("word"), $"df"),
+        Some(cond)))
+    } else {
+      // threshold form returns -1 when the distance EXCEEDS maxEdits (and
+      // short-circuits the row), so "within" is >= 0, not <= maxEdits
+      val cond = length($"term")
+        .between(word.length - maxEdits, word.length + maxEdits) &&
+        levenshtein($"term", lit(word), maxEdits) >= 0
+      Some((dict.filter(cond)
+        .select(lit(0).as("term_idx"), $"term".as("word"), $"df"), None))
+    }
+  }
+
+  /** Fuzzy term search (engine extension — the reference grammar has only
+    * exact and prefix terms, docs/Query-Language.md): docs containing any
+    * dictionary word within `maxEdits` edits of `word`; cnt = number of
+    * distinct matched dictionary words in the doc (the reference's Q6
+    * wildcard-counting semantics applied to the edit-distance
+    * neighborhood), ranked like [[searchCount]]. */
+  def searchFuzzy(word: String, maxEdits: Int = 1): DataFrame =
+    fuzzyMatched(word, maxEdits) match {
+      case None => emptyResult("cnt")
+      case Some((matched, coarse)) =>
+        // postings hold each doc once per word, so count(1) per doc =
+        // distinct matched dictionary words present in the doc
+        matchedPostings(matched, coarse)
+          .groupBy($"doc_id").agg(count(lit(1)).cast("long").as("cnt"))
+          .join(docs, Seq("doc_id"))
+          .select($"conv_id", $"turn_idx", $"cnt")
+          .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+    }
+
+  /** BM25-scored fuzzy search: every matched dictionary word scores as an
+    * independent OR'd term (weight = idf — the [[searchBm25]] pure-OR
+    * shape), evaluated by the same distributed block-max WAND. */
+  def searchFuzzyBm25(word: String, k: Int, maxEdits: Int = 1): DataFrame =
+    fuzzyMatched(word, maxEdits) match {
+      case None => emptyResult("score")
+      case Some((matched, coarse)) =>
+        val words = matched.select($"word", bm25Idf($"df").as("weight"))
+        val scanned = coarse.map(postings.filter).getOrElse(postings)
+        val top = Wand.topK(spark, scanned, words,
+          meta.maxDocId + 1, meta.avgdl, conf, k)
+        broadcast(top).join(docs, Seq("doc_id"))
+          .select($"conv_id", $"turn_idx", $"score", $"doc_id")
+          .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
+    }
+
   private def rankedCounts(hits: Option[DataFrame]): DataFrame = hits match {
     case None => emptyResult("cnt")
     case Some(h) => h
