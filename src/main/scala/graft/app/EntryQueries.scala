@@ -121,6 +121,28 @@ object EntryQueries {
   private def asDocId(c: org.apache.spark.sql.Column) =
     c.cast("long").as("doc_id")
 
+  /** documents reshaped to MULTI-TURN conversations (8 turns per conv) —
+    * the gate corpus exercising turn_idx != 0 doc keys end-to-end
+    * (docsCorpus keeps every doc a single-turn conv). */
+  def convCorpus(spark: SparkSession, dir: String): Dataset[Turn] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(
+        format_string("%012d", (col("doc_id") / 8).cast("long")).as("conv_id"),
+        (col("doc_id") % 8).cast("int").as("turn_idx"),
+        lit("doc").as("role"), col("text"),
+        lit(null).cast("string").as("tool"),
+        lit(Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
+      .as[Turn]
+  }
+
+  def indexDirConv(spark: SparkSession, dir: String): String =
+    idxCache.computeIfAbsent(s"conv:$dir", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-qidxc").toString
+      IndexBuilder.build(spark, convCorpus(spark, dir), out)
+      out
+    })
+
   // ---- catalog -------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -923,6 +945,30 @@ object EntryQueries {
         .searchNear(docsCorpus(s, d), "customer vector", d = 3)
         .select(asDocId(col("conv_id")), col("cnt"))
         .orderBy(col("doc_id"))
+    }),
+
+    // conversation rollup over the MULTI-TURN corpus (8 turns per conv):
+    // total matched-word count + matching-turn count per conversation,
+    // top-40 by (total desc, conv asc) — the only gate entry driving
+    // turn_idx != 0 doc keys through build + search end-to-end
+    "q_fts_conv_rollup" -> ((s, d) => {
+      searcher(s, indexDirConv(s, d)).searchConvTopK("custom windo", k = 40)
+        .select(col("conv_id").cast("long").as("conv"),
+          col("total_cnt").cast("long"), col("n_turns").cast("long"))
+        .orderBy(col("conv"))
+    }),
+
+    // more-like-this: BM25 similarity to seed doc 42 — top tf·idf seed
+    // terms become a pure-OR WAND query, seed excluded; rank-only output
+    "q_fts_mlt" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d))
+        .moreLikeThis(docsCorpus(s, d), "%012d".format(42), 0,
+          nTerms = 3, k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
     }),
 
     // fuzzy term search (engine extension): dictionary words within one

@@ -253,8 +253,11 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25]
-  *        [--k=10] [--dist=3] [--edits=1] [--exact] [--min-char=N] [--config=<file>]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt]
+  *        [--k=10] [--dist=3] [--edits=1] [--terms=5] [--exact] [--min-char=N] [--config=<file>]
+  *        (conv: rollup of count hits by conversation, prints
+  *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
+  *         needs --corpus=, --terms picks the tf-idf seed terms)
   *        [--corpus=<parquet|gen:N|fs:dir>   (phrase modes: the index is
   *         positionless, so adjacency confirms against the corpus text)] */
 object SearchMain {
@@ -262,7 +265,8 @@ object SearchMain {
   /** Fully-resolved search invocation (CLI flags over config values). */
   final case class Resolved(indexDir: String, query: String, mode: String,
       k: Int, conf: EngineConf, logLevel: Option[String],
-      corpus: Option[String] = None, dist: Int = 3, edits: Int = 1)
+      corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
+      terms: Int = 5)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -293,17 +297,21 @@ object SearchMain {
           dist = args.collectFirst { case s if s.startsWith("--dist=") =>
             s.stripPrefix("--dist=").toInt }.getOrElse(3),
           edits = args.collectFirst { case s if s.startsWith("--edits=") =>
-            s.stripPrefix("--edits=").toInt }.getOrElse(1)))
+            s.stripPrefix("--edits=").toInt }.getOrElse(1),
+          terms = args.collectFirst { case s if s.startsWith("--terms=") =>
+            s.stripPrefix("--terms=").toInt }.getOrElse(5)))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
           .filterOrElse(r => !r.mode.startsWith("phrase") &&
-              r.mode != "near" && r.mode != "countp" && r.mode != "bm25p" ||
+              r.mode != "near" && r.mode != "countp" && r.mode != "bm25p" &&
+              r.mode != "mlt" ||
               r.corpus.nonEmpty,
-            "phrase/near/countp/bm25p modes need --corpus=<parquet|gen:N|fs:dir>")
+            "phrase/near/countp/bm25p/mlt modes need " +
+              "--corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25] " +
-        "[--k=10] [--dist=3] [--edits=1] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt] " +
+        "[--k=10] [--dist=3] [--edits=1] [--terms=5] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
     }
@@ -359,6 +367,16 @@ object SearchMain {
         case "fuzzy" => searcher.searchFuzzy(q, r.edits).collect()
         case "fuzzy-bm25" =>
           searcher.searchFuzzyBm25(q, k, r.edits).collect()
+        case "conv" => searcher.searchConvTopK(q, k)
+          .select("conv_id", "n_turns", "total_cnt").collect()
+        case "mlt" =>
+          // query = <convId>[:turnIdx]
+          val (cid, tix) = q.lastIndexOf(':') match {
+            case -1 => (q, 0)
+            case i => (q.substring(0, i),
+              q.substring(i + 1).toIntOption.getOrElse(0))
+          }
+          searcher.moreLikeThis(phraseCorpus, cid, tix, r.terms, k).collect()
         case _ => searcher.searchCount(q).collect()
       }
       Mains.printResults(rows, (System.nanoTime() - t0) / 1e6)

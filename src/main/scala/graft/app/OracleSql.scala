@@ -222,6 +222,39 @@ object OracleSql {
       FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  /** More-like-this: seed doc 42's top-3 terms by tf·idf (tie: term asc)
+    * become the [[bm25Sql]] query; the seed is excluded from the ranking
+    * (rank-only output). */
+  private def mltSql: String = s"""
+    WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                GROUP BY 1),
+      seedtf AS (SELECT term, count(*)::DOUBLE AS tf FROM tok
+                 WHERE doc_id = 42 GROUP BY 1),
+      chosen AS (SELECT s.term,
+                        s.tf * ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) AS sel
+                 FROM seedtf s JOIN dfall f USING (term) CROSS JOIN m
+                 ORDER BY sel DESC, s.term LIMIT 3),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE term IN (SELECT term FROM chosen) GROUP BY 1, 2),
+      contrib AS (SELECT t.doc_id, t.term,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS c
+          FROM tf t JOIN dfall f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      sc AS (SELECT doc_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                                (x, y) -> x + y) AS score
+             FROM contrib GROUP BY doc_id)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM sc WHERE doc_id <> 42 ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** Fuzzy BM25: the [[bm25Sql]] arithmetic with the term set defined by
     * edit distance <= 1 of the misspelled query word (rank-only output;
     * contributions reduce in term-sorted order like [[bm25Sql]]). */
@@ -945,6 +978,29 @@ object OracleSql {
       GROUP BY 1 ORDER BY doc_id""",
 
     "q_fts_fuzzy_bm25" -> fuzzyBm25Sql,
+
+    // conversation rollup over the 8-turns-per-conv reshaped corpus:
+    // per-doc wildcard counts (the q_fts_search_wild shape) grouped by
+    // doc_id // 8, top-40 by (total desc, conv asc)
+    "q_fts_conv_rollup" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok),
+      m1 AS (SELECT doc_id, count(DISTINCT term) AS c FROM has
+             WHERE term LIKE 'custom%' GROUP BY 1),
+      m2 AS (SELECT doc_id, count(DISTINCT term) AS c FROM has
+             WHERE term LIKE 'windo%' GROUP BY 1),
+      hit AS (SELECT coalesce(m1.doc_id, m2.doc_id) AS doc_id,
+                     coalesce(m1.c, 0) + coalesce(m2.c, 0) AS cnt
+              FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id),
+      r AS (SELECT doc_id // 8 AS conv, sum(cnt) AS total_cnt,
+                   count(*) AS n_turns FROM hit GROUP BY 1),
+      top AS (SELECT conv, total_cnt, n_turns FROM r
+              ORDER BY total_cnt DESC, conv LIMIT 40)
+      SELECT conv::BIGINT AS conv, total_cnt::BIGINT AS total_cnt,
+             n_turns::BIGINT AS n_turns
+      FROM top ORDER BY conv""",
+
+    "q_fts_mlt" -> mltSql,
 
     "q_fts_phrase" -> s"""
       WITH $FtsPosTok,

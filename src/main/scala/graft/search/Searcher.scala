@@ -371,6 +371,66 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       else None
     }
 
+  // ---- more-like-this + conversation rollup (engine extensions) -----------
+
+  /** More-like-this (the classic Lucene-family MLT shape): rank docs by
+    * BM25 similarity to ONE seed doc. The seed's kept-token tf vector is
+    * computed locally from its text (one bounded corpus row — turns are
+    * bounded by construction, SURVEY §2.1), its distinct terms look up df
+    * through the SAME letter-pruned pushed-predicate dictionary scan as
+    * any query (the probe list is seed-vocabulary-sized), the top
+    * `nTerms` by tf·idf (tie: term asc) become a pure-OR BM25 query
+    * through the WAND path, and the seed doc itself is excluded from the
+    * top-k. Empty/unknown seed or no indexed seed terms → empty. */
+  def moreLikeThis(corpus: Dataset[Turn], convId: String, turnIdx: Int,
+      nTerms: Int = 5, k: Int = 10): DataFrame = {
+    if (nTerms < 1 || k < 1) return emptyResult("score")
+    val seed = corpus
+      .filter(t => t.conv_id == convId && t.turn_idx == turnIdx)
+      .take(1)
+    if (seed.isEmpty || seed.head.text == null) return emptyResult("score")
+    val tf = graft.tokenize.Tokenizer.tokens(seed.head.text)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    if (tf.isEmpty) return emptyResult("score")
+    val terms = tf.keys.toSeq.sorted
+    val letters = terms.map(_.substring(0, 1)).distinct
+    // seed-vocab-sized collect: df of each seed term from the pruned dict
+    val dfMap = dict
+      .filter($"letter".isin(letters: _*) && $"term".isin(terms: _*))
+      .select($"term", $"df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = meta.numDocs.toDouble
+    def idf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val chosen = terms
+      .flatMap(t => dfMap.get(t).map(df => (t, tf(t) * idf(df), idf(df))))
+      .sortBy { case (t, s, _) => (-s, t) }.take(nTerms)
+    if (chosen.isEmpty) return emptyResult("score")
+    val words = spark.createDataFrame(
+      chosen.map { case (t, _, w) => (t, w) }).toDF("word", "weight")
+    val coarse = $"letter".isin(chosen.map(_._1.substring(0, 1)).distinct: _*) &&
+      $"term".isin(chosen.map(_._1): _*)
+    // k+1 from WAND: the seed is a perfect self-match and may occupy one
+    // slot; dropping it afterwards still leaves the true non-seed top-k
+    val top = Wand.topK(spark, postings.filter(coarse), words,
+      meta.maxDocId + 1, meta.avgdl, conf, k + 1)
+    broadcast(top).join(docs, Seq("doc_id"))
+      .filter(!($"conv_id" === convId && $"turn_idx" === turnIdx))
+      .select($"conv_id", $"turn_idx", $"score", $"doc_id")
+      .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
+  }
+
+  /** Conversation-level rollup of [[searchCount]] (transcript analytics:
+    * "which conversations match most"): per conv_id, total_cnt = sum of
+    * matched-turn counts and n_turns = number of matching turns, top-k by
+    * (total_cnt desc, conv_id asc). One extra conv_id aggregation over
+    * the hit frame — hits are selective, the corpus is never re-read. */
+  def searchConvTopK(query: String, k: Int): DataFrame =
+    searchCount(query)
+      .groupBy($"conv_id")
+      .agg(sum($"cnt").as("total_cnt"), count(lit(1)).as("n_turns"))
+      .orderBy($"total_cnt".desc, $"conv_id")
+      .limit(k)
+
   // ---- fuzzy term search (engine extension) -------------------------------
 
   /** Dictionary words within `maxEdits` edits of the query word, as a
