@@ -958,6 +958,17 @@ object EntryQueries {
         .orderBy(col("conv"))
     }),
 
+    // result snippets: top-15 count hits re-read ONLY their own corpus
+    // rows; the snippet is the ±3-token window around the first matching
+    // kept token — exact word by equality, wildcard by prefix
+    "q_fts_snippet" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchSnippets(docsCorpus(s, d), """"customer" windo""",
+          width = 3, k = 15)
+        .select(asDocId(col("conv_id")), col("cnt"), col("snippet"))
+        .orderBy(col("doc_id"))
+    }),
+
     // more-like-this: BM25 similarity to seed doc 42 — top tf·idf seed
     // terms become a pure-OR WAND query, seed excluded; rank-only output
     "q_fts_mlt" -> ((s, d) => {

@@ -253,8 +253,8 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt]
-  *        [--k=10] [--dist=3] [--edits=1] [--terms=5] [--exact] [--min-char=N] [--config=<file>]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet]
+  *        [--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
   *         needs --corpus=, --terms picks the tf-idf seed terms)
@@ -266,7 +266,7 @@ object SearchMain {
   final case class Resolved(indexDir: String, query: String, mode: String,
       k: Int, conf: EngineConf, logLevel: Option[String],
       corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
-      terms: Int = 5)
+      terms: Int = 5, width: Int = 5)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -299,19 +299,21 @@ object SearchMain {
           edits = args.collectFirst { case s if s.startsWith("--edits=") =>
             s.stripPrefix("--edits=").toInt }.getOrElse(1),
           terms = args.collectFirst { case s if s.startsWith("--terms=") =>
-            s.stripPrefix("--terms=").toInt }.getOrElse(5)))
+            s.stripPrefix("--terms=").toInt }.getOrElse(5),
+          width = args.collectFirst { case s if s.startsWith("--width=") =>
+            s.stripPrefix("--width=").toInt }.getOrElse(5)))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
           .filterOrElse(r => !r.mode.startsWith("phrase") &&
               r.mode != "near" && r.mode != "countp" && r.mode != "bm25p" &&
-              r.mode != "mlt" ||
+              r.mode != "mlt" && r.mode != "snippet" ||
               r.corpus.nonEmpty,
-            "phrase/near/countp/bm25p/mlt modes need " +
+            "phrase/near/countp/bm25p/mlt/snippet modes need " +
               "--corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt] " +
-        "[--k=10] [--dist=3] [--edits=1] [--terms=5] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet] " +
+        "[--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
     }
@@ -369,6 +371,9 @@ object SearchMain {
           searcher.searchFuzzyBm25(q, k, r.edits).collect()
         case "conv" => searcher.searchConvTopK(q, k)
           .select("conv_id", "n_turns", "total_cnt").collect()
+        case "snippet" =>
+          searcher.searchSnippets(phraseCorpus, q, r.width, k)
+            .select("conv_id", "turn_idx", "snippet").collect()
         case "mlt" =>
           // query = <convId>[:turnIdx]
           val (cid, tix) = q.lastIndexOf(':') match {

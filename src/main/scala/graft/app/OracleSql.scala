@@ -1002,6 +1002,31 @@ object OracleSql {
 
     "q_fts_mlt" -> mltSql,
 
+    // snippets: the q_fts_search_wild count shape (exact 'customer' +
+    // windo-prefix), top 15, then the ±3-kept-token window around the
+    // first matching position (1-based here, 0-based engine-side — the
+    // slice bounds translate exactly)
+    "q_fts_snippet" -> s"""
+      WITH $FtsPosTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tokp),
+      m1 AS (SELECT doc_id, 1 AS c FROM has WHERE term = 'customer'),
+      m2 AS (SELECT doc_id, count(DISTINCT term) AS c FROM has
+             WHERE term LIKE 'windo%' GROUP BY 1),
+      hit AS (SELECT coalesce(m1.doc_id, m2.doc_id) AS doc_id,
+                     coalesce(m1.c, 0) + coalesce(m2.c, 0) AS cnt
+              FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id),
+      top AS (SELECT doc_id, cnt FROM hit ORDER BY cnt DESC, doc_id LIMIT 15),
+      arrs AS (SELECT doc_id, list(term ORDER BY p) AS w FROM rk GROUP BY 1),
+      fp AS (SELECT rk.doc_id, min(rk.p) AS p
+             FROM rk JOIN top USING (doc_id)
+             WHERE rk.term = 'customer' OR rk.term LIKE 'windo%'
+             GROUP BY 1)
+      SELECT top.doc_id, top.cnt::BIGINT AS cnt,
+             array_to_string(a.w[greatest(1, fp.p - 3):fp.p + 3], ' ')
+               AS snippet
+      FROM top JOIN fp USING (doc_id) JOIN arrs a USING (doc_id)
+      ORDER BY top.doc_id""",
+
     "q_fts_phrase" -> s"""
       WITH $FtsPosTok,
       $PhraseHits

@@ -371,6 +371,56 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       else None
     }
 
+  // ---- result snippets (engine extension) ----------------------------------
+
+  /** Ranked hits WITH a context snippet (the search-result UX the
+    * reference lacks): the top-k [[searchCount]] hits re-read ONLY their
+    * own corpus rows (a k-row broadcast join keyed by doc key), and the
+    * snippet composes from codegen builtins over the SAME kept-token
+    * stream the index is built from (`graft_tokenize`): the window of
+    * `width` tokens either side of the FIRST position matching any query
+    * word — exact words by equality, wildcard words by prefix with the
+    * min-length quirk applied (a word the dictionary lookup would reject
+    * never anchors a snippet). NOT'd words also highlight when present —
+    * snippet anchoring is word-set, not boolean-structure, semantics.
+    * Plain reference grammar only (no `'...'` phrase sentinels).
+    *
+    * 100-TB shape: hits are k rows; the corpus join is broadcast; the
+    * token walk is one map-side pass over k texts — the corpus is never
+    * re-tokenized. */
+  def searchSnippets(corpus: Dataset[Turn], query: String, width: Int = 5,
+      k: Int = 10): DataFrame = {
+    val empty = emptyDf(
+      "conv_id" -> org.apache.spark.sql.types.StringType,
+      "turn_idx" -> org.apache.spark.sql.types.IntegerType,
+      "cnt" -> org.apache.spark.sql.types.LongType,
+      "snippet" -> org.apache.spark.sql.types.StringType)
+    if (width < 0 || k < 1) return empty
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid) return empty
+    val words = parsed.searchWords.distinct.filter { case (w, e) =>
+      w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z') &&
+        (e || w.length > conf.minCharForMatch)
+    }
+    if (words.isEmpty) return empty
+    val top = searchCount(query).limit(k)
+    val toks = call_function("graft_tokenize", $"text")
+    def tokMatch(t: Column): Column = words.map { case (w, e) =>
+      if (e) t === w else t.startsWith(w)
+    }.reduce(_ || _)
+    // first matching kept-token position (0-based); every hit doc has one
+    // by construction (it matched the index over the same token stream)
+    val p = element_at(filter(
+      transform(toks, (t, i) => when(tokMatch(t), i).otherwise(lit(-1))),
+      x => x >= 0), 1)
+    val start = greatest(lit(0), p - width)
+    broadcast(top).join(corpus.toDF, Seq("conv_id", "turn_idx"))
+      .withColumn("snippet",
+        array_join(slice(toks, start + 1, p + lit(width) - start + 1), " "))
+      .select($"conv_id", $"turn_idx", $"cnt", $"snippet")
+      .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+  }
+
   // ---- more-like-this + conversation rollup (engine extensions) -----------
 
   /** More-like-this (the classic Lucene-family MLT shape): rank docs by

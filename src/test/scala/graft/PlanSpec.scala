@@ -67,6 +67,22 @@ class PlanSpec extends SparkTestBase {
     searcher.close()
   }
 
+  test("fuzzy plan: generated neighborhood pushed as In on dict AND postings") {
+    val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+    val plan = formatted(searcher.searchFuzzy("whicj", 1))
+    // the bounded 1-edit neighborhood reaches the parquet readers as
+    // pushed In(term, [...]) filters on BOTH the dictionary and the
+    // postings scans (min/max + dictionary-page file skipping), with the
+    // letter in-set as a partition filter — the plan of an exact-term OR
+    // query, never a vocabulary scan with a distance predicate
+    assert("In\\(term, \\[".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("whicj"), plan) // the word itself is in the probe set
+    assert("PartitionFilters: \\[[^\\]]*letter".r.findAllIn(plan).nonEmpty,
+      plan)
+    assert(!plan.toLowerCase.contains("levenshtein"), plan)
+    searcher.close()
+  }
+
   test("phrase plan: exact EqualTo pushed per word; corpus text never exploded") {
     val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
     val corpus = TranscriptGen.dataset(spark, 40, partitions = 4)
