@@ -958,6 +958,22 @@ object EntryQueries {
         .orderBy(col("conv"))
     }),
 
+    // prefix autocomplete: top-5 dictionary terms by (df desc, term asc)
+    // under a letter-pruned pushed-StartsWith scan — postings never read
+    "q_fts_suggest" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d)).suggest("s", k = 5)
+        .select(col("term"), col("df"))
+    }),
+
+    // regex term search: docs containing any dictionary word matching the
+    // pattern (vocabulary-sized dict scan — the documented no-prefix
+    // posture), cnt = distinct matched words per doc
+    "q_fts_regex" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d)).searchRegex("er$")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // result snippets: top-15 count hits re-read ONLY their own corpus
     // rows; the snippet is the ±3-token window around the first matching
     // kept token — exact word by equality, wildcard by prefix

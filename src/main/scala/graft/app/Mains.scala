@@ -253,7 +253,7 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex]
   *        [--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -312,7 +312,7 @@ object SearchMain {
             "phrase/near/countp/bm25p/mlt/snippet modes need " +
               "--corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex] " +
         "[--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
@@ -374,6 +374,13 @@ object SearchMain {
         case "snippet" =>
           searcher.searchSnippets(phraseCorpus, q, r.width, k)
             .select("conv_id", "turn_idx", "snippet").collect()
+        case "suggest" =>
+          // (term, "df", df): reuse the a:b -> v result printer
+          searcher.suggest(q, k)
+            .select(org.apache.spark.sql.functions.col("term"),
+              org.apache.spark.sql.functions.lit("df"),
+              org.apache.spark.sql.functions.col("df")).collect()
+        case "regex" => searcher.searchRegex(q).collect()
         case "mlt" =>
           // query = <convId>[:turnIdx]
           val (cid, tix) = q.lastIndexOf(':') match {

@@ -1002,6 +1002,20 @@ object OracleSql {
 
     "q_fts_mlt" -> mltSql,
 
+    "q_fts_suggest" -> s"""
+      WITH $FtsTok,
+      d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+            GROUP BY 1)
+      SELECT term, df FROM d WHERE term LIKE 's%'
+      ORDER BY df DESC, term LIMIT 5""",
+
+    "q_fts_regex" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT doc_id, count(DISTINCT term)::BIGINT AS cnt FROM has
+      WHERE regexp_matches(term, 'er$$')
+      GROUP BY 1 ORDER BY doc_id""",
+
     // snippets: the q_fts_search_wild count shape (exact 'customer' +
     // windo-prefix), top 15, then the ±3-kept-token window around the
     // first matching position (1-based here, 0-based engine-side — the

@@ -520,24 +520,63 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     }
   }
 
+  /** Shared matched-words counting tail (fuzzy/regex matchers): postings
+    * hold each doc once per word, so count(1) per doc = distinct matched
+    * dictionary words present in the doc (the reference's Q6
+    * wildcard-counting semantics), ranked like [[searchCount]]. */
+  private def countMatched(matched: DataFrame,
+      coarse: Option[Column]): DataFrame =
+    matchedPostings(matched, coarse)
+      .groupBy($"doc_id").agg(count(lit(1)).cast("long").as("cnt"))
+      .join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"cnt")
+      .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+
   /** Fuzzy term search (engine extension — the reference grammar has only
     * exact and prefix terms, docs/Query-Language.md): docs containing any
     * dictionary word within `maxEdits` edits of `word`; cnt = number of
-    * distinct matched dictionary words in the doc (the reference's Q6
-    * wildcard-counting semantics applied to the edit-distance
-    * neighborhood), ranked like [[searchCount]]. */
+    * distinct matched dictionary words in the doc, ranked like
+    * [[searchCount]]. */
   def searchFuzzy(word: String, maxEdits: Int = 1): DataFrame =
     fuzzyMatched(word, maxEdits) match {
       case None => emptyResult("cnt")
-      case Some((matched, coarse)) =>
-        // postings hold each doc once per word, so count(1) per doc =
-        // distinct matched dictionary words present in the doc
-        matchedPostings(matched, coarse)
-          .groupBy($"doc_id").agg(count(lit(1)).cast("long").as("cnt"))
-          .join(docs, Seq("doc_id"))
-          .select($"conv_id", $"turn_idx", $"cnt")
-          .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+      case Some((matched, coarse)) => countMatched(matched, coarse)
     }
+
+  /** Regex term search (engine extension): docs containing any dictionary
+    * word matching `pattern` (Java regex, unanchored find — anchor with
+    * ^/$ for whole-word semantics); cnt = distinct matched words per doc.
+    * The dictionary scan is vocabulary-sized (sublinear in corpus — the
+    * same documented posture as the maxEdits >= 2 fuzzy path: a regex has
+    * no pushable prefix in general, so no letter pruning); the postings
+    * join then refines to the matched-word set. An invalid pattern
+    * returns empty (the reference's malformed-query tolerance). */
+  def searchRegex(pattern: String): DataFrame = {
+    if (pattern == null || pattern.isEmpty) return emptyResult("cnt")
+    try { java.util.regex.Pattern.compile(pattern) }
+    catch { case _: java.util.regex.PatternSyntaxException =>
+      return emptyResult("cnt") }
+    val matched = dict.filter($"term".rlike(pattern))
+      .select(lit(0).as("term_idx"), $"term".as("word"), $"df")
+    countMatched(matched, None)
+  }
+
+  /** Prefix autocomplete over the dictionary (engine extension): top-k
+    * terms by (df desc, term asc) — a letter-pruned pushed-StartsWith
+    * dictionary-only scan; postings are never read, and the wildcard
+    * min-length quirk deliberately does NOT apply (autocomplete exists
+    * for short prefixes). */
+  def suggest(prefix: String, k: Int = 10): DataFrame = {
+    if (prefix == null || prefix.isEmpty || k < 1 ||
+        prefix.exists(c => c < 'a' || c > 'z'))
+      return emptyDf(
+        "term" -> org.apache.spark.sql.types.StringType,
+        "df" -> org.apache.spark.sql.types.LongType)
+    dict.filter($"letter" === prefix.substring(0, 1) &&
+        $"term".startsWith(prefix))
+      .select($"term", $"df")
+      .orderBy($"df".desc, $"term").limit(k)
+  }
 
   /** BM25-scored fuzzy search: every matched dictionary word scores as an
     * independent OR'd term (weight = idf — the [[searchBm25]] pure-OR

@@ -98,6 +98,39 @@ class FuzzySearchSpec extends SparkTestBase {
     assert(searcher.searchFuzzyBm25("STRAM", 5).isEmpty)
   }
 
+  test("searchRegex matches brute force; invalid pattern is empty") {
+    for (pat <- Seq("^str", "am$", "a.d", "^zzz$")) {
+      val re = pat.r
+      val exp = corpus.flatMap { t =>
+        val n = Tokenizer.tokens(t.text).distinct
+          .count(tok => re.findFirstIn(tok).isDefined)
+        if (n > 0) Some(DocKey(t.conv_id, t.turn_idx) -> n.toLong) else None
+      }.toMap
+      val got = searcher.searchRegex(pat).collect().map {
+        case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+      }.toMap
+      assert(got == exp, s"pattern=$pat")
+    }
+    assert(searcher.searchRegex("[unclosed").isEmpty)
+    assert(searcher.searchRegex("").isEmpty)
+  }
+
+  test("suggest: df-ranked prefix completion off the dictionary only") {
+    // dictionary truth from brute force over the corpus
+    val df = corpus.flatMap(t => Tokenizer.tokens(t.text).distinct
+        .map(tok => (tok, (t.conv_id, t.turn_idx))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val exp = df.filter(_._1.startsWith("str")).toSeq
+      .sortBy { case (t, d) => (-d, t) }.take(3)
+    val got = searcher.suggest("str", 3).collect()
+      .map { case Row(t: String, d: Long) => (t, d) }.toSeq
+    assert(got == exp)
+    assert(got.nonEmpty)
+    assert(searcher.suggest("", 3).isEmpty)
+    assert(searcher.suggest("St4", 3).isEmpty)
+    assert(searcher.suggest("str", 0).isEmpty)
+  }
+
   test("searchFuzzyBm25 equals the exact OR query of the matched words") {
     // 'stram' fuzzy-matches exactly {stream, strap}: scoring through the
     // fuzzy WAND path must be row-identical (scores included) to the
