@@ -25,7 +25,8 @@ import graft.search.Searcher
   * (scaling corpus size, default 500000 ≈ 3M turns — large enough that the
   * measured job is compute-bound, not fixed-cost-bound),
   * SPARK_GRAFT_SCALE_LEVELS="8,32", SPARK_GRAFT_SKIP_SCALING=1,
-  * SPARK_GRAFT_SCALING_ONLY=1.
+  * SPARK_GRAFT_SCALING_ONLY=1, SPARK_GRAFT_ANN_LEVELS="20000,80000"
+  * (the brute-vs-IVF-PQ scale rows inside the dedup-scale phase).
   */
 object Bench {
 
@@ -415,6 +416,80 @@ object Bench {
       f""""n_pairs":$nPairs,"planted_found":$found,"planted":$half}"""
   }
 
+  /** ANN scale row: brute-force exact top-10 vs IVF-PQ over the same
+    * clustered synthetic embeddings (the semdedup generator's cluster
+    * shape, no planted dup half) — walls for both paths plus PQ
+    * recall@10 against the exact truth. The claim under test is the ANN
+    * family's scale ladder: the PQ scan reads m code ints + a norm per
+    * probed row where brute reads the full vector for EVERY row. */
+  private def annScaleOnce(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions._
+    val dim = 32
+    val nClusters = 8
+    val nQ = 10
+    val k = 10
+    // clustered base + for each query id q < nQ, k PLANTED near neighbors
+    // at tiny perturbation: the exact top-k of a query is then its planted
+    // set — recall measures finding genuinely-NEAR points. (The first cut
+    // used bare cluster noise: all ~2500 same-cluster candidates sit at
+    // near-identical cosine, so "top-10" is rank-noise no quantized method
+    // can order and recall@10 read 0.05 — a bad instance, not a bad index.)
+    val vecs = spark.range(n + nQ * k).map { i =>
+      def base(id: Long): Array[Double] = {
+        val cr = new scala.util.Random(1000L + (id % nClusters))
+        val c = Array.fill(dim)(cr.nextGaussian())
+        val r = new scala.util.Random(id)
+        c.map(x => x + 0.3 * r.nextGaussian())
+      }
+      val v = if (i < n) base(i)
+        else {
+          val q = (i - n) / k
+          val r = new scala.util.Random(9999L + i)
+          base(q).map(x => x + 0.02 * r.nextGaussian())
+        }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (i, v.map(x => (x / norm).toFloat))
+    }.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    val queries = vecs.filter(col("vec_id") < nQ)
+    // lists ∝ √n (the semdedup co-scaling rule) keeps probed-cell sizes
+    // growing ∝ √n instead of n
+    val nLists = math.max(16, (math.sqrt(n.toDouble) / 2.2).toInt)
+    val (bruteRows, bruteSec) = timed {
+      Similarity.bruteForceTopK(vecs, queries, k).collect()
+    }
+    // m=16 x ksub=64 = 96-bit codes (the FAISS-typical regime; 32-bit
+    // m=8/ksub=16 codes measured recall@10 0.52/0.30 here - quantization
+    // error comparable to the planted-neighbor margin). fit_sec = the
+    // driver-side sample collect + coarse/codebook k-means (bounded by
+    // maxFitRows at ANY corpus size); query_sec = the distributed
+    // encode + probe + ADC + rerank execution
+    val (pqDf, pqFitSec) = timed {
+      Similarity.pqTopK(vecs, queries, k, nLists = nLists,
+        nProbe = math.max(2, nLists / 8), m = 16, ksub = 64,
+        maxFitRows = 20000)
+    }
+    val (pqRows, pqSec) = timed(pqDf.collect())
+    def asSets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val bm = asSets(bruteRows)
+    val pm = asSets(pqRows)
+    val recall = bm.keys.toSeq.map(q =>
+        pm.getOrElse(q, Set.empty).intersect(bm(q)).size.toDouble / k)
+      .sum / math.max(1, bm.size)
+    vecs.unpersist(blocking = false)
+    System.err.println(f"[bench] ann n=$n brute $bruteSec%.1fs " +
+      f"pq fit $pqFitSec%.1fs query $pqSec%.1fs " +
+      f"recall@10 $recall%.3f nlists=$nLists")
+    f"""{"n_vecs":$n,"n_lists":$nLists,"m":16,"ksub":64,""" +
+      f""""brute_sec":$bruteSec%.3f,"pq_fit_sec":$pqFitSec%.3f,""" +
+      f""""pq_query_sec":$pqSec%.3f,"recall_at_10":$recall%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
@@ -480,9 +555,16 @@ object Bench {
         refineIters = semRefine)
       val semHiJ = semDedupScaleOnce(spark, sHi, nLists = semLists(sHi),
         refineIters = semRefine)
-      (s"""{"lo":$loJ,"hi":$hiJ,"sem_lo":$semLoJ,"sem_hi":$semHiJ}""",
+      // ANN-family scale rows: brute vs IVF-PQ walls + recall@10
+      val Array(aLo, aHi) = sys.env
+        .getOrElse("SPARK_GRAFT_ANN_LEVELS", "20000,80000")
+        .split(",").map(_.trim.toLong)
+      val annLoJ = annScaleOnce(spark, aLo)
+      val annHiJ = annScaleOnce(spark, aHi)
+      (s"""{"lo":$loJ,"hi":$hiJ,"sem_lo":$semLoJ,"sem_hi":$semHiJ,""" +
+        s""""ann_lo":$annLoJ,"ann_hi":$annHiJ}""",
         s"""{"lo":${loS.json},"hi":${hiS.json},"sem_lo":$semLoJ,""" +
-          s""""sem_hi":$semHiJ}""")
+          s""""sem_hi":$semHiJ,"ann_lo":$annLoJ,"ann_hi":$annHiJ}""")
     }
     if (dedupOnly) {
       val (dj, ds) = dedupScalePair()

@@ -435,8 +435,10 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   def moreLikeThis(corpus: Dataset[Turn], convId: String, turnIdx: Int,
       nTerms: Int = 5, k: Int = 10): DataFrame = {
     if (nTerms < 1 || k < 1) return emptyResult("score")
+    // column predicates (not a typed lambda) so the seed lookup pushes to
+    // the parquet reader — one pruned row fetch, never a corpus scan
     val seed = corpus
-      .filter(t => t.conv_id == convId && t.turn_idx == turnIdx)
+      .filter(col("conv_id") === convId && col("turn_idx") === turnIdx)
       .take(1)
     if (seed.isEmpty || seed.head.text == null) return emptyResult("score")
     val tf = graft.tokenize.Tokenizer.tokens(seed.head.text)
