@@ -545,7 +545,7 @@ object Bench {
       val Array(sLo, sHi) = sys.env
         .getOrElse("SPARK_GRAFT_SEMDEDUP_LEVELS", "20000,80000")
         .split(",").map(_.trim.toLong)
-      def semLists(n: Long): Int = math.max(16, (math.sqrt(n) / 2.2).toInt)
+      def semLists(n: Long): Int = math.max(16, (math.sqrt(n.toDouble) / 2.2).toInt)
       // SPARK_GRAFT_SEMDEDUP_REFINE=k adds k full-corpus Lloyd votes to
       // the sample-seeded quantizer before assignment (kmeansRefine A/B:
       // does refinement move cell co-location recall at this shape?)

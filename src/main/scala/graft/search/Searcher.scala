@@ -339,7 +339,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .filter($"nw" === terms.length).select($"doc_id")
     val keys = cand.join(docs, Seq("doc_id"))
       .select($"doc_id", $"conv_id", $"turn_idx")
-    Some(corpus.toDF
+    Some(corpus.toDF()
       .join(keys, Seq("conv_id", "turn_idx"))
       .withColumn("cnt", expr(confirmSql))
       .filter($"cnt" > 0)
@@ -414,7 +414,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       transform(toks, (t, i) => when(tokMatch(t), i).otherwise(lit(-1))),
       x => x >= 0), 1)
     val start = greatest(lit(0), p - width)
-    broadcast(top).join(corpus.toDF, Seq("conv_id", "turn_idx"))
+    broadcast(top).join(corpus.toDF(), Seq("conv_id", "turn_idx"))
       .withColumn("snippet",
         array_join(slice(toks, start + 1, p + lit(width) - start + 1), " "))
       .select($"conv_id", $"turn_idx", $"cnt", $"snippet")
