@@ -15,7 +15,8 @@ object ExplainMain {
       else Seq("q_agg_pushdown", "q_filter_scan", "q_join_broadcast",
         "q_join_agg", "q_fts_dict", "q_fts_search_count", "q_sim_ann_brute",
         "q_dedup_minhash", "q_dedup_spans", "q_dedup_spans_inc",
-        "q_dedup_survivors", "q_text_perplexity")
+        "q_dedup_survivors", "q_text_perplexity", "q_fts_fuzzy",
+        "q_fts_snippet", "q_fts_mlt", "q_sim_ann_pq")
     val spark = Mains.session("graft-explain")
     names.foreach { n =>
       EntryQueries.all.get(n) match {

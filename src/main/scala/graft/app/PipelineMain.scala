@@ -19,11 +19,11 @@ import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextStats}
   *      minhash-inc, dedup-simhash, components, survivors, spans,
   *      spans-inc, despan, quality, classifier, lm-score, langid, pii,
   *      repetition, urls, tokens, fingerprint, hashvec, chunk, pack,
-  *      ann-brute, semdedup, semdedup-inc.
+  *      ann-brute, ann-pq, semdedup, semdedup-inc.
   *
   * `<docs.parquet|sfDir>`: a parquet path with (doc_id, text) — or a
   * testdata sf directory, in which case `documents.parquet` (and
-  * `embeddings.parquet` for ann-brute) inside it are used. Without
+  * `embeddings.parquet` for the ann ops) inside it are used. Without
   * `outDir` the first `--limit` rows print to stdout; with it the full
   * result writes as parquet.
   */
@@ -166,6 +166,9 @@ object PipelineMain {
       case "ann-brute" =>
         val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
         Similarity.bruteForceTopK(emb, emb.limit(5), k = 10)
+      case "ann-pq" =>
+        val emb = spark.read.parquet(s"$inPath/embeddings.parquet")
+        Similarity.pqTopK(emb, emb.limit(5), k = 10)
       case "hashvec" =>
         // the model-free text -> embedding bridge (feature hashing); the
         // id column is renamed to vec_id so the written table feeds the
