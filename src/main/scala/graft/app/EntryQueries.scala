@@ -938,6 +938,30 @@ object EntryQueries {
         .orderBy(col("rnk"))
     }),
 
+    // ~word fuzzy terms COMPOSED into the reference boolean algebra (the
+    // phrase sentinel machinery's sibling): fuzzy AND exact-word — the
+    // fuzzy virtual term contributes its distinct-matched-words count
+    "q_fts_fuzzy_bool" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchCountWithPhrases(docsCorpus(s, d),
+          """~custmer AND "stream"""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 over the fuzzy-extended boolean language: the ~term's summed
+    // idf·tfnorm contribution composes with the word score under AND
+    "q_fts_fuzzy_bm25_bool" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d))
+        .searchBm25WithPhrases(docsCorpus(s, d),
+          """~custmer AND "stream"""", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
     // proximity (NEAR): co-occurrence of two words within 3 kept-token
     // positions — same prune-then-native-confirm shape as q_fts_phrase
     "q_fts_near" -> ((s, d) => {

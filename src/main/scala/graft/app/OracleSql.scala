@@ -255,6 +255,40 @@ object OracleSql {
       SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
       FROM sc WHERE doc_id <> 42 ORDER BY score DESC, doc_id LIMIT 20"""
 
+  /** BM25 of (~custmer AND "stream"): the fuzzy virtual term's summed
+    * contribution (term-ordered reduce — single-match here, so the
+    * engine's unordered sum agrees bit-for-bit) + the word score; two-
+    * operand IEEE addition commutes, rank-only output. */
+  private def fuzzyBoolBm25Sql: String = s"""
+    WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE levenshtein(term, 'custmer') <= 1 OR term = 'stream'
+             GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+             WHERE levenshtein(term, 'custmer') <= 1 OR term = 'stream'
+             GROUP BY 1),
+      contrib AS (SELECT t.doc_id, t.term,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS c
+          FROM tf t JOIN df f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      cf AS (SELECT doc_id,
+                    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                                (x, y) -> x + y) AS c
+             FROM contrib WHERE levenshtein(term, 'custmer') <= 1
+             GROUP BY doc_id),
+      cs AS (SELECT doc_id, c FROM contrib WHERE term = 'stream'),
+      andres AS (SELECT cf.doc_id, cf.c + cs.c AS score
+                 FROM cf JOIN cs USING (doc_id))
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM andres ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** Fuzzy BM25: the [[bm25Sql]] arithmetic with the term set defined by
     * edit distance <= 1 of the misspelled query word (rank-only output;
     * contributions reduce in term-sorted order like [[bm25Sql]]). */
@@ -978,6 +1012,19 @@ object OracleSql {
       GROUP BY 1 ORDER BY doc_id""",
 
     "q_fts_fuzzy_bm25" -> fuzzyBm25Sql,
+
+    // ~custmer AND "stream": the fuzzy virtual term counts its distinct
+    // 1-edit dictionary matches per doc; AND adds the word's 1
+    "q_fts_fuzzy_bool" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok),
+      f AS (SELECT doc_id, count(DISTINCT term) AS c FROM has
+            WHERE levenshtein(term, 'custmer') <= 1 GROUP BY 1),
+      e AS (SELECT doc_id FROM has WHERE term = 'stream')
+      SELECT f.doc_id, (f.c + 1)::BIGINT AS cnt
+      FROM f JOIN e USING (doc_id) ORDER BY f.doc_id""",
+
+    "q_fts_fuzzy_bm25_bool" -> fuzzyBoolBm25Sql,
 
     // conversation rollup over the 8-turns-per-conv reshaped corpus:
     // per-doc wildcard counts (the q_fts_search_wild shape) grouped by

@@ -623,13 +623,13 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * so a corpus word can never collide with one. */
   def searchCountWithPhrases(corpus: Dataset[Turn], query: String)
       : DataFrame = {
-    val (rewritten, phraseOf) = Searcher.rewritePhrases(query)
+    val (rewritten, phraseOf, fuzzyOf) = Searcher.rewriteExtended(query)
     val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
     if (!parsed.valid) return emptyResult("cnt")
     // dict/postings lookup sees sentinels as unmatchable (empty) words;
     // indexes stay aligned with parsed.searchWords
     val lookupWords = parsed.searchWords.map { case (w, e) =>
-      if (phraseOf.contains(w)) ("", e) else (w, e) }
+      if (phraseOf.contains(w) || fuzzyOf.contains(w)) ("", e) else (w, e) }
     val mp = matchedPostings(matchedWords(lookupWords),
       coarsePred(lookupWords))
     val perTerm = mp.groupBy($"term_idx", $"doc_id")
@@ -645,8 +645,19 @@ final class Searcher(spark: SparkSession, store: IndexStore,
                 GraftPhraseCount.foldWords(p).mkString(" ")}')")
             .map(_.select($"doc_id", $"cnt".cast("double").as("v")))
             .getOrElse(new DfAlgebra(_ => null).empty)
-        case None => cached.filter($"term_idx" === i)
-          .select($"doc_id", $"v")
+        case None => fuzzyOf.get(w) match {
+          case Some(fw) =>
+            // ~word virtual term: v = distinct 1-edit dictionary words
+            // present in the doc (searchFuzzy's counting semantics)
+            fuzzyMatched(fw, maxEdits = 1) match {
+              case None => new DfAlgebra(_ => null).empty
+              case Some((matched, coarse)) =>
+                matchedPostings(matched, coarse).groupBy($"doc_id")
+                  .agg(count(lit(1)).cast("double").as("v"))
+            }
+          case None => cached.filter($"term_idx" === i)
+            .select($"doc_id", $"v")
+        }
       }
     })
     val res = parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
@@ -667,12 +678,12 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * operator-wide convention; the candidate frame is dup-bounded). */
   def searchBm25WithPhrases(corpus: Dataset[Turn], query: String,
       k: Int): DataFrame = {
-    val (rewritten, phraseOf) = Searcher.rewritePhrases(query)
+    val (rewritten, phraseOf, fuzzyOf) = Searcher.rewriteExtended(query)
     val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty)
       return emptyResult("score")
     val lookupWords = parsed.searchWords.map { case (w, e) =>
-      if (phraseOf.contains(w)) ("", e) else (w, e) }
+      if (phraseOf.contains(w) || fuzzyOf.contains(w)) ("", e) else (w, e) }
     val mp = matchedPostings(matchedWords(lookupWords),
       coarsePred(lookupWords))
     val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
@@ -691,8 +702,22 @@ final class Searcher(spark: SparkSession, store: IndexStore,
                 .select($"doc_id",
                   (bm25Idf($"df") * bm25TfNorm($"cnt")).as("v"))
           }
-        case None => cached.filter($"term_idx" === i)
-          .select($"doc_id", $"v")
+        case None => fuzzyOf.get(w) match {
+          case Some(fw) =>
+            // ~word virtual term: the searchFuzzyBm25 contribution —
+            // each matched dictionary word scores idf·tfnorm, summed per
+            // doc (sum order = Spark's aggregation; the gate query keeps
+            // the neighborhood single-match so the oracle is bit-exact)
+            fuzzyMatched(fw, maxEdits = 1) match {
+              case None => new DfAlgebra(_ => null).empty
+              case Some((matched, coarse)) =>
+                matchedPostings(matched, coarse)
+                  .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
+                  .groupBy($"doc_id").agg(sum($"c").as("v"))
+            }
+          case None => cached.filter($"term_idx" === i)
+            .select($"doc_id", $"v")
+        }
       }
     })
     rankTopK(parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty), k)
@@ -731,6 +756,48 @@ object Searcher {
       first = false
     }
     sb.toString
+  }
+
+  /** Extended-query rewrite: `'...'` phrases AND `~word` fuzzy terms to
+    * reserved exact-quoted sentinels (phrases first, so a `~` inside a
+    * quoted phrase is never rewritten — it stays phrase text). */
+  private[graft] def rewriteExtended(query: String)
+      : (String, Map[String, String], Map[String, String]) = {
+    val (q1, phraseOf) = rewritePhrases(query)
+    val (q2, fuzzyOf) = rewriteFuzzy(q1)
+    (q2, phraseOf, fuzzyOf)
+  }
+
+  /** Replace word-initial `~word` tokens with reserved exact-quoted
+    * sentinels (the phrase rewrite's sibling). A `~` inside a word
+    * (`foo~bar`) is left alone — CharFold folds it to a separator, the
+    * reference's meaning. The captured word is ASCII-lowercased;
+    * [[Searcher.fuzzyMatched]] rejects anything else at eval. */
+  private[graft] def rewriteFuzzy(query: String)
+      : (String, Map[String, String]) = {
+    if (query == null || !query.contains('~'))
+      return (query, Map.empty)
+    var base = "graftfuzzyq"
+    while (query.contains(base)) base += "q"
+    val sb = new StringBuilder
+    val words = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    var n = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      val wordInitial = sb.isEmpty || !sb.charAt(sb.length - 1).isLetter
+      if (c == '~' && wordInitial && i + 1 < query.length &&
+          query.charAt(i + 1).isLetter) {
+        var j = i + 1
+        while (j < query.length && query.charAt(j).isLetter) j += 1
+        val sentinel = base + alphaSuffix(n)
+        n += 1
+        words(sentinel) = query.substring(i + 1, j).toLowerCase
+        sb.append('"').append(sentinel).append('"')
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, words.toMap)
   }
 
   /** Extract `'...'`-quoted phrases from an extended query: returns the

@@ -141,4 +141,98 @@ class FuzzySearchSpec extends SparkTestBase {
     assert(fuzzy == exact)
     assert(fuzzy.nonEmpty)
   }
+
+  test("rewriteFuzzy: sentinels, interior tilde, collision, case") {
+    assert(Searcher.rewriteFuzzy("plain (query AND words)") ==
+      (("plain (query AND words)", Map.empty)))
+    val (rw, m) = Searcher.rewriteFuzzy("~stram AND words")
+    assert(m.size == 1 && m.values.head == "stram")
+    assert(rw == s""""${m.keys.head}" AND words""")
+    // interior tilde is CharFold separator text, not a fuzzy marker
+    assert(Searcher.rewriteFuzzy("foo~bar") == (("foo~bar", Map.empty)))
+    // a user word containing the sentinel base grows the base
+    val (_, m2) = Searcher.rewriteFuzzy("graftfuzzyqa OR ~word")
+    assert(m2.keys.head.startsWith("graftfuzzyqq"))
+    // the captured word is lowercased for the dictionary probe
+    val (_, m3) = Searcher.rewriteFuzzy("~STRAM")
+    assert(m3.values.head == "stram")
+    // tilde before a non-letter passes through verbatim
+    assert(Searcher.rewriteFuzzy("~ word ~4x") == (("~ word ~4x", Map.empty)))
+    // two fuzzy terms get distinct sentinels
+    val (rw4, m4) = Searcher.rewriteFuzzy("~stram OR ~strap")
+    assert(m4.size == 2 && m4.values.toSet == Set("stram", "strap"))
+    assert(m4.keys.toSeq.distinct.length == 2 && !rw4.contains("~"))
+    // a tilde inside a quoted phrase survives the combined rewrite
+    val (rwe, pm, fm) = Searcher.rewriteExtended("'alpha ~beta' AND ~stram")
+    assert(pm.values.toSeq == Seq("alpha ~beta") && fm.values.toSeq ==
+      Seq("stram") && !rwe.contains("~"))
+  }
+
+  private def key(t: Turn): DocKey = DocKey(t.conv_id, t.turn_idx)
+  private def hasTok(t: Turn, w: String): Boolean =
+    Tokenizer.tokens(t.text).contains(w)
+  private def runExt(q: String): Map[DocKey, Long] =
+    searcher.searchCountWithPhrases(spark.createDataset(corpus), q)
+      .collect().map {
+        case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+      }.toMap
+
+  test("~word composes in the boolean count algebra") {
+    val fz = brute("stram", 1) // distinct 1-edit dictionary words per doc
+    // AND adds counts: fuzzy distinct-match count + 1 matched exact word
+    assert(runExt("""~stram AND "words"""") == corpus.flatMap { t =>
+      fz.get(key(t)).filter(_ => hasTok(t, "words"))
+        .map(c => key(t) -> (c + 1))
+    }.toMap)
+    // OR adds counts across fuzzy and exact operands
+    assert(runExt("""~stram OR "words"""") == corpus.flatMap { t =>
+      val c = fz.getOrElse(key(t), 0L) +
+        (if (hasTok(t, "words")) 1L else 0L)
+      if (c > 0) Some(key(t) -> c) else None
+    }.toMap)
+    // NOT erases the fuzzy term's docs from a word result
+    assert(runExt(""""words" NOT ~stram""") == corpus.flatMap { t =>
+      if (hasTok(t, "words") && !fz.contains(key(t)))
+        Some(key(t) -> 1L)
+      else None
+    }.toMap)
+    // an unmatched fuzzy term is an empty operand, not an error
+    assert(runExt("""~zzzzz AND "words"""").isEmpty)
+  }
+
+  test("~word composes in the boolean BM25 algebra") {
+    val res = searcher.searchBm25WithPhrases(spark.createDataset(corpus),
+        """~stram AND "words"""", k = 10)
+      .collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s)
+      }
+    val meta = new IndexStore(idxDir).currentMeta
+    def idf(df: Double): Double =
+      math.log(1.0 + (meta.numDocs - df + 0.5) / (df + 0.5))
+    def tfn(tf: Double, d: Int): Double =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * d / meta.avgdl))
+    val dl = corpus.map(t => key(t) -> Tokenizer.tokens(t.text).length).toMap
+    val dict = corpus.flatMap(t => Tokenizer.tokens(t.text).distinct
+      .map(w => (w, key(t)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct).toMap
+    // fuzzy contribution: sum over matched dictionary words present in the
+    // doc of that word's own idf·tfnorm (searchFuzzyBm25's semantics)
+    val matched = dict.keys.filter(w => lev(w, "stram") <= 1).toSeq
+    val expected = corpus.flatMap { t =>
+      val k0 = key(t)
+      val toks = Tokenizer.tokens(t.text)
+      val fc = matched.filter(toks.contains).map { w =>
+        idf(dict(w).size.toDouble)
+          .*(tfn(toks.count(_ == w).toDouble, dl(k0)))
+      }.sum
+      val wtf = toks.count(_ == "words")
+      if (fc > 0 && wtf > 0)
+        Some(k0 -> (fc + idf(dict("words").size.toDouble) *
+          tfn(wtf.toDouble, dl(k0))))
+      else None
+    }.toMap
+    assert(res.map(_._1).toSet == expected.keySet)
+    for ((k0, s) <- res) assert(math.abs(s - expected(k0)) < 1e-12, k0)
+    assert(res.nonEmpty)
+  }
 }
