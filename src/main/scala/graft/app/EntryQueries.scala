@@ -971,6 +971,31 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // slop phrases ('a b'~d, Lucene's proximity syntax) COMPOSED into the
+    // boolean algebra: the slop virtual term contributes its near-pair
+    // count (searchNear's semantics), the exact word its matched 1
+    "q_fts_slop_bool" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchCountWithPhrases(docsCorpus(s, d),
+          """'customer vector'~3 AND "stream"""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 over the slop-extended boolean language: the slop term is ONE
+    // virtual BM25 term (tf = near-pair count, df = near hit count) and
+    // composes with the word's term score under AND
+    "q_fts_slop_bm25_bool" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d))
+        .searchBm25WithPhrases(docsCorpus(s, d),
+          """'customer vector'~3 AND "stream"""", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
     // conversation rollup over the MULTI-TURN corpus (8 turns per conv):
     // total matched-word count + matching-turn count per conversation,
     // top-40 by (total desc, conv asc) — the only gate entry driving

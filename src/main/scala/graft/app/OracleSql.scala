@@ -1148,6 +1148,55 @@ object OracleSql {
       FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
       GROUP BY 1 ORDER BY pa.doc_id""",
 
+    // 'customer vector'~3 AND "stream": the slop virtual term counts its
+    // near position pairs within 3 (the q_fts_near shape); AND adds the
+    // word's matched 1
+    "q_fts_slop_bool" -> s"""
+      WITH $FtsPosTok,
+      pa AS (SELECT doc_id, p FROM rk WHERE term = 'customer'),
+      pb AS (SELECT doc_id, p FROM rk WHERE term = 'vector'),
+      nh AS (SELECT pa.doc_id AS doc_id, count(*) AS cnt
+             FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+               AND abs(pa.p - pb.p) <= 3
+             GROUP BY 1),
+      e AS (SELECT DISTINCT doc_id FROM tokp WHERE term = 'stream')
+      SELECT nh.doc_id AS doc_id, (nh.cnt + 1)::BIGINT AS cnt
+      FROM nh JOIN e USING (doc_id) ORDER BY nh.doc_id""",
+
+    // BM25 of ('customer vector'~3 AND "stream"): slop virtual-term score
+    // (tf = near-pair count, df = near hit count) + word term score; the
+    // two-operand IEEE sum is commutative so the oracle matches
+    // bit-for-bit; rank-only output
+    "q_fts_slop_bm25_bool" -> s"""
+      WITH $FtsPosTok,
+      pa AS (SELECT doc_id, p FROM rk WHERE term = 'customer'),
+      pb AS (SELECT doc_id, p FROM rk WHERE term = 'vector'),
+      nh AS (SELECT pa.doc_id AS doc_id, count(*) AS cnt
+             FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+               AND abs(pa.p - pb.p) <= 3
+             GROUP BY 1),
+      st AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      dfp AS (SELECT count(*)::DOUBLE AS df FROM nh),
+      tfc AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokp
+              WHERE term = 'stream' GROUP BY 1),
+      dfw AS (SELECT count(*)::DOUBLE AS df FROM tfc),
+      sc AS (SELECT h.doc_id,
+          ln(1.0 + (m.nd - dfp.df + 0.5) / (dfp.df + 0.5)) *
+            ((h.cnt::DOUBLE * (1.2 + 1.0)) /
+             (h.cnt::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl))))
+          + ln(1.0 + (m.nd - dfw.df + 0.5) / (dfw.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS score
+        FROM nh h JOIN tfc t ON h.doc_id = t.doc_id
+        JOIN alld a ON a.doc_id = h.doc_id
+        CROSS JOIN m CROSS JOIN dfp CROSS JOIN dfw)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+
     "q_fts_bm25_bool" -> bm25BoolSql,
 
     // a healthy snapshot reports zero violations for every check

@@ -323,6 +323,18 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       s"graft_phrase_count(text, '${words.mkString(" ")}')")
   }
 
+  /** [[phraseCounts]]'s proximity sibling: co-occurring position pairs of
+    * the two folded words within distance `d`, None when the query does
+    * not fold to exactly two feasible words or d < 1. */
+  private def nearCounts(corpus: Dataset[Turn], wordsRaw: String, d: Int)
+      : Option[DataFrame] = {
+    val words = GraftPhraseCount.foldWords(wordsRaw)
+    if (words.length == 2 && d >= 1)
+      confirmCounts(corpus, words,
+        s"graft_near_count(text, '${words.mkString(" ")}', $d)")
+    else None
+  }
+
   /** The shared positional pipeline: AND-prune candidates through the
     * index for `words`, then evaluate `confirmSql` (a scalar native
     * kernel over `text`) on ONLY the candidate corpus rows, keeping
@@ -363,13 +375,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * map-side over candidate rows only. A query that does not fold to
     * exactly two feasible words, or d < 1, returns empty. */
   def searchNear(corpus: Dataset[Turn], wordsRaw: String, d: Int): DataFrame =
-    rankedCounts {
-      val words = GraftPhraseCount.foldWords(wordsRaw)
-      if (words.length == 2 && d >= 1)
-        confirmCounts(corpus, words,
-          s"graft_near_count(text, '${words.mkString(" ")}', $d)")
-      else None
-    }
+    rankedCounts(nearCounts(corpus, wordsRaw, d))
 
   // ---- result snippets (engine extension) ----------------------------------
 
@@ -623,13 +629,15 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * so a corpus word can never collide with one. */
   def searchCountWithPhrases(corpus: Dataset[Turn], query: String)
       : DataFrame = {
-    val (rewritten, phraseOf, fuzzyOf) = Searcher.rewriteExtended(query)
+    val (rewritten, phraseOf, fuzzyOf, slopOf) =
+      Searcher.rewriteExtended(query)
     val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
     if (!parsed.valid) return emptyResult("cnt")
     // dict/postings lookup sees sentinels as unmatchable (empty) words;
     // indexes stay aligned with parsed.searchWords
     val lookupWords = parsed.searchWords.map { case (w, e) =>
-      if (phraseOf.contains(w) || fuzzyOf.contains(w)) ("", e) else (w, e) }
+      if (phraseOf.contains(w) || fuzzyOf.contains(w) ||
+        slopOf.contains(w)) ("", e) else (w, e) }
     val mp = matchedPostings(matchedWords(lookupWords),
       coarsePred(lookupWords))
     val perTerm = mp.groupBy($"term_idx", $"doc_id")
@@ -655,8 +663,16 @@ final class Searcher(spark: SparkSession, store: IndexStore,
                 matchedPostings(matched, coarse).groupBy($"doc_id")
                   .agg(count(lit(1)).cast("double").as("v"))
             }
-          case None => cached.filter($"term_idx" === i)
-            .select($"doc_id", $"v")
+          case None => slopOf.get(w) match {
+            case Some((p, d)) =>
+              // 'a b'~d slop phrase: v = co-occurring position pairs
+              // within d (searchNear's counting semantics)
+              nearCounts(corpus, p, d)
+                .map(_.select($"doc_id", $"cnt".cast("double").as("v")))
+                .getOrElse(new DfAlgebra(_ => null).empty)
+            case None => cached.filter($"term_idx" === i)
+              .select($"doc_id", $"v")
+          }
         }
       }
     })
@@ -678,12 +694,14 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * operator-wide convention; the candidate frame is dup-bounded). */
   def searchBm25WithPhrases(corpus: Dataset[Turn], query: String,
       k: Int): DataFrame = {
-    val (rewritten, phraseOf, fuzzyOf) = Searcher.rewriteExtended(query)
+    val (rewritten, phraseOf, fuzzyOf, slopOf) =
+      Searcher.rewriteExtended(query)
     val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty)
       return emptyResult("score")
     val lookupWords = parsed.searchWords.map { case (w, e) =>
-      if (phraseOf.contains(w) || fuzzyOf.contains(w)) ("", e) else (w, e) }
+      if (phraseOf.contains(w) || fuzzyOf.contains(w) ||
+        slopOf.contains(w)) ("", e) else (w, e) }
     val mp = matchedPostings(matchedWords(lookupWords),
       coarsePred(lookupWords))
     val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
@@ -715,8 +733,25 @@ final class Searcher(spark: SparkSession, store: IndexStore,
                   .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
                   .groupBy($"doc_id").agg(sum($"c").as("v"))
             }
-          case None => cached.filter($"term_idx" === i)
-            .select($"doc_id", $"v")
+          case None => slopOf.get(w) match {
+            case Some((p, d)) =>
+              // 'a b'~d virtual term: ONE BM25 contribution with tf =
+              // near-pair count, df = near hit count (the phrase
+              // virtual-term formula over searchNear's hit frame)
+              nearCounts(corpus, p, d) match {
+                case None => new DfAlgebra(_ => null).empty
+                case Some(hits) =>
+                  val dfc =
+                    hits.agg(count(lit(1)).cast("double").as("df"))
+                  hits.join(docStats.select($"doc_id", $"dl"),
+                      Seq("doc_id"))
+                    .crossJoin(broadcast(dfc))
+                    .select($"doc_id",
+                      (bm25Idf($"df") * bm25TfNorm($"cnt")).as("v"))
+              }
+            case None => cached.filter($"term_idx" === i)
+              .select($"doc_id", $"v")
+          }
         }
       }
     })
@@ -758,14 +793,61 @@ object Searcher {
     sb.toString
   }
 
-  /** Extended-query rewrite: `'...'` phrases AND `~word` fuzzy terms to
-    * reserved exact-quoted sentinels (phrases first, so a `~` inside a
-    * quoted phrase is never rewritten — it stays phrase text). */
+  /** Extended-query rewrite: `'...'~d` proximity phrases, `'...'` exact
+    * phrases, and `~word` fuzzy terms to reserved exact-quoted sentinels.
+    * Slop runs first (it claims only quoted segments with a `~digits`
+    * suffix), then plain phrases (so a `~` inside a quoted phrase is
+    * never rewritten — it stays phrase text), then fuzzy words. */
   private[graft] def rewriteExtended(query: String)
-      : (String, Map[String, String], Map[String, String]) = {
-    val (q1, phraseOf) = rewritePhrases(query)
+      : (String, Map[String, String], Map[String, String],
+         Map[String, (String, Int)]) = {
+    val (q0, slopOf) = rewriteSlop(query)
+    val (q1, phraseOf) = rewritePhrases(q0)
     val (q2, fuzzyOf) = rewriteFuzzy(q1)
-    (q2, phraseOf, fuzzyOf)
+    (q2, phraseOf, fuzzyOf, slopOf)
+  }
+
+  /** Replace `'...'~d` proximity phrases (Lucene's slop syntax over this
+    * language's single-quoted phrases) with reserved exact-quoted
+    * sentinels, returning sentinel → (phrase text, d). Only a quoted
+    * segment whose closing quote is IMMEDIATELY followed by `~digits` is
+    * claimed; everything else — plain phrases, unterminated quotes, a
+    * spaced `'a b' ~3` — passes through verbatim for the later rewrites
+    * (the reference's tolerance posture). d is capped at 9999: beyond
+    * that every in-doc pair qualifies anyway. */
+  private[graft] def rewriteSlop(query: String)
+      : (String, Map[String, (String, Int)]) = {
+    if (query == null || !query.contains('\''))
+      return (query, Map.empty)
+    var base = "graftslopq"
+    while (query.contains(base)) base += "q"
+    val sb = new StringBuilder
+    val slops = scala.collection.mutable.Map.empty[String, (String, Int)]
+    var i = 0
+    var n = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (c == '\'') {
+        val end = query.indexOf('\'', i + 1)
+        if (end < 0) { sb.append(query.substring(i)); i = query.length }
+        else if (end + 2 < query.length && query.charAt(end + 1) == '~' &&
+            query.charAt(end + 2).isDigit) {
+          var j = end + 2
+          while (j < query.length && query.charAt(j).isDigit) j += 1
+          val dstr = query.substring(end + 2, j)
+          val sentinel = base + alphaSuffix(n)
+          n += 1
+          slops(sentinel) = (query.substring(i + 1, end),
+            if (dstr.length > 4) 9999 else dstr.toInt)
+          sb.append('"').append(sentinel).append('"')
+          i = j
+        } else {
+          // plain phrase: pass through verbatim for rewritePhrases
+          sb.append(query.substring(i, end + 1)); i = end + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, slops.toMap)
   }
 
   /** Replace word-initial `~word` tokens with reserved exact-quoted

@@ -352,6 +352,104 @@ class PhraseSpec extends SparkTestBase {
     assert(plainExt == plainRef)
   }
 
+  test("rewriteSlop: sentinels, spaced tilde, plain phrases, cap") {
+    assert(Searcher.rewriteSlop("no quotes here") ==
+      (("no quotes here", Map.empty)))
+    val (rw, m) = Searcher.rewriteSlop("'alpha bravo'~3 AND words")
+    assert(m.size == 1 && m.values.head == (("alpha bravo", 3)))
+    assert(rw == s""""${m.keys.head}" AND words""")
+    // a spaced tilde is NOT slop: the phrase passes through verbatim
+    assert(Searcher.rewriteSlop("'alpha bravo' ~3") ==
+      (("'alpha bravo' ~3", Map.empty)))
+    // a plain phrase is untouched (rewritePhrases' job)
+    assert(Searcher.rewriteSlop("'alpha bravo' AND 'c d'~2")._1
+      .startsWith("'alpha bravo' AND "))
+    // unterminated quote passes through
+    assert(Searcher.rewriteSlop("alpha 'unclosed~3") ==
+      (("alpha 'unclosed~3", Map.empty)))
+    // distance cap: > 4 digits clamps to 9999
+    val (_, mBig) = Searcher.rewriteSlop("'alpha bravo'~123456789")
+    assert(mBig.values.head._2 == 9999)
+    // sentinel base collision grows
+    val (_, mc) = Searcher.rewriteSlop("graftslopqa 'a b'~1")
+    assert(mc.keys.head.startsWith("graftslopqq"))
+    // all three extension kinds together
+    val (rwe, pm, fm, sm) =
+      Searcher.rewriteExtended("'alpha bravo'~2 OR 'c d' OR ~wordz")
+    assert(sm.values.toSeq == Seq(("alpha bravo", 2)) &&
+      pm.values.toSeq == Seq("c d") && fm.values.toSeq == Seq("wordz") &&
+      !rwe.contains("'") && !rwe.contains("~"))
+  }
+
+  test("slop phrases compose in the boolean count algebra") {
+    def run(q: String): Map[DocKey, Long] =
+      edgeSearcher.searchCountWithPhrases(spark.createDataset(edge), q)
+        .collect().map {
+          case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+        }.toMap
+    def hasTok(t: Turn, w: String): Boolean =
+      Tokenizer.tokens(t.text).contains(w)
+    def key(t: Turn): DocKey = DocKey(t.conv_id, t.turn_idx)
+    def near(a: String, b: String, d: Int): Map[DocKey, Long] =
+      edge.flatMap { t =>
+        val c = bruteNear(t.text, a, b, d)
+        if (c > 0) Some(key(t) -> c.toLong) else None
+      }.toMap
+    val near2 = near("alpha", "bravo", 2)
+    // AND adds counts: near-pair count + 1 matched exact word
+    assert(run("""'alpha bravo'~2 AND "words"""") == edge.flatMap { t =>
+      near2.get(key(t)).filter(_ => hasTok(t, "words"))
+        .map(c => key(t) -> (c + 1))
+    }.toMap)
+    // OR adds counts across a slop term and an adjacency phrase
+    val adj = bruteSearch(edge, "alpha bravo")
+    assert(run("'alpha bravo'~2 OR 'alpha bravo'") ==
+      (near2.keySet ++ adj.keySet).map(k =>
+        k -> (near2.getOrElse(k, 0L) + adj.getOrElse(k, 0L))).toMap)
+    // NOT erases the slop term's docs from a word result
+    assert(run(""""alpha" NOT 'alpha bravo'~4""") == edge.flatMap { t =>
+      if (hasTok(t, "alpha") && !near("alpha", "bravo", 4).contains(key(t)))
+        Some(key(t) -> 1L)
+      else None
+    }.toMap)
+    // d=0, a 3-word slop phrase, an infeasible word: empty operands
+    assert(run("""'alpha bravo'~0 AND "words"""").isEmpty)
+    assert(run("""'alpha bravo words'~2 AND "words"""").isEmpty)
+    assert(run("""'alpha of'~2 AND "words"""").isEmpty)
+  }
+
+  test("slop phrase BM25 composes in the boolean algebra") {
+    val res = edgeSearcher.searchBm25WithPhrases(spark.createDataset(edge),
+        """'alpha bravo'~2 AND "words"""", k = 10)
+      .collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s)
+      }
+    val meta = new IndexStore(edgeIdx).currentMeta
+    def key(t: Turn): DocKey = DocKey(t.conv_id, t.turn_idx)
+    val nearHits = edge.flatMap { t =>
+      val c = bruteNear(t.text, "alpha", "bravo", 2)
+      if (c > 0) Some(key(t) -> c.toLong) else None
+    }.toMap
+    val dl = edge.map(t => key(t) -> Tokenizer.tokens(t.text).length).toMap
+    val wordTf = edge.flatMap { t =>
+      val c = Tokenizer.tokens(t.text).count(_ == "words")
+      if (c > 0) Some(key(t) -> c) else None
+    }.toMap
+    def idf(df: Double): Double =
+      math.log(1.0 + (meta.numDocs - df + 0.5) / (df + 0.5))
+    def tfn(tf: Double, d: Int): Double =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * d / meta.avgdl))
+    val expected = nearHits.flatMap { case (k0, c) =>
+      wordTf.get(k0).map { wtf =>
+        k0 -> (idf(nearHits.size) * tfn(c.toDouble, dl(k0)) +
+          idf(wordTf.size) * tfn(wtf.toDouble, dl(k0)))
+      }
+    }
+    assert(res.map(_._1).toSet == expected.keySet)
+    for ((k0, s) <- res) assert(math.abs(s - expected(k0)) < 1e-12, k0)
+    assert(res.nonEmpty)
+  }
+
   test("SearchMain resolve: phrase/near modes without --corpus fail fast") {
     import graft.app.SearchMain
     assert(SearchMain.resolve(Array("/idx", "q", "--mode=phrase")).isLeft)
