@@ -971,6 +971,16 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // n-word proximity (NEAR-all, anchor semantics): docs where 'vector'
+    // AND 'stream' both occur within ±4 kept positions of a 'customer'
+    // occurrence; cnt = qualifying anchor positions
+    "q_fts_nearall" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchNearAll(docsCorpus(s, d), "customer vector stream", d = 4)
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // slop phrases ('a b'~d, Lucene's proximity syntax) COMPOSED into the
     // boolean algebra: the slop virtual term contributes its near-pair
     // count (searchNear's semantics), the exact word its matched 1

@@ -253,7 +253,7 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex]
   *        [--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -306,13 +306,14 @@ object SearchMain {
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
           .filterOrElse(r => !r.mode.startsWith("phrase") &&
-              r.mode != "near" && r.mode != "countp" && r.mode != "bm25p" &&
+              r.mode != "near" && r.mode != "nearall" &&
+              r.mode != "countp" && r.mode != "bm25p" &&
               r.mode != "mlt" && r.mode != "snippet" ||
               r.corpus.nonEmpty,
             "phrase/near/countp/bm25p/mlt/snippet modes need " +
               "--corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex] " +
         "[--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
@@ -362,6 +363,8 @@ object SearchMain {
         case "phrase-bm25" =>
           searcher.searchPhraseBm25(phraseCorpus, q, k).collect()
         case "near" => searcher.searchNear(phraseCorpus, q, r.dist).collect()
+        case "nearall" =>
+          searcher.searchNearAll(phraseCorpus, q, r.dist).collect()
         case "countp" =>
           searcher.searchCountWithPhrases(phraseCorpus, q).collect()
         case "bm25p" =>

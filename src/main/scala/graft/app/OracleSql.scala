@@ -1148,6 +1148,21 @@ object OracleSql {
       FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
       GROUP BY 1 ORDER BY pa.doc_id""",
 
+    // NEAR-all(customer; vector, stream; 4): anchor semantics — count of
+    // 'customer' positions with BOTH other words within distance 4
+    "q_fts_nearall" -> s"""
+      WITH $FtsPosTok,
+      pa AS (SELECT doc_id, p FROM rk WHERE term = 'customer'),
+      pb AS (SELECT doc_id, p FROM rk WHERE term = 'vector'),
+      pc AS (SELECT doc_id, p FROM rk WHERE term = 'stream')
+      SELECT pa.doc_id AS doc_id, count(*)::BIGINT AS cnt
+      FROM pa
+      WHERE EXISTS (SELECT 1 FROM pb WHERE pb.doc_id = pa.doc_id
+              AND abs(pb.p - pa.p) <= 4)
+        AND EXISTS (SELECT 1 FROM pc WHERE pc.doc_id = pa.doc_id
+              AND abs(pc.p - pa.p) <= 4)
+      GROUP BY 1 ORDER BY pa.doc_id""",
+
     // 'customer vector'~3 AND "stream": the slop virtual term counts its
     // near position pairs within 3 (the q_fts_near shape); AND adds the
     // word's matched 1

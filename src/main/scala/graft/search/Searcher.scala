@@ -335,6 +335,30 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     else None
   }
 
+  /** n-word proximity with ANCHOR semantics ([[graft.tokenize
+    * .GraftNearAllCount]]): occurrences of the FIRST folded word with
+    * every other distinct word within ±d. None when fewer than two
+    * distinct feasible words remain or d < 1. */
+  private def nearAllCounts(corpus: Dataset[Turn], wordsRaw: String, d: Int)
+      : Option[DataFrame] = {
+    val words = GraftPhraseCount.foldWords(wordsRaw).distinct
+    if (words.length >= 2 && d >= 1)
+      confirmCounts(corpus, words,
+        s"graft_nearall_count(text, '${words.mkString(" ")}', $d)")
+    else None
+  }
+
+  /** The slop-phrase dispatch: a two-word `'a b'~d` keeps [[searchNear]]'s
+    * position-PAIR counting (the gate-frozen semantics); three or more
+    * distinct words route to [[nearAllCounts]]'s anchor counting — the
+    * only n-list proximity count that stays O(Σ positions). */
+  private def slopCounts(corpus: Dataset[Turn], wordsRaw: String, d: Int)
+      : Option[DataFrame] = {
+    val words = GraftPhraseCount.foldWords(wordsRaw)
+    if (words.length == 2) nearCounts(corpus, wordsRaw, d)
+    else nearAllCounts(corpus, wordsRaw, d)
+  }
+
   /** The shared positional pipeline: AND-prune candidates through the
     * index for `words`, then evaluate `confirmSql` (a scalar native
     * kernel over `text`) on ONLY the candidate corpus rows, keeping
@@ -376,6 +400,17 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * exactly two feasible words, or d < 1, returns empty. */
   def searchNear(corpus: Dataset[Turn], wordsRaw: String, d: Int): DataFrame =
     rankedCounts(nearCounts(corpus, wordsRaw, d))
+
+  /** n-word proximity search (NEAR/d with an anchor): docs where EVERY
+    * distinct folded word occurs within ±d kept-token positions of some
+    * occurrence of the FIRST word; cnt = number of such anchor
+    * occurrences. The same index-prune + map-side-confirm shape as
+    * [[searchNear]], with the [[graft.tokenize.GraftNearAllCount]] kernel
+    * (one forward pointer per word list — O(Σ positions) per doc).
+    * Fewer than two distinct feasible words, or d < 1, returns empty. */
+  def searchNearAll(corpus: Dataset[Turn], wordsRaw: String, d: Int)
+      : DataFrame =
+    rankedCounts(nearAllCounts(corpus, wordsRaw, d))
 
   // ---- result snippets (engine extension) ----------------------------------
 
@@ -666,8 +701,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
           case None => slopOf.get(w) match {
             case Some((p, d)) =>
               // 'a b'~d slop phrase: v = co-occurring position pairs
-              // within d (searchNear's counting semantics)
-              nearCounts(corpus, p, d)
+              // within d (searchNear's counting semantics); >= 3 words
+              // count anchors (searchNearAll's semantics)
+              slopCounts(corpus, p, d)
                 .map(_.select($"doc_id", $"cnt".cast("double").as("v")))
                 .getOrElse(new DfAlgebra(_ => null).empty)
             case None => cached.filter($"term_idx" === i)
@@ -736,9 +772,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
           case None => slopOf.get(w) match {
             case Some((p, d)) =>
               // 'a b'~d virtual term: ONE BM25 contribution with tf =
-              // near-pair count, df = near hit count (the phrase
-              // virtual-term formula over searchNear's hit frame)
-              nearCounts(corpus, p, d) match {
+              // near-pair count (anchor count for >= 3 words), df = near
+              // hit count (the phrase virtual-term formula)
+              slopCounts(corpus, p, d) match {
                 case None => new DfAlgebra(_ => null).empty
                 case Some(hits) =>
                   val dfc =

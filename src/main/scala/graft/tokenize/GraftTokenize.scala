@@ -70,6 +70,8 @@ object GraftFunctions {
     ("graft_tokenize", GraftTokenize.info, GraftTokenize.builder _),
     ("graft_phrase_count", GraftPhraseCount.info, GraftPhraseCount.builder _),
     ("graft_near_count", GraftNearCount.info, GraftNearCount.builder _),
+    ("graft_nearall_count", GraftNearAllCount.info,
+      GraftNearAllCount.builder _),
     ("graft_postings", graft.index.GraftPostings.info,
       graft.index.GraftPostings.builder _),
     ("graft_shingles", graft.pipeline.GraftShingles.info,

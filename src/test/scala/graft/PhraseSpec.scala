@@ -205,6 +205,80 @@ class PhraseSpec extends SparkTestBase {
     assert(engineNear(edgeSearcher, edge, "alpha bravo", 0).isEmpty)
   }
 
+  /** Brute force n-word anchor NEAR: positions of words.head with every
+    * other word somewhere within ±d. */
+  private def bruteNearAll(text: String, words: Seq[String], d: Int): Int = {
+    val toks = Tokenizer.tokens(text)
+    def pos(w: String): Seq[Int] =
+      toks.zipWithIndex.collect { case (t, i) if t == w => i }.toSeq
+    pos(words.head).count(p =>
+      words.tail.forall(w => pos(w).exists(q => (q - p).abs <= d)))
+  }
+
+  private def engineNearAll(searcher: Searcher, corpus: Seq[Turn],
+      words: String, d: Int): Map[DocKey, Long] =
+    searcher.searchNearAll(spark.createDataset(corpus), words, d)
+      .collect().map {
+        case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+      }.toMap
+
+  test("NEAR-all kernel: brute-force identity; codegen parity") {
+    import graft.tokenize.GraftNearAllCount
+    val texts = Seq(
+      "alpha words bravo", "alpha bravo words alpha",
+      "bravo words alpha words bravo", "alpha alpha bravo words",
+      "", "words bravo", "alpha charlie bravo words charlie",
+      "words words words alpha words words bravo")
+    val cases = Seq(
+      (Array("alpha", "bravo"), 1), (Array("alpha", "bravo", "words"), 2),
+      (Array("words", "alpha", "bravo"), 3), (Array("bravo", "alpha"), 4),
+      (Array("alpha", "bravo", "delta"), 5))
+    for (t <- texts; (ws, d) <- cases) {
+      assert(GraftNearAllCount.count(UTF8String.fromString(t), ws, d) ==
+        bruteNearAll(t, ws.toSeq, d), s"text='$t' nearall(${ws.toSeq},$d)")
+    }
+    // codegen and interpreted eval agree
+    val df = edge.map(t => (t.conv_id, t.text)).toDF("id", "text")
+    def run(): Map[String, Int] = df.selectExpr(
+        "id", "graft_nearall_count(text, 'alpha bravo words', 3) AS c")
+      .as[(String, Int)].collect().toMap
+    graft.tokenize.GraftFunctions.register(spark)
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == withCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("NEAR-all search: engine matches brute force; anchor asymmetry") {
+    for (d <- Seq(1, 2, 4); words <- Seq("alpha bravo words",
+        "words alpha bravo", "alpha bravo", "bravo alpha words")) {
+      val ws = GraftPhraseCount.foldWords(words).distinct
+      val expected = edge.flatMap { t =>
+        val c = bruteNearAll(t.text, ws, d)
+        if (c > 0) Some(DocKey(t.conv_id, t.turn_idx) -> c.toLong) else None
+      }.toMap
+      assert(engineNearAll(edgeSearcher, edge, words, d) == expected,
+        s"nearall($words, $d)")
+    }
+    // anchor semantics: word order changes the COUNT on a doc where the
+    // anchor repeats ("alpha alpha alpha words": 3 alpha anchors see
+    // words, 1 words anchor sees alpha)
+    val rep = engineNearAll(edgeSearcher, edge, "alpha words", 3)
+    val revRep = engineNearAll(edgeSearcher, edge, "words alpha", 3)
+    assert(rep(DocKey("c1", 0)) == 3L && revRep(DocKey("c1", 0)) == 1L)
+    // duplicate words dedupe to one; a single distinct word, an
+    // infeasible word, and d < 1 are empty
+    assert(engineNearAll(edgeSearcher, edge, "alpha bravo alpha", 2) ==
+      engineNearAll(edgeSearcher, edge, "alpha bravo", 2))
+    assert(engineNearAll(edgeSearcher, edge, "alpha alpha", 3).isEmpty)
+    assert(engineNearAll(edgeSearcher, edge, "alpha of bravo", 3).isEmpty)
+    assert(engineNearAll(edgeSearcher, edge, "alpha bravo", 0).isEmpty)
+  }
+
   test("seeded fuzz: phrase and NEAR match brute force on random corpora") {
     // tiny vocab (heavy accidental adjacency), mixed feasible/infeasible
     // word lengths, and FileEnd-marker texts (the fs-corpus shape: the
@@ -245,6 +319,22 @@ class PhraseSpec extends SparkTestBase {
           }.toMap
         assert(engineNear(searcher, corpus, s"$a $b", d) == expected,
           s"seed=$seed near($a,$b,$d)")
+      }
+      for (_ <- 1 to 4) {
+        val n = 2 + rnd.nextInt(3)
+        val ws = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+        val d = 1 + rnd.nextInt(5)
+        val distinct = ws.distinct
+        val feasible = distinct.length >= 2 &&
+          distinct.forall(w => w.length >= 4 && w.length <= 19)
+        val expected = if (!feasible) Map.empty[DocKey, Long]
+          else corpus.flatMap { t =>
+            val c = bruteNearAll(t.text, distinct, d)
+            if (c > 0) Some(DocKey(t.conv_id, t.turn_idx) -> c.toLong)
+            else None
+          }.toMap
+        assert(engineNearAll(searcher, corpus, ws.mkString(" "), d) ==
+          expected, s"seed=$seed nearall($ws,$d)")
       }
       searcher.close()
     }
@@ -412,9 +502,17 @@ class PhraseSpec extends SparkTestBase {
         Some(key(t) -> 1L)
       else None
     }.toMap)
-    // d=0, a 3-word slop phrase, an infeasible word: empty operands
+    // a 3-word slop phrase routes to the anchor-counting NEAR-all kernel
+    val nearAll3 = edge.flatMap { t =>
+      val c = bruteNearAll(t.text, Seq("alpha", "bravo", "words"), 2)
+      if (c > 0) Some(key(t) -> c.toLong) else None
+    }.toMap
+    assert(run("""'alpha bravo words'~2 AND "words"""") == edge.flatMap { t =>
+      nearAll3.get(key(t)).filter(_ => hasTok(t, "words"))
+        .map(c => key(t) -> (c + 1))
+    }.toMap)
+    // d=0 and an infeasible word: empty operands
     assert(run("""'alpha bravo'~0 AND "words"""").isEmpty)
-    assert(run("""'alpha bravo words'~2 AND "words"""").isEmpty)
     assert(run("""'alpha of'~2 AND "words"""").isEmpty)
   }
 
