@@ -971,6 +971,36 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // metadata-filtered search: count semantics unchanged (corpus-global),
+    // hits restricted to docs whose metadata row satisfies a predicate
+    // pushed down to the documents parquet scan (text never read there)
+    "q_fts_where" -> ((s, d) => {
+      val meta = t(s, d, "documents")
+        .select(format_string("%012d", col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), col("lang"), col("source"))
+      searcher(s, indexDirFull(s, d))
+        .searchCountWhere(meta, """"customer" AND "filter" NOT "vector"""",
+          "lang = 'en' AND source <> 'src13'")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 under the same metadata restriction: top-20 AFTER the filter,
+    // scores corpus-global; rank-only output like the other BM25 gates
+    "q_fts_where_bm25" -> ((s, d) => {
+      val meta = t(s, d, "documents")
+        .select(format_string("%012d", col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), col("lang"), col("source"))
+      val res = searcher(s, indexDirFull(s, d))
+        .searchBm25Where(meta, """"customer" OR "stream"""",
+          "lang = 'en' AND source <> 'src13'", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
     // n-word proximity (NEAR-all, anchor semantics): docs where 'vector'
     // AND 'stream' both occur within ±4 kept positions of a 'customer'
     // occurrence; cnt = qualifying anchor positions

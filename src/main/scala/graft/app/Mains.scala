@@ -266,7 +266,7 @@ object SearchMain {
   final case class Resolved(indexDir: String, query: String, mode: String,
       k: Int, conf: EngineConf, logLevel: Option[String],
       corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
-      terms: Int = 5, width: Int = 5)
+      terms: Int = 5, width: Int = 5, where: Option[String] = None)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -301,20 +301,24 @@ object SearchMain {
           terms = args.collectFirst { case s if s.startsWith("--terms=") =>
             s.stripPrefix("--terms=").toInt }.getOrElse(5),
           width = args.collectFirst { case s if s.startsWith("--width=") =>
-            s.stripPrefix("--width=").toInt }.getOrElse(5)))
+            s.stripPrefix("--width=").toInt }.getOrElse(5),
+          where = args.collectFirst { case s if s.startsWith("--where=") =>
+            s.stripPrefix("--where=") }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
           .filterOrElse(r => !r.mode.startsWith("phrase") &&
               r.mode != "near" && r.mode != "nearall" &&
               r.mode != "countp" && r.mode != "bm25p" &&
-              r.mode != "mlt" && r.mode != "snippet" ||
+              r.mode != "mlt" && r.mode != "snippet" &&
+              r.where.isEmpty ||
               r.corpus.nonEmpty,
-            "phrase/near/countp/bm25p/mlt/snippet modes need " +
+            "phrase/near/countp/bm25p/mlt/snippet modes and --where need " +
               "--corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
         "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex] " +
         "[--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] " +
+        "[--where=<sqlPredicate over the corpus columns>] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
     }
@@ -358,6 +362,12 @@ object SearchMain {
     def runOne(q: String): Unit = {
       val t0 = System.nanoTime()
       val rows = mode match {
+        case "count" if r.where.nonEmpty =>
+          searcher.searchCountWhere(phraseCorpus.toDF(), q,
+            r.where.get).collect()
+        case "bm25" if r.where.nonEmpty =>
+          searcher.searchBm25Where(phraseCorpus.toDF(), q,
+            r.where.get, k).collect()
         case "bm25" => searcher.searchBm25(q, k).collect()
         case "phrase" => searcher.searchPhrase(phraseCorpus, q).collect()
         case "phrase-bm25" =>

@@ -1148,6 +1148,56 @@ object OracleSql {
       FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
       GROUP BY 1 ORDER BY pa.doc_id""",
 
+    // metadata-filtered count: the q_fts_search_count result restricted to
+    // docs passing the lang/source predicate (counts stay corpus-global)
+    "q_fts_where" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok),
+      keys AS (SELECT doc_id FROM documents
+               WHERE lang = 'en' AND source <> 'src13')
+      SELECT a.doc_id, 2::BIGINT AS cnt
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      JOIN keys USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+      ORDER BY a.doc_id""",
+
+    // BM25 of ("customer" OR "stream") restricted to the same predicate:
+    // OR adds the two term scores (IEEE two-operand sums are commutative;
+    // a doc matching one term scores that term alone — x + 0 only where
+    // both match is never taken, coalesce models the engine's outer OR)
+    "q_fts_where_bm25" -> s"""
+      WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tfa AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+              WHERE term = 'customer' GROUP BY 1),
+      tfb AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+              WHERE term = 'stream' GROUP BY 1),
+      dfa AS (SELECT count(*)::DOUBLE AS df FROM tfa),
+      dfb AS (SELECT count(*)::DOUBLE AS df FROM tfb),
+      sa AS (SELECT t.doc_id,
+          ln(1.0 + (m.nd - dfa.df + 0.5) / (dfa.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS s
+          FROM tfa t JOIN alld a USING (doc_id) CROSS JOIN m CROSS JOIN dfa),
+      sb AS (SELECT t.doc_id,
+          ln(1.0 + (m.nd - dfb.df + 0.5) / (dfb.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS s
+          FROM tfb t JOIN alld a USING (doc_id) CROSS JOIN m CROSS JOIN dfb),
+      sc AS (SELECT coalesce(sa.doc_id, sb.doc_id) AS doc_id,
+                    coalesce(sa.s, 0.0) + coalesce(sb.s, 0.0) AS score
+             FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id),
+      keys AS (SELECT doc_id FROM documents
+               WHERE lang = 'en' AND source <> 'src13')
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM sc JOIN keys USING (doc_id)
+      ORDER BY score DESC, doc_id LIMIT 20""",
+
     // NEAR-all(customer; vector, stream; 4): anchor semantics — count of
     // 'customer' positions with BOTH other words within distance 4
     "q_fts_nearall" -> s"""

@@ -412,6 +412,61 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       : DataFrame =
     rankedCounts(nearAllCounts(corpus, wordsRaw, d))
 
+  // ---- metadata-filtered search (engine extension) --------------------------
+
+  /** The filtered-search key set: `meta` is ANY frame carrying `conv_id`,
+    * `turn_idx` plus metadata columns (role, ts, lang, source, …; one row
+    * per doc key, the corpus contract), filtered by a SQL predicate. None
+    * when the predicate fails to parse or resolve (the reference's
+    * malformed-query tolerance). 100-TB shape: the predicate and the
+    * two-column projection push to the metadata parquet scan — text is
+    * never read on this side. */
+  private def filteredKeys(meta: DataFrame, whereSql: String)
+      : Option[DataFrame] =
+    try Some(meta.filter(expr(whereSql)).select($"conv_id", $"turn_idx"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Count-parity search restricted by a metadata predicate (the
+    * transcript-analytics filter: role, ts range, lang, source, tool):
+    * hit counting is IDENTICAL to [[searchCount]] — counts stay
+    * corpus-global, the predicate only restricts which hits return (the
+    * standard filtered-search posture) — and the filtered key set joins
+    * the selective index-hit frame, never the other way around. */
+  def searchCountWhere(meta: DataFrame, query: String, whereSql: String)
+      : DataFrame =
+    filteredKeys(meta, whereSql) match {
+      case None => emptyResult("cnt")
+      case Some(keys) =>
+        searchCount(query).join(keys, Seq("conv_id", "turn_idx"))
+          .select($"conv_id", $"turn_idx", $"cnt")
+          .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+    }
+
+  /** BM25 sibling of [[searchCountWhere]]: top-k AFTER the predicate
+    * restriction, scores corpus-global. Runs the DataFrame-algebra path —
+    * WAND's block-max early termination cannot see the filter, so its
+    * top-k would under-fill against a selective predicate. */
+  def searchBm25Where(meta: DataFrame, query: String, whereSql: String,
+      k: Int): DataFrame = {
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid || parsed.searchWords.isEmpty)
+      return emptyResult("score")
+    filteredKeys(meta, whereSql) match {
+      case None => emptyResult("score")
+      case Some(keys) =>
+        val mp = matchedPostings(matchedWords(parsed.searchWords),
+          coarsePred(parsed.searchWords))
+        val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
+          .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
+        evalQuery(query, perTerm)
+          .join(docs, Seq("doc_id"))
+          .join(keys, Seq("conv_id", "turn_idx"))
+          .orderBy($"v".desc, $"doc_id").limit(k)
+          .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
+          .orderBy($"score".desc, $"doc_id").drop("doc_id")
+    }
+  }
+
   // ---- result snippets (engine extension) ----------------------------------
 
   /** Ranked hits WITH a context snippet (the search-result UX the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 
 import graft.fixtures.TranscriptGen
 import graft.index.{IndexBuilder, IndexStore}
-import graft.model.{DocKey, EngineConf}
+import graft.model.{DocKey, EngineConf, Turn}
 import graft.search.Searcher
 import graft.verify.Oracle
 
@@ -99,6 +99,57 @@ class EndToEndSpec extends SparkTestBase {
         } else assert(gd == ed, s"query: $q rank $i doc")
       }
     }
+  }
+
+  test("metadata-filtered search == post-hoc filter; bad predicates empty") {
+    import spark.implicits._
+    val meta = spark.createDataset(corpus).toDF()
+      .select($"conv_id", $"turn_idx", $"role", $"tool")
+    val preds: Seq[(String, Turn => Boolean)] = Seq(
+      ("role = 'user'", t => t.role == "user"),
+      ("turn_idx % 2 = 0 AND role <> 'tool'",
+        t => t.turn_idx % 2 == 0 && t.role != "tool"))
+    val keepOf = preds.map { case (sql, f) =>
+      sql -> corpus.filter(f).map(t => DocKey(t.conv_id, t.turn_idx)).toSet
+    }.toMap
+    for (q <- Seq("which", "(which AND would)", "((which OR would) NOT there)");
+        (p, _) <- preds) {
+      val keep = keepOf(p)
+      val expected = engineCounts(q).filter { case (k, _) => keep(k) }
+      val got = searcher.searchCountWhere(meta, q, p).collect().map {
+        case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+      }.toMap
+      assert(got == expected, s"where($q, $p)")
+    }
+    // BM25: filtered top-k == post-hoc filter of the full ranking, take k
+    for ((p, _) <- preds) {
+      val keep = keepOf(p)
+      val full = searcher.searchBm25("(which OR would)", corpus.size,
+          useWand = false).collect().map {
+        case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s)
+      }.toSeq
+      val expected = full.filter { case (k, _) => keep(k) }.take(10)
+      val got = searcher.searchBm25Where(meta, "(which OR would)", p, 10)
+        .collect().map {
+          case Row(c: String, t: Int, s: Double) => (DocKey(c, t), s)
+        }.toSeq
+      assert(got.map(_._1) == expected.map(_._1), s"bm25 where($p) keys")
+      got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(gs == es, s"bm25 where($p) score $gs vs $es") }
+    }
+    // malformed / unresolvable predicates: empty, no crash
+    assert(searcher.searchCountWhere(meta, "which", "not a predicate ((")
+      .collect().isEmpty)
+    assert(searcher.searchCountWhere(meta, "which", "no_such_col = 1")
+      .collect().isEmpty)
+    assert(searcher.searchBm25Where(meta, "which", "((", 5)
+      .collect().isEmpty)
+    // --where at the CLI requires a corpus (the metadata source)
+    assert(graft.app.SearchMain.resolve(
+      Array("/idx", "q", "--where=role = 'user'")).isLeft)
+    assert(graft.app.SearchMain.resolve(
+      Array("/idx", "q", "--where=role = 'user'", "--corpus=gen:5"))
+      .exists(_.where.contains("role = 'user'")))
   }
 
   test("WAND and DataFrame BM25 paths agree") {
