@@ -971,6 +971,15 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // related terms (query expansion): top-10 terms by PMI against the
+    // seed's doc set — the doc set comes from the index, only those rows
+    // re-read; gate output re-sorted by term for row-order determinism
+    "q_fts_related" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .relatedTerms(docsCorpus(s, d), "customer", k = 10)
+        .orderBy(col("term"))
+    }),
+
     // metadata-filtered search: count semantics unchanged (corpus-global),
     // hits restricted to docs whose metadata row satisfies a predicate
     // pushed down to the documents parquet scan (text never read there)

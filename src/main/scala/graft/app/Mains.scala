@@ -253,7 +253,7 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related]
   *        [--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -311,12 +311,13 @@ object SearchMain {
               r.mode != "near" && r.mode != "nearall" &&
               r.mode != "countp" && r.mode != "bm25p" &&
               r.mode != "mlt" && r.mode != "snippet" &&
+              r.mode != "related" &&
               r.where.isEmpty ||
               r.corpus.nonEmpty,
-            "phrase/near/countp/bm25p/mlt/snippet modes and --where need " +
+            "phrase/near/countp/bm25p/mlt/snippet/related modes and --where need " +
               "--corpus=<parquet|gen:N|fs:dir>")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related] " +
         "[--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] " +
         "[--where=<sqlPredicate over the corpus columns>] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
@@ -394,6 +395,9 @@ object SearchMain {
               org.apache.spark.sql.functions.lit("df"),
               org.apache.spark.sql.functions.col("df")).collect()
         case "regex" => searcher.searchRegex(q).collect()
+        case "related" =>
+          // (term, co_df, pmi): the a:b -> v printer fits
+          searcher.relatedTerms(phraseCorpus, q, k).collect()
         case "mlt" =>
           // query = <convId>[:turnIdx]
           val (cid, tix) = q.lastIndexOf(':') match {

@@ -1148,6 +1148,26 @@ object OracleSql {
       FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
       GROUP BY 1 ORDER BY pa.doc_id""",
 
+    // related terms: PMI = ln(co_df·N / (df_seed·df_term)) over the seed's
+    // doc set, co_df >= 2, seed excluded; top-10 by (pmi desc, term asc)
+    // then re-sorted by term (the entry's row-order convention)
+    "q_fts_related" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok),
+      n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+      seed AS (SELECT doc_id FROM has WHERE term = 'customer'),
+      dfs AS (SELECT count(*)::DOUBLE AS df FROM seed),
+      df AS (SELECT term, count(*)::DOUBLE AS df FROM has GROUP BY 1),
+      co AS (SELECT h.term, count(*)::BIGINT AS co_df
+             FROM has h JOIN seed s USING (doc_id)
+             WHERE h.term <> 'customer' GROUP BY 1),
+      top AS (SELECT co.term, co.co_df,
+                ln((co.co_df::DOUBLE * n.nd) / (dfs.df * df.df)) AS pmi
+              FROM co JOIN df USING (term) CROSS JOIN n CROSS JOIN dfs
+              WHERE co.co_df >= 2
+              ORDER BY pmi DESC, co.term LIMIT 10)
+      SELECT term, co_df, pmi FROM top ORDER BY term""",
+
     // metadata-filtered count: the q_fts_search_count result restricted to
     // docs passing the lang/source predicate (counts stay corpus-global)
     "q_fts_where" -> s"""

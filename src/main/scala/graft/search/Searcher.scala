@@ -467,6 +467,56 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     }
   }
 
+  // ---- related terms (query expansion, engine extension) --------------------
+
+  /** Top-k terms co-occurring with an exact seed word ("related
+    * searches" / query expansion): every kept term of the seed's docs
+    * ranked by PMI against the seed — pmi = ln(co_df · N / (df_seed ·
+    * df_term)) with co_df = seed docs containing the term — ordered
+    * (pmi desc, term asc), seed excluded, co_df >= minCoDf (a one-doc
+    * co-occurrence's PMI is noise). Returns (term, co_df, pmi).
+    *
+    * 100-TB shape: the seed doc set comes from the INDEX (letter-pruned
+    * dict lookup + pushed postings predicates — df_seed rows, selective)
+    * and ONLY those corpus rows are re-read and re-tokenized (the phrase
+    * confirm economics, never a full postings decode); the co-term
+    * aggregate shuffles seed-doc tokens only, then joins the
+    * vocabulary-bounded dictionary for global df. An unknown or
+    * infeasible seed returns empty. */
+  def relatedTerms(corpus: Dataset[Turn], word: String, k: Int = 10,
+      minCoDf: Int = 2): DataFrame = {
+    val empty = emptyDf(
+      "term" -> org.apache.spark.sql.types.StringType,
+      "co_df" -> org.apache.spark.sql.types.LongType,
+      "pmi" -> org.apache.spark.sql.types.DoubleType)
+    val folded = GraftPhraseCount.foldWords(word)
+    if (folded.length != 1) return empty
+    val w = folded.head
+    val seedTerms = Seq((w, true))
+    val mw = matchedWords(seedTerms)
+    // exact seed → at most one dictionary row; bounded driver read
+    val seedRow = mw.limit(1).collect()
+    if (seedRow.isEmpty) return empty
+    val dfSeed = seedRow.head.getAs[Long]("df").toDouble
+    val keys = matchedPostings(mw, coarsePred(seedTerms))
+      .select($"doc_id").distinct()
+      .join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx")
+    val n = lit(meta.numDocs.toDouble)
+    corpus.toDF().join(keys, Seq("conv_id", "turn_idx"))
+      .select(explode(array_distinct(expr("graft_tokenize(text)")))
+        .as("term"))
+      .filter($"term" =!= w)
+      .groupBy($"term").agg(count(lit(1)).as("co_df"))
+      .filter($"co_df" >= minCoDf)
+      .join(dict.select($"term", $"df"), Seq("term"))
+      .select($"term", $"co_df",
+        log(($"co_df".cast("double") * n) /
+          (lit(dfSeed) * $"df".cast("double"))).as("pmi"))
+      .orderBy($"pmi".desc, $"term")
+      .limit(k)
+  }
+
   // ---- result snippets (engine extension) ----------------------------------
 
   /** Ranked hits WITH a context snippet (the search-result UX the

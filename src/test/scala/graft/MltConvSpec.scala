@@ -106,4 +106,36 @@ class MltConvSpec extends SparkTestBase {
     // more than one turn, so the rollup aggregates across turn_idx
     assert(got.exists(_._3 > 1L))
   }
+
+  private def bruteRelated(word: String, k: Int, minCoDf: Int)
+      : Seq[(String, Long, Double)] = {
+    // NB: Map.collect into tuple results rebuilds a Map (conv_id ->
+    // turn_idx), silently collapsing a conversation's turns — filter+keySet
+    val seedDocs = toks.filter(_._2.contains(word)).keySet
+    if (seedDocs.isEmpty) return Seq.empty
+    val dfSeed = dfOf(word).toDouble
+    toks.toSeq.filter(kv => seedDocs(kv._1))
+      .flatMap(_._2.distinct).filterNot(_ == word)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= minCoDf)
+      .map { case (t, c) =>
+        (t, c, math.log((c.toDouble * nDocs) / (dfSeed * dfOf(t).toDouble)))
+      }
+      .sortBy { case (t, _, p) => (-p, t) }.take(k)
+  }
+
+  test("relatedTerms matches brute-force PMI; degenerate seeds empty") {
+    val ds = spark.createDataset(corpus)
+    for (w <- Seq("which", "would", "people"); k <- Seq(5, 10)) {
+      val exp = bruteRelated(w, k, minCoDf = 2)
+      val got = searcher.relatedTerms(ds, w, k).collect().map {
+        case Row(t: String, c: Long, p: Double) => (t, c, p)
+      }.toSeq
+      assert(got == exp, s"related($w, $k)")
+    }
+    // unknown seed, multi-word input, empty input: empty, no crash
+    assert(searcher.relatedTerms(ds, "zzzznotaword", 5).collect().isEmpty)
+    assert(searcher.relatedTerms(ds, "which would", 5).collect().isEmpty)
+    assert(searcher.relatedTerms(ds, "", 5).collect().isEmpty)
+  }
 }
