@@ -100,6 +100,40 @@ class PlanSpec extends SparkTestBase {
     searcher.close()
   }
 
+  test("filtered search plan: predicate + projection pushed to the metadata scan") {
+    val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+    val metaDir = tmpDir("graft-plan-meta")
+    TranscriptGen.dataset(spark, 40, partitions = 4)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"))
+      .write.mode("overwrite").parquet(metaDir)
+    val meta = spark.read.parquet(metaDir)
+    val plan = formatted(
+      searcher.searchCountWhere(meta, "which", "role = 'user'"))
+    // the predicate reaches the metadata parquet scan...
+    assert(plan.contains("EqualTo(role,user)"), plan)
+    // ...and that scan projects only the key + predicate columns (tool —
+    // present in the file, unused by the query — must be pruned away)
+    val metaSection = plan.substring(plan.indexOf("graft-plan-meta"))
+    val readSchema = metaSection.substring(
+      metaSection.indexOf("ReadSchema:"),
+      metaSection.indexOf('\n', metaSection.indexOf("ReadSchema:")))
+    assert(readSchema.contains("conv_id") && readSchema.contains("role") &&
+      !readSchema.contains("tool"), readSchema)
+    searcher.close()
+  }
+
+  test("relatedTerms plan: exact seed pushed; only seed docs re-tokenized") {
+    val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+    val corpus = TranscriptGen.dataset(spark, 40, partitions = 4)
+    val plan = formatted(searcher.relatedTerms(corpus, "which", 10))
+    // the seed resolves as an exact pruned dictionary/postings lookup
+    assert(plan.contains("EqualTo(term,which)"), plan)
+    // the co-occurrence pass is the kernel tokenizer over the candidate
+    // join, never a full postings decode of the co-terms
+    assert(plan.contains("graft_tokenize"), plan)
+    searcher.close()
+  }
+
   test("shingle generation is map-side: zero exchanges before the join") {
     // r3 rewrote shingles from posexplode + per-doc window + post-explode
     // distinct (two shuffles) to a sliding array transform with
