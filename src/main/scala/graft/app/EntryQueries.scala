@@ -52,6 +52,14 @@ object EntryQueries {
       .as[Turn]
   }
 
+  /** The documents table reshaped as a metadata frame (the [[docsCorpus]]
+    * doc-key convention + the lang/source columns) for the filtered-search
+    * entries. */
+  def docsMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(format_string("%012d", col("doc_id")).as("conv_id"),
+        lit(0).as("turn_idx"), col("lang"), col("source"))
+
   /** Lazily-built (once per JVM per sf dir) index over the documents corpus:
     * full build, and a two-batch build (half + incremental merge of the
     * rest) whose result must equal the full build on disjoint batches. */
@@ -984,11 +992,8 @@ object EntryQueries {
     // hits restricted to docs whose metadata row satisfies a predicate
     // pushed down to the documents parquet scan (text never read there)
     "q_fts_where" -> ((s, d) => {
-      val meta = t(s, d, "documents")
-        .select(format_string("%012d", col("doc_id")).as("conv_id"),
-          lit(0).as("turn_idx"), col("lang"), col("source"))
       searcher(s, indexDirFull(s, d))
-        .searchCountWhere(meta, """"customer" AND "filter" NOT "vector"""",
+        .searchCountWhere(docsMeta(s, d), """"customer" AND "filter" NOT "vector"""",
           "lang = 'en' AND source <> 'src13'")
         .select(asDocId(col("conv_id")), col("cnt"))
         .orderBy(col("doc_id"))
@@ -997,11 +1002,8 @@ object EntryQueries {
     // BM25 under the same metadata restriction: top-20 AFTER the filter,
     // scores corpus-global; rank-only output like the other BM25 gates
     "q_fts_where_bm25" -> ((s, d) => {
-      val meta = t(s, d, "documents")
-        .select(format_string("%012d", col("doc_id")).as("conv_id"),
-          lit(0).as("turn_idx"), col("lang"), col("source"))
       val res = searcher(s, indexDirFull(s, d))
-        .searchBm25Where(meta, """"customer" OR "stream"""",
+        .searchBm25Where(docsMeta(s, d), """"customer" OR "stream"""",
           "lang = 'en' AND source <> 'src13'", k = 20)
       val w = Window.orderBy(col("score").desc, col("doc_id"))
       res.select(asDocId(col("conv_id")), col("score"))

@@ -316,6 +316,11 @@ object SearchMain {
               r.corpus.nonEmpty,
             "phrase/near/countp/bm25p/mlt/snippet/related modes and --where need " +
               "--corpus=<parquet|gen:N|fs:dir>")
+          // --where is implemented for count/bm25 only: rejecting the
+          // other modes beats silently returning UNFILTERED results
+          .filterOrElse(r => r.where.isEmpty ||
+              r.mode == "count" || r.mode == "bm25",
+            "--where applies to --mode=count|bm25 only")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
         "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related] " +
         "[--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] " +

@@ -282,14 +282,19 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
   }
 
-  private def searchBm25Df(parsed: QueryParser.Parsed, query: String,
-      k: Int): DataFrame = {
-    val mp = matchedPostings(matchedWords(parsed.searchWords),
-      coarsePred(parsed.searchWords))
-    val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
+  /** The (term_idx, doc_id, v) BM25 per-term frame — ONE definition for
+    * every DataFrame-algebra scoring path ([[searchBm25Df]],
+    * [[searchBm25Where]], [[searchBm25WithPhrases]]), so the per-term
+    * shape cannot drift between them (the same reason [[bm25Idf]]/
+    * [[bm25TfNorm]] are centralized). */
+  private def bm25PerTerm(searchWords: Seq[(String, Boolean)]): DataFrame =
+    matchedPostings(matchedWords(searchWords), coarsePred(searchWords))
+      .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
-    rankTopK(evalQuery(query, perTerm), k)
-  }
+
+  private def searchBm25Df(parsed: QueryParser.Parsed, query: String,
+      k: Int): DataFrame =
+    rankTopK(evalQuery(query, bm25PerTerm(parsed.searchWords)), k)
 
   private def emptyResult(valCol: String): DataFrame = emptyDf(
     "conv_id" -> org.apache.spark.sql.types.StringType,
@@ -348,15 +353,37 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     else None
   }
 
-  /** The slop-phrase dispatch: a two-word `'a b'~d` keeps [[searchNear]]'s
-    * position-PAIR counting (the gate-frozen semantics); three or more
-    * distinct words route to [[nearAllCounts]]'s anchor counting — the
-    * only n-list proximity count that stays O(Σ positions). */
+  /** The slop-phrase dispatch: up to two DISTINCT words keep
+    * [[searchNear]]'s position-PAIR counting (the gate-frozen semantics —
+    * duplicated words collapse first, so `'a b a'~d` counts like
+    * `'a b'~d`); three or more distinct words route to
+    * [[nearAllCounts]]'s anchor counting — the only n-list proximity
+    * count that stays O(Σ positions). */
   private def slopCounts(corpus: Dataset[Turn], wordsRaw: String, d: Int)
       : Option[DataFrame] = {
     val words = GraftPhraseCount.foldWords(wordsRaw)
+    val distinct = words.distinct
     if (words.length == 2) nearCounts(corpus, wordsRaw, d)
+    else if (distinct.length == 1 && words.length >= 2)
+      // all-duplicate phrase: the same-word pair semantics of 'a a'~d
+      nearCounts(corpus, distinct.head + " " + distinct.head, d)
+    else if (distinct.length == 2)
+      nearCounts(corpus, distinct.mkString(" "), d)
     else nearAllCounts(corpus, wordsRaw, d)
+  }
+
+  /** ONE BM25 virtual-term contribution over a positional hit frame
+    * (`doc_id, conv_id, turn_idx, cnt`): tf = cnt, df = hit count from a
+    * one-row broadcast aggregate. The single definition behind the
+    * phrase/slop virtual terms and [[searchPhraseBm25]], so the formula
+    * cannot drift between paths (the bm25Idf/bm25TfNorm rationale).
+    * Returns (doc_id, conv_id, turn_idx, v). */
+  private def virtualTermScore(hits: DataFrame): DataFrame = {
+    val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
+    hits.join(docStats.select($"doc_id", $"dl"), Seq("doc_id"))
+      .crossJoin(broadcast(dfc))
+      .select($"doc_id", $"conv_id", $"turn_idx",
+        (bm25Idf($"df") * bm25TfNorm($"cnt")).as("v"))
   }
 
   /** The shared positional pipeline: AND-prune candidates through the
@@ -454,11 +481,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     filteredKeys(meta, whereSql) match {
       case None => emptyResult("score")
       case Some(keys) =>
-        val mp = matchedPostings(matchedWords(parsed.searchWords),
-          coarsePred(parsed.searchWords))
-        val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
-          .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
-        evalQuery(query, perTerm)
+        evalQuery(query, bm25PerTerm(parsed.searchWords))
           .join(docs, Seq("doc_id"))
           .join(keys, Seq("conv_id", "turn_idx"))
           .orderBy($"v".desc, $"doc_id").limit(k)
@@ -494,10 +517,11 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val w = folded.head
     val seedTerms = Seq((w, true))
     val mw = matchedWords(seedTerms)
-    // exact seed → at most one dictionary row; bounded driver read
-    val seedRow = mw.limit(1).collect()
-    if (seedRow.isEmpty) return empty
-    val dfSeed = seedRow.head.getAs[Long]("df").toDouble
+    // exact seed → at most one dictionary row; df_seed stays IN-PLAN as a
+    // one-row broadcast scalar (no eager driver job — the method returns
+    // a lazy frame like every other Searcher API; an unknown seed makes
+    // the candidate key set empty, so no row survives to read the scalar)
+    val dfSeed = mw.agg(max($"df").cast("double").as("df_seed"))
     val keys = matchedPostings(mw, coarsePred(seedTerms))
       .select($"doc_id").distinct()
       .join(docs, Seq("doc_id"))
@@ -510,9 +534,10 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .groupBy($"term").agg(count(lit(1)).as("co_df"))
       .filter($"co_df" >= minCoDf)
       .join(dict.select($"term", $"df"), Seq("term"))
+      .crossJoin(broadcast(dfSeed))
       .select($"term", $"co_df",
         log(($"co_df".cast("double") * n) /
-          (lit(dfSeed) * $"df".cast("double"))).as("pmi"))
+          ($"df_seed" * $"df".cast("double"))).as("pmi"))
       .orderBy($"pmi".desc, $"term")
       .limit(k)
   }
@@ -855,11 +880,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
           phraseCounts(corpus, p) match {
             case None => new DfAlgebra(_ => null).empty
             case Some(hits) =>
-              val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
-              hits.join(docStats.select($"doc_id", $"dl"), Seq("doc_id"))
-                .crossJoin(broadcast(dfc))
-                .select($"doc_id",
-                  (bm25Idf($"df") * bm25TfNorm($"cnt")).as("v"))
+              virtualTermScore(hits).select($"doc_id", $"v")
           }
         case None => fuzzyOf.get(w) match {
           case Some(fw) =>
@@ -882,13 +903,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
               slopCounts(corpus, p, d) match {
                 case None => new DfAlgebra(_ => null).empty
                 case Some(hits) =>
-                  val dfc =
-                    hits.agg(count(lit(1)).cast("double").as("df"))
-                  hits.join(docStats.select($"doc_id", $"dl"),
-                      Seq("doc_id"))
-                    .crossJoin(broadcast(dfc))
-                    .select($"doc_id",
-                      (bm25Idf($"df") * bm25TfNorm($"cnt")).as("v"))
+                  virtualTermScore(hits).select($"doc_id", $"v")
               }
             case None => cached.filter($"term_idx" === i)
               .select($"doc_id", $"v")
@@ -910,11 +925,8 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     case None => emptyResult("score")
     case Some(raw) =>
       val hits = cacheSwap(raw) // df-agg + scoring both read it
-      val dfc = hits.agg(count(lit(1)).cast("double").as("df"))
-      hits.join(docStats.select($"doc_id", $"dl"), Seq("doc_id"))
-        .crossJoin(broadcast(dfc))
-        .select($"conv_id", $"turn_idx",
-          (bm25Idf($"df") * bm25TfNorm($"cnt")).as("score"), $"doc_id")
+      virtualTermScore(hits)
+        .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
         .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
   }
 }
@@ -978,8 +990,10 @@ object Searcher {
           val dstr = query.substring(end + 2, j)
           val sentinel = base + alphaSuffix(n)
           n += 1
+          // numeric clamp, not a length test: '~00003' must mean 3
           slops(sentinel) = (query.substring(i + 1, end),
-            if (dstr.length > 4) 9999 else dstr.toInt)
+            if (dstr.length > 10) 9999
+            else math.min(dstr.toLong, 9999L).toInt)
           sb.append('"').append(sentinel).append('"')
           i = j
         } else {

@@ -144,12 +144,18 @@ class EndToEndSpec extends SparkTestBase {
       .collect().isEmpty)
     assert(searcher.searchBm25Where(meta, "which", "((", 5)
       .collect().isEmpty)
-    // --where at the CLI requires a corpus (the metadata source)
+    // --where at the CLI requires a corpus (the metadata source) and is
+    // REJECTED for modes that would silently ignore it (review finding)
     assert(graft.app.SearchMain.resolve(
       Array("/idx", "q", "--where=role = 'user'")).isLeft)
     assert(graft.app.SearchMain.resolve(
       Array("/idx", "q", "--where=role = 'user'", "--corpus=gen:5"))
       .exists(_.where.contains("role = 'user'")))
+    for (m <- Seq("countp", "bm25p", "phrase", "fuzzy", "related"))
+      assert(graft.app.SearchMain.resolve(Array("/idx", "q", s"--mode=$m",
+        "--where=role = 'user'", "--corpus=gen:5")).isLeft, m)
+    assert(graft.app.SearchMain.resolve(Array("/idx", "q", "--mode=bm25",
+      "--where=role = 'user'", "--corpus=gen:5")).isRight)
   }
 
   test("WAND and DataFrame BM25 paths agree") {

@@ -457,9 +457,15 @@ class PhraseSpec extends SparkTestBase {
     // unterminated quote passes through
     assert(Searcher.rewriteSlop("alpha 'unclosed~3") ==
       (("alpha 'unclosed~3", Map.empty)))
-    // distance cap: > 4 digits clamps to 9999
+    // distance cap is NUMERIC, not digit-count: zero-padded small
+    // distances survive, huge and overflow-length values clamp
     val (_, mBig) = Searcher.rewriteSlop("'alpha bravo'~123456789")
     assert(mBig.values.head._2 == 9999)
+    val (_, mPad) = Searcher.rewriteSlop("'alpha bravo'~00003")
+    assert(mPad.values.head._2 == 3)
+    val (_, mOvf) =
+      Searcher.rewriteSlop("'alpha bravo'~99999999999999999999999")
+    assert(mOvf.values.head._2 == 9999)
     // sentinel base collision grows
     val (_, mc) = Searcher.rewriteSlop("graftslopqa 'a b'~1")
     assert(mc.keys.head.startsWith("graftslopqq"))
@@ -511,6 +517,13 @@ class PhraseSpec extends SparkTestBase {
       nearAll3.get(key(t)).filter(_ => hasTok(t, "words"))
         .map(c => key(t) -> (c + 1))
     }.toMap)
+    // duplicated words collapse BEFORE the 2-vs-n dispatch: 'a b a'~d
+    // keeps pair counting, identical to 'a b'~d (review finding)
+    assert(run("""'alpha bravo alpha'~2 AND "words"""") ==
+      run("""'alpha bravo'~2 AND "words""""))
+    // an all-duplicate phrase counts like the same-word pair 'a a'~d
+    assert(run("""'alpha alpha alpha'~2 AND "words"""") ==
+      run("""'alpha alpha'~2 AND "words""""))
     // d=0 and an infeasible word: empty operands
     assert(run("""'alpha bravo'~0 AND "words"""").isEmpty)
     assert(run("""'alpha of'~2 AND "words"""").isEmpty)
