@@ -979,6 +979,16 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ordered proximity (ONEAR/BEFORE): 'customer' strictly before
+    // 'vector' within 3 kept positions; cnt = ordered position pairs
+    "q_fts_onear" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchNear(docsCorpus(s, d), "customer vector", d = 3,
+          ordered = true)
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // related terms (query expansion): top-10 terms by PMI against the
     // seed's doc set — the doc set comes from the index, only those rows
     // re-read; gate output re-sorted by term for row-order determinism

@@ -254,7 +254,7 @@ object CheckIndexMain {
   * stand in for the positional index dir.
   *
   * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related]
-  *        [--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] [--exact] [--min-char=N] [--config=<file>]
+  *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
   *         needs --corpus=, --terms picks the tf-idf seed terms)
@@ -266,7 +266,8 @@ object SearchMain {
   final case class Resolved(indexDir: String, query: String, mode: String,
       k: Int, conf: EngineConf, logLevel: Option[String],
       corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
-      terms: Int = 5, width: Int = 5, where: Option[String] = None)
+      terms: Int = 5, width: Int = 5, where: Option[String] = None,
+      ordered: Boolean = false)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -303,7 +304,8 @@ object SearchMain {
           width = args.collectFirst { case s if s.startsWith("--width=") =>
             s.stripPrefix("--width=").toInt }.getOrElse(5),
           where = args.collectFirst { case s if s.startsWith("--where=") =>
-            s.stripPrefix("--where=") }))
+            s.stripPrefix("--where=") },
+          ordered = args.contains("--ordered")))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
@@ -323,7 +325,7 @@ object SearchMain {
             "--where applies to --mode=count|bm25 only")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
         "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related] " +
-        "[--k=10] [--dist=3] [--edits=1] [--terms=5] [--width=5] " +
+        "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
         "[--where=<sqlPredicate over the corpus columns>] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
@@ -378,7 +380,8 @@ object SearchMain {
         case "phrase" => searcher.searchPhrase(phraseCorpus, q).collect()
         case "phrase-bm25" =>
           searcher.searchPhraseBm25(phraseCorpus, q, k).collect()
-        case "near" => searcher.searchNear(phraseCorpus, q, r.dist).collect()
+        case "near" =>
+          searcher.searchNear(phraseCorpus, q, r.dist, r.ordered).collect()
         case "nearall" =>
           searcher.searchNearAll(phraseCorpus, q, r.dist).collect()
         case "countp" =>

@@ -1148,6 +1148,16 @@ object OracleSql {
       FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
       GROUP BY 1 ORDER BY pa.doc_id""",
 
+    // ONEAR(customer before vector, 3): ordered pairs, 1 <= j-i <= 3
+    "q_fts_onear" -> s"""
+      WITH $FtsPosTok,
+      pa AS (SELECT doc_id, p FROM rk WHERE term = 'customer'),
+      pb AS (SELECT doc_id, p FROM rk WHERE term = 'vector')
+      SELECT pa.doc_id AS doc_id, count(*)::BIGINT AS cnt
+      FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+        AND pb.p - pa.p BETWEEN 1 AND 3
+      GROUP BY 1 ORDER BY pa.doc_id""",
+
     // related terms: PMI = ln(co_df·N / (df_seed·df_term)) over the seed's
     // doc set, co_df >= 2, seed excluded; top-10 by (pmi desc, term asc)
     // then re-sorted by term (the entry's row-order convention)

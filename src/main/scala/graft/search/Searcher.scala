@@ -329,14 +329,16 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   }
 
   /** [[phraseCounts]]'s proximity sibling: co-occurring position pairs of
-    * the two folded words within distance `d`, None when the query does
-    * not fold to exactly two feasible words or d < 1. */
-  private def nearCounts(corpus: Dataset[Turn], wordsRaw: String, d: Int)
-      : Option[DataFrame] = {
+    * the two folded words within distance `d` (`ordered` keeps only
+    * first-before-second pairs — the ONEAR/BEFORE operator), None when
+    * the query does not fold to exactly two feasible words or d < 1. */
+  private def nearCounts(corpus: Dataset[Turn], wordsRaw: String, d: Int,
+      ordered: Boolean = false): Option[DataFrame] = {
     val words = GraftPhraseCount.foldWords(wordsRaw)
+    val fn = if (ordered) "graft_onear_count" else "graft_near_count"
     if (words.length == 2 && d >= 1)
       confirmCounts(corpus, words,
-        s"graft_near_count(text, '${words.mkString(" ")}', $d)")
+        s"$fn(text, '${words.mkString(" ")}', $d)")
     else None
   }
 
@@ -425,8 +427,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * native [[graft.tokenize.GraftNearCount]] kernel confirms distance
     * map-side over candidate rows only. A query that does not fold to
     * exactly two feasible words, or d < 1, returns empty. */
-  def searchNear(corpus: Dataset[Turn], wordsRaw: String, d: Int): DataFrame =
-    rankedCounts(nearCounts(corpus, wordsRaw, d))
+  def searchNear(corpus: Dataset[Turn], wordsRaw: String, d: Int,
+      ordered: Boolean = false): DataFrame =
+    rankedCounts(nearCounts(corpus, wordsRaw, d, ordered))
 
   /** n-word proximity search (NEAR/d with an anchor): docs where EVERY
     * distinct folded word occurs within ±d kept-token positions of some

@@ -15,9 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * same execution shape: the positionless index AND-prunes candidates,
   * this kernel re-derives positions from candidate text in one map-side
   * pass. Null text → null.
+  *
+  * `graft_onear_count` is the ORDERED form (the commercial ONEAR/BEFORE
+  * operator): pairs where wordA strictly precedes wordB, 1 ≤ j−i ≤ d.
+  * A repeated word is unchanged (i < j already encodes order).
   */
 case class GraftNearCount(child: Expression, wordA: String, wordB: String,
-    d: Int) extends UnaryExpression {
+    d: Int, ordered: Boolean = false) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
@@ -29,16 +33,19 @@ case class GraftNearCount(child: Expression, wordA: String, wordB: String,
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_near_count"
+  override def prettyName: String =
+    if (ordered) "graft_onear_count" else "graft_near_count"
 
   override def nullSafeEval(input: Any): Any =
-    GraftNearCount.count(input.asInstanceOf[UTF8String], wordA, wordB, d)
+    GraftNearCount.count(input.asInstanceOf[UTF8String], wordA, wordB, d,
+      ordered)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("graftNearA", wordA, "java.lang.String")
     val bRef = ctx.addReferenceObj("graftNearB", wordB, "java.lang.String")
     defineCodeGen(ctx, ev,
-      c => s"graft.tokenize.GraftNearCount.count($c, $aRef, $bRef, $d)")
+      c => s"graft.tokenize.GraftNearCount.count($c, $aRef, $bRef, $d, " +
+        s"$ordered)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -47,11 +54,13 @@ case class GraftNearCount(child: Expression, wordA: String, wordB: String,
 
 object GraftNearCount {
 
-  /** Static entry for generated code: co-occurrence pairs within `d`.
-    * Token positions are collected in one tokenizer pass; the pair count
-    * is a sorted two-list sweep (each position list is scanned once per
-    * window edge), so a stopword-soup doc costs O(n_a + n_b + pairs). */
-  def count(s: UTF8String, a: String, b: String, d: Int): Int = {
+  /** Static entry for generated code: co-occurrence pairs within `d`
+    * (`ordered` keeps only a-before-b pairs, 1 ≤ j−i ≤ d). Token positions
+    * are collected in one tokenizer pass; the pair count is a sorted
+    * two-list sweep (each position list is scanned once per window edge),
+    * so a stopword-soup doc costs O(n_a + n_b + pairs). */
+  def count(s: UTF8String, a: String, b: String, d: Int,
+      ordered: Boolean): Int = {
     val toks = Tokenizer.tokens(s.toString)
     val same = a == b
     // primitive builders: this runs per candidate row inside codegen, and
@@ -86,7 +95,9 @@ object GraftNearCount {
       var hi = 0
       while (x < la.length) {
         val p = la(x)
-        while (lo < lb.length && lb(lo) < p - d) lo += 1
+        // window over b positions: [p−d, p+d] unordered, [p+1, p+d] ordered
+        val low = if (ordered) p + 1 else p - d
+        while (lo < lb.length && lb(lo) < low) lo += 1
         if (hi < lo) hi = lo
         while (hi < lb.length && lb(hi) <= p + d) hi += 1
         c += hi - lo
@@ -102,25 +113,37 @@ object GraftNearCount {
       "two folded words co-occur within distance d.",
     "", "", "", "", "4.1.0", "", "scala_udf")
 
-  private[tokenize] def builder(children: Seq[Expression]): Expression = {
-    require(children.length == 3,
-      "graft_near_count takes (text, words, d)")
+  private[tokenize] val orderedInfo = new ExpressionInfo(
+    classOf[GraftNearCount].getName, null, "graft_onear_count",
+    "_FUNC_(text, 'worda wordb', d) - kept-token position pairs where " +
+      "worda strictly precedes wordb within distance d (1 <= j-i <= d).",
+    "", "", "", "", "4.1.0", "", "scala_udf")
+
+  private[tokenize] def builder(children: Seq[Expression]): Expression =
+    build(children, ordered = false)
+
+  private[tokenize] def orderedBuilder(children: Seq[Expression]): Expression =
+    build(children, ordered = true)
+
+  private def build(children: Seq[Expression], ordered: Boolean): Expression = {
+    val name = if (ordered) "graft_onear_count" else "graft_near_count"
+    require(children.length == 3, s"$name takes (text, words, d)")
     require(children(1).foldable && children(1).dataType == StringType,
-      "graft_near_count words must be a constant string expression")
+      s"$name words must be a constant string expression")
     require(children(2).foldable,
-      "graft_near_count d must be a constant expression")
+      s"$name d must be a constant expression")
     val words = children(1).eval() match {
       case s: UTF8String => GraftPhraseCount.foldWords(s.toString)
       case other => throw new IllegalArgumentException(
-        s"graft_near_count words must be a string literal, got $other")
+        s"$name words must be a string literal, got $other")
     }
     require(words.length == 2,
-      s"graft_near_count needs exactly two foldable words, got $words")
+      s"$name needs exactly two foldable words, got $words")
     val d = children(2).eval() match {
       case num: java.lang.Number => num.intValue()
       case other => throw new IllegalArgumentException(
-        s"graft_near_count d must be an integer literal, got $other")
+        s"$name d must be an integer literal, got $other")
     }
-    GraftNearCount(children.head, words.head, words(1), d)
+    GraftNearCount(children.head, words.head, words(1), d, ordered)
   }
 }

@@ -70,6 +70,8 @@ object GraftFunctions {
     ("graft_tokenize", GraftTokenize.info, GraftTokenize.builder _),
     ("graft_phrase_count", GraftPhraseCount.info, GraftPhraseCount.builder _),
     ("graft_near_count", GraftNearCount.info, GraftNearCount.builder _),
+    ("graft_onear_count", GraftNearCount.orderedInfo,
+      GraftNearCount.orderedBuilder _),
     ("graft_nearall_count", GraftNearAllCount.info,
       GraftNearAllCount.builder _),
     ("graft_postings", graft.index.GraftPostings.info,

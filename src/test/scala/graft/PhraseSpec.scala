@@ -153,8 +153,10 @@ class PhraseSpec extends SparkTestBase {
     searcher.close()
   }
 
-  /** Brute force NEAR: position pairs within d (unordered; i<j if a==b). */
-  private def bruteNear(text: String, a: String, b: String, d: Int): Int = {
+  /** Brute force NEAR: position pairs within d (unordered; i<j if a==b);
+    * `ordered` keeps only a-before-b pairs (1 <= j-i <= d). */
+  private def bruteNear(text: String, a: String, b: String, d: Int,
+      ordered: Boolean = false): Int = {
     val toks = Tokenizer.tokens(text)
     val pa: Seq[Int] =
       toks.zipWithIndex.collect { case (t, i) if t == a => i }.toSeq
@@ -163,7 +165,9 @@ class PhraseSpec extends SparkTestBase {
     else {
       val pb: Seq[Int] =
         toks.zipWithIndex.collect { case (t, i) if t == b => i }.toSeq
-      (for (i <- pa; j <- pb if (i - j).abs <= d) yield 1).size
+      if (ordered) (for (i <- pa; j <- pb if j - i >= 1 && j - i <= d)
+        yield 1).size
+      else (for (i <- pa; j <- pb if (i - j).abs <= d) yield 1).size
     }
   }
 
@@ -181,9 +185,9 @@ class PhraseSpec extends SparkTestBase {
       "", "alpha", "alpha bravo alpha bravo alpha")
     val cases = Seq(("alpha", "bravo", 1), ("alpha", "bravo", 3),
       ("alpha", "alpha", 2), ("bravo", "alpha", 2), ("alpha", "charlie", 5))
-    for (t <- texts; (a, b, d) <- cases) {
-      assert(GraftNearCount.count(UTF8String.fromString(t), a, b, d) ==
-        bruteNear(t, a, b, d), s"text='$t' near($a,$b,$d)")
+    for (t <- texts; (a, b, d) <- cases; ord <- Seq(false, true)) {
+      assert(GraftNearCount.count(UTF8String.fromString(t), a, b, d, ord) ==
+        bruteNear(t, a, b, d, ord), s"text='$t' near($a,$b,$d,ord=$ord)")
     }
   }
 
@@ -198,6 +202,29 @@ class PhraseSpec extends SparkTestBase {
       assert(engineNear(edgeSearcher, edge, words, d) == expected,
         s"near($words, $d)")
     }
+    // ordered (ONEAR/BEFORE): engine == brute across d, and direction
+    // matters — "bravo alpha" on the reversed doc differs from unordered
+    for (d <- Seq(1, 2, 4); words <- Seq("alpha bravo", "bravo alpha")) {
+      val Seq(a, b) = words.split(" ").toSeq
+      val expected = edge.flatMap { t =>
+        val c = bruteNear(t.text, a, b, d, ordered = true)
+        if (c > 0) Some(DocKey(t.conv_id, t.turn_idx) -> c.toLong) else None
+      }.toMap
+      val got = edgeSearcher.searchNear(spark.createDataset(edge), words, d,
+          ordered = true).collect().map {
+        case Row(c: String, t: Int, n: Long) => DocKey(c, t) -> n
+      }.toMap
+      assert(got == expected, s"onear($words, $d)")
+    }
+    // c5 "bravo alpha": ordered alpha-before-bravo misses it, the
+    // reversed query hits it — the asymmetry the unordered op erases
+    val fwd = edgeSearcher.searchNear(spark.createDataset(edge),
+        "alpha bravo", 2, ordered = true).collect().map {
+      case Row(c: String, t: Int, _) => DocKey(c, t) }.toSet
+    val rev = edgeSearcher.searchNear(spark.createDataset(edge),
+        "bravo alpha", 2, ordered = true).collect().map {
+      case Row(c: String, t: Int, _) => DocKey(c, t) }.toSet
+    assert(!fwd(DocKey("c5", 0)) && rev(DocKey("c5", 0)))
     // one word, three words, an infeasible word, d < 1 → empty
     assert(engineNear(edgeSearcher, edge, "alpha", 3).isEmpty)
     assert(engineNear(edgeSearcher, edge, "alpha bravo words", 3).isEmpty)
