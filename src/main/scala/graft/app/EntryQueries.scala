@@ -1022,6 +1022,16 @@ object EntryQueries {
         .orderBy(col("rnk"))
     }),
 
+    // facet counts (search analytics): hits of the boolean query
+    // aggregated per source value of the metadata frame — top-5 facets
+    // by doc count; the hit frame is index-selective and the metadata
+    // side is a key+facet projection (text never read there)
+    "q_fts_facets" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchFacets(docsMeta(s, d), """"customer" AND "filter"""",
+          "source", k = 5)
+    }),
+
     // n-word proximity (NEAR-all, anchor semantics): docs where 'vector'
     // AND 'stream' both occur within ±4 kept positions of a 'customer'
     // occurrence; cnt = qualifying anchor positions

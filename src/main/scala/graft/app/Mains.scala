@@ -253,8 +253,8 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related]
-  *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--exact] [--min-char=N] [--config=<file>]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related|facets]
+  *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
   *         needs --corpus=, --terms picks the tf-idf seed terms)
@@ -267,7 +267,7 @@ object SearchMain {
       k: Int, conf: EngineConf, logLevel: Option[String],
       corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
       terms: Int = 5, width: Int = 5, where: Option[String] = None,
-      ordered: Boolean = false)
+      ordered: Boolean = false, facet: Option[String] = None)
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -305,7 +305,9 @@ object SearchMain {
             s.stripPrefix("--width=").toInt }.getOrElse(5),
           where = args.collectFirst { case s if s.startsWith("--where=") =>
             s.stripPrefix("--where=") },
-          ordered = args.contains("--ordered")))
+          ordered = args.contains("--ordered"),
+          facet = args.collectFirst { case s if s.startsWith("--facet=") =>
+            s.stripPrefix("--facet=") }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
@@ -313,19 +315,24 @@ object SearchMain {
               r.mode != "near" && r.mode != "nearall" &&
               r.mode != "countp" && r.mode != "bm25p" &&
               r.mode != "mlt" && r.mode != "snippet" &&
-              r.mode != "related" &&
+              r.mode != "related" && r.mode != "facets" &&
               r.where.isEmpty ||
               r.corpus.nonEmpty,
-            "phrase/near/countp/bm25p/mlt/snippet/related modes and --where need " +
+            "phrase/near/countp/bm25p/mlt/snippet/related/facets modes and --where need " +
               "--corpus=<parquet|gen:N|fs:dir>")
+          // facets needs the facet column name up front — failing the
+          // invocation beats an empty result that reads as "no hits"
+          .filterOrElse(r => r.mode != "facets" || r.facet.nonEmpty,
+            "--mode=facets needs --facet=<metadata column>")
           // --where is implemented for count/bm25 only: rejecting the
           // other modes beats silently returning UNFILTERED results
           .filterOrElse(r => r.where.isEmpty ||
               r.mode == "count" || r.mode == "bm25",
             "--where applies to --mode=count|bm25 only")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related|facets] " +
         "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
+        "[--facet=<metadata column, --mode=facets>] " +
         "[--where=<sqlPredicate over the corpus columns>] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
@@ -406,6 +413,10 @@ object SearchMain {
         case "related" =>
           // (term, co_df, pmi): the a:b -> v printer fits
           searcher.relatedTerms(phraseCorpus, q, k).collect()
+        case "facets" =>
+          // (facet, n_docs, total_cnt): the a:b -> v printer fits
+          searcher.searchFacets(phraseCorpus.toDF(), q,
+            r.facet.get, k).collect()
         case "mlt" =>
           // query = <convId>[:turnIdx]
           val (cid, tix) = q.lastIndexOf(':') match {

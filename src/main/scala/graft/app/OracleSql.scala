@@ -1192,6 +1192,24 @@ object OracleSql {
       WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
       ORDER BY a.doc_id""",
 
+    // facet counts over the hits of "customer" AND "filter": every hit
+    // carries cnt = 2 (two matched exact terms), grouped by source;
+    // top-5 by (n_docs desc, facet asc) — the tie order makes the LIMIT
+    // deterministic in both engines
+    "q_fts_facets" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok),
+      hits AS (SELECT a.doc_id, 2::BIGINT AS cnt
+        FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+        JOIN (SELECT doc_id FROM has WHERE term = 'filter') f
+          USING (doc_id))
+      SELECT d.source AS facet, count(*)::BIGINT AS n_docs,
+             sum(h.cnt)::BIGINT AS total_cnt
+      FROM hits h JOIN documents d USING (doc_id)
+      GROUP BY 1
+      ORDER BY n_docs DESC, facet ASC
+      LIMIT 5""",
+
     // BM25 of ("customer" OR "stream") restricted to the same predicate:
     // OR adds the two term scores (IEEE two-operand sums are commutative;
     // a doc matching one term scores that term alone — x + 0 only where

@@ -493,6 +493,45 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     }
   }
 
+  /** Facet counts over a search ("hits by role / lang / source / tool"
+    * — the search-analytics aggregation every commercial engine pairs
+    * with filtered search): the query's hit set ([[searchCount]]
+    * semantics, counts corpus-global) joins `meta` (the
+    * [[searchCountWhere]] contract: one row per doc key plus metadata
+    * columns) and aggregates per distinct value of `facetCol` —
+    * (facet, n_docs, total_cnt), top k by (n_docs desc, facet asc); a
+    * null facet value groups as the NULL facet, exactly like SQL. A
+    * facet column that fails to resolve returns empty (the malformed-
+    * query tolerance posture shared with [[filteredKeys]]).
+    *
+    * 100-TB shape: the aggregate runs over the SELECTIVE index-hit frame
+    * joined to a key+facet projection of the metadata scan (text never
+    * read on that side); the facet shuffle carries hit-frame-sized rows
+    * into at most |distinct facets| groups, then k rows move. */
+  def searchFacets(meta: DataFrame, query: String, facetCol: String,
+      k: Int = 20): DataFrame = {
+    val empty = emptyDf(
+      "facet" -> org.apache.spark.sql.types.StringType,
+      "n_docs" -> org.apache.spark.sql.types.LongType,
+      "total_cnt" -> org.apache.spark.sql.types.LongType)
+    if (k < 1) return empty
+    val proj =
+      try {
+        val p = meta.select($"conv_id", $"turn_idx",
+          col(facetCol).cast("string").as("facet"))
+        p.queryExecution.assertAnalyzed()
+        p
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => return empty
+      }
+    searchCount(query)
+      .join(proj, Seq("conv_id", "turn_idx"))
+      .groupBy($"facet")
+      .agg(count(lit(1L)).as("n_docs"), sum($"cnt").as("total_cnt"))
+      .orderBy($"n_docs".desc, $"facet".asc_nulls_first)
+      .limit(k)
+  }
+
   // ---- related terms (query expansion, engine extension) --------------------
 
   /** Top-k terms co-occurring with an exact seed word ("related

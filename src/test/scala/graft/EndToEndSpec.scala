@@ -158,6 +158,45 @@ class EndToEndSpec extends SparkTestBase {
       "--where=role = 'user'", "--corpus=gen:5")).isRight)
   }
 
+  test("facet counts == brute-force grouping of the hit frame") {
+    import spark.implicits._
+    val meta = spark.createDataset(corpus).toDF()
+      .select($"conv_id", $"turn_idx", $"role", $"tool")
+    val metaOf = corpus.map(t => DocKey(t.conv_id, t.turn_idx) -> t).toMap
+    // tool is null on non-tool turns — exercises the NULL facet group
+    for (q <- Seq("which", "(which AND would)");
+        fcol <- Seq("role", "tool"); k <- Seq(2, 100)) {
+      val hits = engineCounts(q)
+      val expected = hits.toSeq
+        .groupBy { case (key, _) =>
+          val t = metaOf(key)
+          Option(if (fcol == "role") t.role else t.tool)
+        }
+        .map { case (f, rows) =>
+          (f, rows.size.toLong, rows.map(_._2).sum) }.toSeq
+        .sortBy { case (f, n, _) => (-n, f.isDefined, f.getOrElse("")) }
+        .take(k)
+      val got = searcher.searchFacets(meta, q, fcol, k).collect().map {
+        case Row(f, n: Long, tc: Long) =>
+          (Option(f).map(_.toString), n, tc)
+      }.toSeq
+      assert(got == expected, s"facets($q, $fcol, $k)")
+    }
+    // unresolvable facet column / bad k: empty, no crash
+    assert(searcher.searchFacets(meta, "which", "no_such_col", 5)
+      .collect().isEmpty)
+    assert(searcher.searchFacets(meta, "which", "role", 0)
+      .collect().isEmpty)
+    // CLI: facets needs --facet and --corpus
+    assert(graft.app.SearchMain.resolve(Array("/idx", "q",
+      "--mode=facets", "--corpus=gen:5")).isLeft)
+    assert(graft.app.SearchMain.resolve(Array("/idx", "q",
+      "--mode=facets", "--facet=role")).isLeft)
+    assert(graft.app.SearchMain.resolve(Array("/idx", "q",
+      "--mode=facets", "--facet=role", "--corpus=gen:5"))
+      .exists(_.facet.contains("role")))
+  }
+
   test("WAND and DataFrame BM25 paths agree") {
     for (q <- Seq("which", "(which OR would)", "(assistant message)",
         "\"people\"", TranscriptGen.UniqueWord)) {
