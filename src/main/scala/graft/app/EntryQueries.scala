@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.index.{IndexBuilder, IndexMerger, IndexStore}
+import graft.index.{Compactor, IndexBuilder, IndexDeleter, IndexMerger, IndexStore}
 import graft.model.Turn
 import graft.pipeline.{CorpusFilters, Dedup, ImageIoCodec, Multimodal, Similarity, TextStats}
 import graft.search.Searcher
@@ -148,6 +148,33 @@ object EntryQueries {
     idxCache.computeIfAbsent(s"conv:$dir", _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-qidxc").toString
       IndexBuilder.build(spark, convCorpus(spark, dir), out)
+      out
+    })
+
+  /** The tombstone gate set: docs with doc_id % 10 == 3 (deterministic,
+    * ~10% of the corpus) deleted at conversation granularity. */
+  private def delKeys(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").filter(col("doc_id") % 10 === 3)
+      .select(format_string("%012d", col("doc_id")).as("conv_id"))
+
+  /** Full index with [[delKeys]] tombstoned (stats stale — the Lucene
+    * live-docs contract the oracles mirror). */
+  def indexDirDeleted(spark: SparkSession, dir: String): String =
+    idxCache.computeIfAbsent(s"del:$dir", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-qidxd").toString
+      IndexBuilder.build(spark, docsCorpus(spark, dir), out)
+      IndexDeleter.delete(spark, out, delKeys(spark, dir))
+      out
+    })
+
+  /** [[indexDirDeleted]] then compacted: tombstones purged, stats
+    * recomputed — the snapshot equals a fresh build over the live docs. */
+  def indexDirDelCompact(spark: SparkSession, dir: String): String =
+    idxCache.computeIfAbsent(s"delc:$dir", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-qidxdc").toString
+      IndexBuilder.build(spark, docsCorpus(spark, dir), out)
+      IndexDeleter.delete(spark, out, delKeys(spark, dir))
+      Compactor.compact(spark, out)
       out
     })
 
@@ -1030,6 +1057,43 @@ object EntryQueries {
       searcher(s, indexDirFull(s, d))
         .searchFacets(docsMeta(s, d), """"customer" AND "filter"""",
           "source", k = 5)
+    }),
+
+    // document deletion, masked-hit phase (the Lucene live-docs contract):
+    // tombstoned docs stop matching immediately — the count path's key
+    // resolution excludes them; every surviving doc's cnt is unchanged
+    "q_fts_del_count" -> ((s, d) => {
+      searcher(s, indexDirDeleted(s, d))
+        .searchCount(""""customer" AND "filter" NOT "vector"""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deletion under BM25/WAND: the skip list drops tombstoned docs at
+    // offer time, live docs keep their EXACT pre-delete scores (stats
+    // stay as-of the snapshot until compaction) — so the oracle is the
+    // full-stats ranking restricted to live docs
+    "q_fts_del_bm25" -> ((s, d) => {
+      val res = searcher(s, indexDirDeleted(s, d))
+        .searchBm25("customer stream window", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
+    // deletion after compaction (the purge): postings/docs/stats of
+    // tombstoned docs are physically gone and collection stats
+    // recomputed — the ranking equals a fresh build over live docs only
+    "q_fts_del_compact_bm25" -> ((s, d) => {
+      val res = searcher(s, indexDirDelCompact(s, d))
+        .searchBm25("customer stream window", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
     }),
 
     // n-word proximity (NEAR-all, anchor semantics): docs where 'vector'

@@ -212,6 +212,51 @@ object CompactIndexMain {
   }
 }
 
+/** Tombstone documents out of an index ([[graft.index.IndexDeleter]] — the
+  * LSM delete the reference lacks): deleted docs stop matching immediately,
+  * collection stats stay as-of the snapshot until `CompactIndexMain` purges
+  * (the Lucene live-docs contract); re-indexing a deleted key resurrects it.
+  *
+  * Keys: `<conv_id>` deletes the whole conversation, `<conv_id>:<turn_idx>`
+  * one turn. Matching nothing is a no-op (the snapshot stays).
+  *
+  * Usage: DeleteDocsMain <indexDir> <conv_id>[:turn_idx] ... */
+object DeleteDocsMain {
+  /** Pure key parsing — testable without a SparkSession. A trailing
+    * `:<digits>` is a turn index; any other `:` stays conversation text. */
+  private[graft] def parseKey(s: String): (String, Option[Int]) =
+    s.lastIndexOf(':') match {
+      case -1 => (s, None)
+      case i =>
+        val tail = s.substring(i + 1)
+        if (tail.nonEmpty && tail.forall(_.isDigit) && tail.length <= 9)
+          (s.substring(0, i), Some(tail.toInt))
+        else (s, None)
+    }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: DeleteDocsMain <indexDir> <conv_id>[:turn_idx] ...")
+      sys.exit(2)
+    }
+    val spark = Mains.session("graft-delete")
+    import spark.implicits._
+    val store = new IndexStore(args(0))
+    if (store.currentVersion.isEmpty) {
+      System.err.println(s"no index snapshot at ${args(0)}")
+      spark.stop(); sys.exit(1)
+    }
+    val keys = spark.createDataset(args.drop(1).toSeq.map(parseKey))
+      .select($"_1".as("conv_id"),
+        $"_2".cast("int").as("turn_idx")) // null = whole conversation
+    val (meta, n) = graft.index.IndexDeleter.delete(spark, args(0), keys)
+    println(s"tombstoned $n doc(s); snapshot v${meta.version} " +
+      s"(stats recompute at next compaction)")
+    spark.stop()
+  }
+}
+
 /** Structural integrity check (the reference's `app --check`,
   * app/main.cpp:118-122). Exit 0 iff healthy; prints per-check violations.
   *

@@ -196,12 +196,27 @@ object OracleSql {
     SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
     FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
 
-  private def bm25Sql: String = {
+  /** `hitsPred` restricts the RANKED set only (the tombstone-masked phase:
+    * live docs keep full-corpus statistics — the Lucene staleness
+    * contract); `corpusPred` restricts the corpus the statistics are
+    * computed FROM (the post-compaction phase: purged docs influence
+    * nothing). TRUE/TRUE is the plain q_fts_bm25 oracle. */
+  private def bm25Sql(hitsPred: String = "TRUE",
+      corpusPred: String = "TRUE"): String = {
     val in = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-    s"""WITH $FtsTok,
+    s"""WITH
+      ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             WHERE $corpusPred),
+      ex AS (SELECT doc_id, unnest(w) AS word,
+                    generate_subscripts(w, 1) AS pos, len(w) AS n
+             FROM ws),
+      tok AS (SELECT doc_id, word AS term FROM ex
+              WHERE (pos < n AND length(word) > 4 AND length(word) < 15)
+                 OR (pos = n AND length(word) > 3 AND length(word) < 20)),
       st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
       alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
-               FROM documents d LEFT JOIN st USING (doc_id)),
+               FROM documents d LEFT JOIN st USING (doc_id)
+               WHERE $corpusPred),
       m AS (SELECT count(*)::DOUBLE AS nd,
                    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
       tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
@@ -219,7 +234,7 @@ object OracleSql {
                                 (x, y) -> x + y) AS score
              FROM contrib GROUP BY doc_id)
       SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
-      FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+      FROM sc WHERE $hitsPred ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
   /** More-like-this: seed doc 42's top-3 terms by tf·idf (tie: term asc)
@@ -980,6 +995,19 @@ object OracleSql {
       WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
       ORDER BY doc_id""",
 
+    // deletion, count path: tombstoned docs (doc_id % 10 == 3) drop from
+    // the hit set; every surviving doc's cnt is exactly its pre-delete
+    // value (per-doc counts never depend on other docs)
+    "q_fts_del_count" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT a.doc_id, 2::BIGINT AS cnt
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+        AND a.doc_id % 10 != 3
+      ORDER BY doc_id""",
+
     "q_fts_search_wild" -> s"""
       WITH $FtsTok,
       has AS (SELECT DISTINCT doc_id, term FROM tok),
@@ -992,7 +1020,16 @@ object OracleSql {
       FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id
       ORDER BY doc_id""",
 
-    "q_fts_bm25" -> bm25Sql,
+    "q_fts_bm25" -> bm25Sql(),
+
+    // deletion, masked-hit phase: live docs keep their FULL-corpus BM25
+    // scores (stats stale until compaction — the Lucene contract), only
+    // the ranked set shrinks
+    "q_fts_del_bm25" -> bm25Sql(hitsPred = "doc_id % 10 != 3"),
+
+    // deletion after compaction: the purged docs influence nothing — the
+    // oracle recomputes every statistic over the live corpus only
+    "q_fts_del_compact_bm25" -> bm25Sql(corpusPred = "doc_id % 10 != 3"),
 
     // fuzzy term search: the oracle states the SEMANTICS (any dictionary
     // word within edit distance 1) directly via levenshtein — the engine's

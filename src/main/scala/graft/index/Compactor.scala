@@ -44,24 +44,40 @@ object Compactor {
     def stage(name: String)(f: => Unit): Unit =
       store.instrumentedStage(spark, v, name, done) { f; -1L }
 
-    // resolved (doc_id, text) of the fix corpus — empty when fix is None
+    // tombstoned ids as of the old snapshot — compaction PURGES them (the
+    // [[IndexDeleter]] contract: after compaction the snapshot equals a
+    // fresh build over the live corpus, stats included)
+    val deleted: Option[org.apache.spark.sql.DataFrame] =
+      store.deletedIdsAt(spark, oldV)
+    def dropDeleted(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = deleted match {
+      case None => df
+      case Some(del) => df.join(broadcast(del), Seq("doc_id"), "left_anti")
+    }
+
+    // resolved (doc_id, text) of the fix corpus — empty when fix is None;
+    // a doc both fixed and tombstoned stays deleted (the tombstone wins)
     def fixDocs: Dataset[(Long, String)] = fix match {
+      // named columns even when empty: the tombstone-only rewrite path
+      // consumes this frame by column (doc_id), not by position
       case None => spark.emptyDataset[(Long, String)]
+        .toDF("doc_id", "text").as[(Long, String)]
       case Some(corpus) =>
-        corpus.dropDuplicates(Seq("conv_id", "turn_idx"))
+        dropDeleted(corpus.dropDuplicates(Seq("conv_id", "turn_idx"))
           .select($"conv_id", $"turn_idx", $"text")
           .join(store.docsAt(spark, oldV), Seq("conv_id", "turn_idx"))
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text"))
+          .as[(Long, String)]
     }
 
     stage("docs") {
-      store.docsAt(spark, oldV)
+      dropDeleted(store.docsAt(spark, oldV))
         .repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     }
 
     stage("doc_stats") {
-      val base = store.docStatsAt(spark, oldV)
+      val base = dropDeleted(store.docStatsAt(spark, oldV))
       val out = fix match {
         case None => base
         case Some(_) =>
@@ -78,41 +94,42 @@ object Compactor {
 
     stage("postings") {
       val cur = store.postingsAt(spark, oldV)
-      fix match {
-        case None =>
-          // pure squash: masked-union rows already carry dense part
-          // numbering per term — rewrite as one layer
-          IndexBuilder.writeParts(cur, s"$dir/postings", P)
-        case Some(_) =>
-          // decode everything, drop rows of fixed docs, union their fresh
-          // tokens, re-encode — the one full-rewrite pass compaction owns
-          val fd = fixDocs
-          val fixedIds = fd.select($"doc_id")
-          val fresh = fd.flatMap { case (id, text) =>
-            val st = Tokenizer.stats(text)
-            st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
-          }.toDF("term", "doc_id", "tf", "dl")
-          val decoded = cur
-            .select($"term", $"bytes")
-            .as[(String, Array[Byte])]
-            .flatMap { case (term, bytes) =>
-              Codec.decodeAll(bytes).iterator
-                .map(p => (term, p.docId, p.tf, p.dl))
-            }.toDF("term", "doc_id", "tf", "dl")
-            .join(fixedIds, Seq("doc_id"), "left_anti")
-          val tokens = decoded.unionByName(fresh)
-            .select($"term", $"doc_id", $"tf", $"dl")
-          val span = store.meta(oldV).maxDocId + 1
-          val hot: Map[String, Int] = tokens.groupBy($"term")
-            .agg(count(lit(1)).as("df"))
-            .filter($"df" > conf.maxPostingsPerPart)
-            .as[(String, Long)].collect()
-            .map { case (t, df) =>
-              t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
-            .toMap
-          IndexBuilder.writeParts(
-            IndexBuilder.encodeParts(spark, tokens, span, hot, conf, P),
-            s"$dir/postings", P)
+      if (fix.isEmpty && deleted.isEmpty) {
+        // pure squash: masked-union rows already carry dense part
+        // numbering per term — rewrite as one layer, no decode
+        IndexBuilder.writeParts(cur, s"$dir/postings", P)
+      } else {
+        // decode everything, drop rows of fixed AND tombstoned docs,
+        // union fixed docs' fresh tokens, re-encode — the one
+        // full-rewrite pass compaction owns (a term whose postings all
+        // belonged to tombstoned docs vanishes here, dict row included)
+        val fd = fixDocs
+        val fixedIds = fd.select($"doc_id")
+        val fresh = fd.flatMap { case (id, text) =>
+          val st = Tokenizer.stats(text)
+          st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
+        }.toDF("term", "doc_id", "tf", "dl")
+        val decoded = dropDeleted(cur
+          .select($"term", $"bytes")
+          .as[(String, Array[Byte])]
+          .flatMap { case (term, bytes) =>
+            Codec.decodeAll(bytes).iterator
+              .map(p => (term, p.docId, p.tf, p.dl))
+          }.toDF("term", "doc_id", "tf", "dl"))
+          .join(fixedIds, Seq("doc_id"), "left_anti")
+        val tokens = decoded.unionByName(fresh)
+          .select($"term", $"doc_id", $"tf", $"dl")
+        val span = store.meta(oldV).maxDocId + 1
+        val hot: Map[String, Int] = tokens.groupBy($"term")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" > conf.maxPostingsPerPart)
+          .as[(String, Long)].collect()
+          .map { case (t, df) =>
+            t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
+          .toMap
+        IndexBuilder.writeParts(
+          IndexBuilder.encodeParts(spark, tokens, span, hot, conf, P),
+          s"$dir/postings", P)
       }
     }
 
@@ -129,9 +146,13 @@ object Compactor {
     store.writeLayers(v, Seq(TableLayer(v, s"v$v/docs", s"v$v/doc_stats",
       s"v$v/postings", s"v$v/dict", None)))
     val stats = store.docStatsAt(spark, v)
-    val (numDocs, totalTokens, maxId) = stats
+    // Option aggregates (the IndexBuilder meta convention): a snapshot
+    // whose docs were ALL tombstoned compacts to a valid empty index
+    val (numDocs, totalTokensOpt, maxIdOpt) = stats
       .agg(count(lit(1)), sum($"dl"), max($"doc_id"))
-      .as[(Long, Long, Long)].head()
+      .as[(Long, Option[Long], Option[Long])].head()
+    val (totalTokens, maxId) =
+      (totalTokensOpt.getOrElse(0L), maxIdOpt.getOrElse(-1L))
     // compaction writes a fresh single-layer dict with one row per term —
     // numTerms is its parquet footer row count (same invariant the
     // builder's meta stage relies on), not a distinct shuffle

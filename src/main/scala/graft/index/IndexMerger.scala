@@ -293,6 +293,28 @@ object IndexMerger {
         .parquet(s"$dir/dict")
     } }
 
+    // -- resurrection: re-indexing a tombstoned key makes it live again —
+    // the newest-wins tombstone table shrinks by the batch's ids (see
+    // [[IndexDeleter]]; a full resurrection keeps the -1 sentinel row so
+    // the table stays non-empty — an empty dir would read as "inherit").
+    // Θ(tombstones) + one broadcast probe of the batch — never the index.
+    val deletedPath: Option[String] = store.deletedIdsAt(spark, oldV) match {
+      case None => None
+      case Some(del) =>
+        val hit = batchPrep.select($"doc_id")
+          .join(broadcast(del), Seq("doc_id")).count()
+        if (hit == 0) None
+        else {
+          del.join(batchPrep.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(spark.range(1).select(lit(-1L).as("doc_id")))
+            .repartition(1).sortWithinPartitions($"doc_id")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/deleted")
+          store.recordStage(v, "undelete", hit, 0L,
+            Map("resurrected" -> hit))
+          Some(s"v$v/deleted")
+        }
+    }
+
     // -- layer list, meta, commit
     val replaced =
       if (java.nio.file.Files.exists(
@@ -300,7 +322,8 @@ object IndexMerger {
         Some(s"v$v/replaced_terms")
       else None
     store.writeLayers(v, store.layers(oldV) :+ TableLayer(v, s"v$v/docs",
-      s"v$v/doc_stats", s"v$v/postings", s"v$v/dict", replaced))
+      s"v$v/doc_stats", s"v$v/postings", s"v$v/dict", replaced,
+      deletedPath))
 
     // -- meta, computed INCREMENTALLY from the old meta + batch aggregates
     // (r2 recomputed numDocs/totalTokens/numTerms from the full layered

@@ -38,20 +38,26 @@ object IndexMeta {
 /** One data layer of a snapshot: the delta directories one build or merge
   * produced. `replaced` names terms whose postings/dict rows in EARLIER
   * layers are superseded by this layer's regrouped parts (None = pure
-  * append — the common transcript-ingest case). */
+  * append — the common transcript-ingest case). `deleted` names the FULL
+  * tombstone set as of this layer (the newest layer carrying one wins —
+  * tombstones are Θ(deletes since compaction), so the full rewrite per
+  * delete/resurrect is tiny; None = inherit from the previous layer). */
 final case class TableLayer(version: Int, docs: String, docStats: String,
-    postings: String, dict: String, replaced: Option[String]) {
+    postings: String, dict: String, replaced: Option[String],
+    deleted: Option[String] = None) {
   def toJson: String = Jsonl.write(Map(
     "version" -> version, "docs" -> docs, "doc_stats" -> docStats,
     "postings" -> postings, "dict" -> dict,
-    "replaced" -> replaced.getOrElse("")))
+    "replaced" -> replaced.getOrElse(""),
+    "deleted" -> deleted.getOrElse("")))
 }
 
 object TableLayer {
   def fromJson(s: String): TableLayer = {
     val m = Jsonl.parse(s)
     TableLayer(m("version").toInt, m("docs"), m("doc_stats"), m("postings"),
-      m("dict"), Some(m.getOrElse("replaced", "")).filter(_.nonEmpty))
+      m("dict"), Some(m.getOrElse("replaced", "")).filter(_.nonEmpty),
+      Some(m.getOrElse("deleted", "")).filter(_.nonEmpty))
   }
 }
 
@@ -259,7 +265,8 @@ final class IndexStore(val root: String) {
   def gc(): Seq[Int] = {
     val cur = currentVersion.getOrElse(return Seq.empty)
     val referenced = layers(cur).flatMap { l =>
-      (Seq(l.docs, l.docStats, l.postings, l.dict) ++ l.replaced.toSeq)
+      (Seq(l.docs, l.docStats, l.postings, l.dict) ++ l.replaced.toSeq ++
+          l.deleted.toSeq)
         .flatMap(_.split("/").headOption)
         .filter(_.startsWith("v")).map(_.stripPrefix("v").toInt)
     }.toSet + cur
@@ -352,6 +359,25 @@ final class IndexStore(val root: String) {
     }
     masked.select(cols.map(col): _*)
   }
+
+  /** Tombstoned doc ids of snapshot v (the Lucene live-docs complement):
+    * the NEWEST layer carrying a `deleted` table defines the complete set
+    * (a delete writes old ∪ new; a merge that re-indexes tombstoned keys
+    * writes old − batch — resurrection; compaction purges and writes
+    * none). A full resurrection is recorded as the single sentinel row
+    * doc_id = −1 (a fileless dir would read as "inherit"), which the
+    * filter below drops. None ⇔ no tombstones ever written since the last
+    * compaction — readers then keep their zero-tombstone plans untouched. */
+  def deletedIdsAt(spark: SparkSession, v: Int): Option[DataFrame] =
+    layers(v).reverse.collectFirst {
+      case l if l.deleted.nonEmpty && hasData(spark, absPath(l.deleted.get)) =>
+        spark.read.parquet(absPath(l.deleted.get))
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= 0)
+          .select("doc_id")
+    }
+
+  def deletedIds(spark: SparkSession): Option[DataFrame] =
+    deletedIdsAt(spark, currentVersion.get)
 
   def postingsAt(spark: SparkSession, v: Int): DataFrame =
     maskedUnion(spark, layers(v), _.postings,

@@ -26,8 +26,39 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   // queries — the long-lived-searcher/REPL reuse pattern
   private lazy val dict: DataFrame = store.dict(spark)
   private lazy val postings: DataFrame = store.postings(spark)
-  private lazy val docs: DataFrame = store.docs(spark)
   private lazy val docStats: DataFrame = store.docStats(spark)
+
+  // tombstone masking (the Lucene live-docs contract, [[graft.index
+  // .IndexDeleter]]): deleted docs stop matching IMMEDIATELY — the doc-key
+  // resolution join below excludes them, [[maskHits]] guards every
+  // rank-then-limit path, and WAND skips them via [[deletedArr]] — while
+  // collection statistics (meta.numDocs/avgdl, per-term df) stay as-of the
+  // snapshot until compaction purges. An index with no tombstones keeps
+  // every plan byte-identical (None short-circuits all three).
+  private lazy val deletedIds: Option[DataFrame] = store.deletedIds(spark)
+
+  /** Tombstones as a sorted array for WAND's per-shard skip check —
+    * bounded by deletes-since-compaction, collected once per Searcher. */
+  private lazy val deletedArr: Array[Long] = deletedIds match {
+    case None => Array.emptyLongArray
+    case Some(del) => del.as[Long].collect().sorted
+  }
+
+  private lazy val docs: DataFrame = {
+    val base = store.docs(spark)
+    deletedIds match {
+      case None => base
+      case Some(del) => base.join(broadcast(del), Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Drop tombstoned docs from a (doc_id, …) hit frame BEFORE any top-k
+    * limit — resolving keys through the masked [[docs]] after a limit
+    * would under-fill k instead. */
+  private def maskHits(hits: DataFrame): DataFrame = deletedIds match {
+    case None => hits
+    case Some(del) => hits.join(broadcast(del), Seq("doc_id"), "left_anti")
+  }
 
   // the per-term frame of the LATEST query stays cached (repeat-query
   // speed); issuing a new query or close() drops the previous one —
@@ -233,9 +264,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   }
 
   /** Shared ranked-result tail: top-k by score with the doc-id tie-break,
-    * keys resolved against the docs table. */
+    * keys resolved against the docs table (tombstones masked pre-limit). */
   private def rankTopK(res: DataFrame, k: Int): DataFrame =
-    res.orderBy($"v".desc, $"doc_id").limit(k)
+    maskHits(res).orderBy($"v".desc, $"doc_id").limit(k)
       .join(docs, Seq("doc_id"))
       .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
       .orderBy($"score".desc, $"doc_id")
@@ -274,7 +305,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val coarse = coarsePred(parsed.searchWords)
     if (coarse.isEmpty) return emptyResult("score")
     val top = Wand.topK(spark, postings.filter(coarse.get), words,
-      meta.maxDocId + 1, meta.avgdl, conf, k)
+      meta.maxDocId + 1, meta.avgdl, conf, k, exclude = deletedArr)
     // the top-k side is k rows — broadcast it so resolving doc keys is a
     // map-side lookup over the docs scan, not a sort-merge join
     broadcast(top).join(docs, Seq("doc_id"))
@@ -677,7 +708,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     // k+1 from WAND: the seed is a perfect self-match and may occupy one
     // slot; dropping it afterwards still leaves the true non-seed top-k
     val top = Wand.topK(spark, postings.filter(coarse), words,
-      meta.maxDocId + 1, meta.avgdl, conf, k + 1)
+      meta.maxDocId + 1, meta.avgdl, conf, k + 1, exclude = deletedArr)
     broadcast(top).join(docs, Seq("doc_id"))
       .filter(!($"conv_id" === convId && $"turn_idx" === turnIdx))
       .select($"conv_id", $"turn_idx", $"score", $"doc_id")
@@ -803,7 +834,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
         val words = matched.select($"word", bm25Idf($"df").as("weight"))
         val scanned = coarse.map(postings.filter).getOrElse(postings)
         val top = Wand.topK(spark, scanned, words,
-          meta.maxDocId + 1, meta.avgdl, conf, k)
+          meta.maxDocId + 1, meta.avgdl, conf, k, exclude = deletedArr)
         broadcast(top).join(docs, Seq("doc_id"))
           .select($"conv_id", $"turn_idx", $"score", $"doc_id")
           .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")

@@ -38,10 +38,17 @@ object Wand {
     * a driver-side In-list or a collected Map (r1 verdict: the driver
     * bottleneck on wide wildcards); the coarse scan predicate keeps the
     * parquet min/max file skipping an In-list used to give. */
+  /** `exclude`: SORTED tombstoned doc ids skipped during scoring (the
+    * Lucene live-docs check — candidates are dropped at offer time, so
+    * upper bounds stay valid and live docs can never be displaced by a
+    * deleted one). Bounded by deletes-since-compaction ([[graft.index
+    * .IndexDeleter]] contract), so shipping it in the task closure is the
+    * broadcast-small-side economy, not a corpus-sized transfer. */
   def topK(spark: SparkSession, postings: DataFrame,
       weightedWords: DataFrame, span: Long,
       avgdl: Double, conf: EngineConf, k: Int,
-      numShardsOpt: Option[Int] = None): DataFrame = {
+      numShardsOpt: Option[Int] = None,
+      exclude: Array[Long] = Array.emptyLongArray): DataFrame = {
     import spark.implicits._
     if (span <= 0)
       return spark.emptyDataset[Cand].toDF()
@@ -64,7 +71,7 @@ object Wand {
     val cands = sharded.groupByKey(_.shard).flatMapGroups { (shard, rows) =>
       val lo = shard.toLong * width
       val hi = math.min(lo + width, span)
-      runShard(rows, lo, hi, k1, b, avgdl, k)
+      runShard(rows, lo, hi, k1, b, avgdl, k, exclude)
     }
 
     cands.toDF().orderBy($"score".desc, $"doc_id").limit(k)
@@ -169,7 +176,10 @@ object Wand {
   }
 
   private[graft] def runShard(rows: Iterator[ShardRow], lo: Long, hi: Long,
-      k1: Double, b: Double, avgdl: Double, k: Int): Iterator[Cand] = {
+      k1: Double, b: Double, avgdl: Double, k: Int,
+      exclude: Array[Long] = Array.emptyLongArray): Iterator[Cand] = {
+    @inline def isDeleted(d: Long): Boolean =
+      exclude.length > 0 && java.util.Arrays.binarySearch(exclude, d) >= 0
     // cursors: one per word, chaining its parts in doc order
     val byWord = mutable.LinkedHashMap.empty[String, (Double, mutable.ArrayBuffer[(Long, Array[Byte])])]
     rows.foreach { r =>
@@ -234,9 +244,13 @@ object Wand {
               val target = math.min(math.max(boundary + 1, pivotDoc + 1), nextCur)
               atPivot.foreach(_.advanceTo(target))
             } else {
-              var s = 0.0
-              atPivot.foreach { c => s += c.score }
-              offer(s, pivotDoc)
+              // a tombstoned pivot doc is skipped, never offered — live
+              // docs below the bound still advance normally
+              if (!isDeleted(pivotDoc)) {
+                var s = 0.0
+                atPivot.foreach { c => s += c.score }
+                offer(s, pivotDoc)
+              }
               atPivot.foreach(_.next())
             }
           } else {
