@@ -1120,6 +1120,30 @@ object EntryQueries {
     // BM25 over the slop-extended boolean language: the slop term is ONE
     // virtual BM25 term (tf = near-pair count, df = near hit count) and
     // composes with the word's term score under AND
+    // term boosting (the Lucene ^N syntax as the language's 4th virtual-
+    // term kind): "customer"^2 doubles that term's BM25 contribution,
+    // composed under the reference OR algebra; counts ignore boosts
+    "q_fts_boost_bm25" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d))
+        .searchBm25WithPhrases(docsCorpus(s, d),
+          """"customer"^2 OR "stream"""", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
+    // the Lucene posture stated as a gate: a boosted AND counts exactly
+    // like its unboosted form (boosts affect scoring only)
+    "q_fts_boost_count" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchCountWithPhrases(docsCorpus(s, d),
+          """"customer"^2 AND "filter"""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_fts_slop_bm25_bool" -> ((s, d) => {
       val res = searcher(s, indexDirFull(s, d))
         .searchBm25WithPhrases(docsCorpus(s, d),

@@ -867,7 +867,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * so a corpus word can never collide with one. */
   def searchCountWithPhrases(corpus: Dataset[Turn], query: String)
       : DataFrame = {
-    val (rewritten, phraseOf, fuzzyOf, slopOf) =
+    val (rewritten, phraseOf, fuzzyOf, slopOf, boostOf) =
       Searcher.rewriteExtended(query)
     val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
     if (!parsed.valid) return emptyResult("cnt")
@@ -875,15 +875,22 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     // indexes stay aligned with parsed.searchWords
     val lookupWords = parsed.searchWords.map { case (w, e) =>
       if (phraseOf.contains(w) || fuzzyOf.contains(w) ||
-        slopOf.contains(w)) ("", e) else (w, e) }
+        slopOf.contains(w) || boostOf.contains(w)) ("", e) else (w, e) }
     val mp = matchedPostings(matchedWords(lookupWords),
       coarsePred(lookupWords))
     val perTerm = mp.groupBy($"term_idx", $"doc_id")
       .agg(count(lit(1)).cast("double").as("v"))
     if (parsed.searchWords.isEmpty) return emptyResult("cnt")
     val cached = cacheSwap(perTerm)
-    val alg = new DfAlgebra(i => {
-      val (w, _) = parsed.searchWords(i)
+    // a standalone word's count frame (the boost branch cannot read the
+    // cached per-term frame — its inner word was masked from the lookup):
+    // same Q6 semantics as the main pipeline, one pruned scan
+    def plainCount(w: String, quoted: Boolean): DataFrame = {
+      val terms = Seq((w, quoted || conf.exactMatch))
+      matchedPostings(matchedWords(terms), coarsePred(terms))
+        .groupBy($"doc_id").agg(count(lit(1)).cast("double").as("v"))
+    }
+    def frameOf(w: String, fallback: => DataFrame): DataFrame =
       phraseOf.get(w) match {
         case Some(p) =>
           confirmCounts(corpus, GraftPhraseCount.foldWords(p),
@@ -909,12 +916,19 @@ final class Searcher(spark: SparkSession, store: IndexStore,
               slopCounts(corpus, p, d)
                 .map(_.select($"doc_id", $"cnt".cast("double").as("v")))
                 .getOrElse(new DfAlgebra(_ => null).empty)
-            case None => cached.filter($"term_idx" === i)
-              .select($"doc_id", $"v")
+            case None => boostOf.get(w) match {
+              case Some((iw, iq, _)) =>
+                // boosts affect SCORING only (the Lucene posture): the
+                // inner term — possibly itself a sentinel — counts
+                // exactly as if written unboosted
+                frameOf(iw, plainCount(iw, iq))
+              case None => fallback
+            }
           }
         }
       }
-    })
+    val alg = new DfAlgebra(i => frameOf(parsed.searchWords(i)._1,
+      cached.filter($"term_idx" === i).select($"doc_id", $"v")))
     val res = parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
     res.join(docs, Seq("doc_id"))
       .select($"conv_id", $"turn_idx", $"v".cast("long").as("cnt"))
@@ -933,21 +947,29 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * operator-wide convention; the candidate frame is dup-bounded). */
   def searchBm25WithPhrases(corpus: Dataset[Turn], query: String,
       k: Int): DataFrame = {
-    val (rewritten, phraseOf, fuzzyOf, slopOf) =
+    val (rewritten, phraseOf, fuzzyOf, slopOf, boostOf) =
       Searcher.rewriteExtended(query)
     val parsed = QueryParser.parse("(" + rewritten + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty)
       return emptyResult("score")
     val lookupWords = parsed.searchWords.map { case (w, e) =>
       if (phraseOf.contains(w) || fuzzyOf.contains(w) ||
-        slopOf.contains(w)) ("", e) else (w, e) }
+        slopOf.contains(w) || boostOf.contains(w)) ("", e) else (w, e) }
     val mp = matchedPostings(matchedWords(lookupWords),
       coarsePred(lookupWords))
     val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
     val cached = cacheSwap(perTerm)
-    val alg = new DfAlgebra(i => {
-      val (w, _) = parsed.searchWords(i)
+    // a standalone word's BM25 frame for the boost branch (its inner word
+    // is masked from the cached lookup) — same formula blocks as the main
+    // pipeline, so the scaled contribution cannot drift
+    def plainScore(w: String, quoted: Boolean): DataFrame = {
+      val terms = Seq((w, quoted || conf.exactMatch))
+      matchedPostings(matchedWords(terms), coarsePred(terms))
+        .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
+        .groupBy($"doc_id").agg(sum($"c").as("v"))
+    }
+    def scoreOf(w: String, fallback: => DataFrame): DataFrame =
       phraseOf.get(w) match {
         case Some(p) =>
           phraseCounts(corpus, p) match {
@@ -978,12 +1000,20 @@ final class Searcher(spark: SparkSession, store: IndexStore,
                 case Some(hits) =>
                   virtualTermScore(hits).select($"doc_id", $"v")
               }
-            case None => cached.filter($"term_idx" === i)
-              .select($"doc_id", $"v")
+            case None => boostOf.get(w) match {
+              case Some((iw, iq, b)) =>
+                // term^N: the inner term's contribution — possibly itself
+                // a phrase/slop/fuzzy sentinel, re-dispatched — scaled by
+                // the boost (ONE IEEE multiply, so oracles stay bit-exact)
+                scoreOf(iw, plainScore(iw, iq))
+                  .select($"doc_id", ($"v" * lit(b)).as("v"))
+              case None => fallback
+            }
           }
         }
       }
-    })
+    val alg = new DfAlgebra(i => scoreOf(parsed.searchWords(i)._1,
+      cached.filter($"term_idx" === i).select($"doc_id", $"v")))
     rankTopK(parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty), k)
   }
 
@@ -1020,17 +1050,84 @@ object Searcher {
   }
 
   /** Extended-query rewrite: `'...'~d` proximity phrases, `'...'` exact
-    * phrases, and `~word` fuzzy terms to reserved exact-quoted sentinels.
-    * Slop runs first (it claims only quoted segments with a `~digits`
-    * suffix), then plain phrases (so a `~` inside a quoted phrase is
-    * never rewritten — it stays phrase text), then fuzzy words. */
+    * phrases, `~word` fuzzy terms, and `term^N` boosts to reserved
+    * exact-quoted sentinels. Slop runs first (it claims only quoted
+    * segments with a `~digits` suffix), then plain phrases (so a `~`
+    * inside a quoted phrase is never rewritten — it stays phrase text),
+    * then fuzzy words, then boosts LAST — a boost's inner word may
+    * therefore itself be an earlier sentinel, which is how `'a b'~2^3`
+    * (boosted slop phrase) and `~word^2` (boosted fuzzy term) compose. */
   private[graft] def rewriteExtended(query: String)
       : (String, Map[String, String], Map[String, String],
-         Map[String, (String, Int)]) = {
+         Map[String, (String, Int)], Map[String, (String, Boolean, Double)]) = {
     val (q0, slopOf) = rewriteSlop(query)
     val (q1, phraseOf) = rewritePhrases(q0)
     val (q2, fuzzyOf) = rewriteFuzzy(q1)
-    (q2, phraseOf, fuzzyOf, slopOf)
+    val (q3, boostOf) = rewriteBoost(q2)
+    (q3, phraseOf, fuzzyOf, slopOf, boostOf)
+  }
+
+  /** Replace `word^N` / `"word"^N` boosted terms (the Lucene boost
+    * syntax; N = digits with an optional `.digits` tail) with reserved
+    * exact-quoted sentinels, returning sentinel → (inner word, was it
+    * quoted, boost). Runs LAST in [[rewriteExtended]], so the inner word
+    * may be a phrase/slop/fuzzy sentinel — evaluation re-dispatches it
+    * and multiplies. A `^` not immediately after a word or closing quote,
+    * or not immediately followed by a digit, passes through verbatim
+    * (CharFold folds it to a separator — the reference's meaning). */
+  private[graft] def rewriteBoost(query: String)
+      : (String, Map[String, (String, Boolean, Double)]) = {
+    if (query == null || !query.contains('^'))
+      return (query, Map.empty)
+    var base = "graftboostq"
+    while (query.contains(base)) base += "q"
+    val sb = new StringBuilder
+    val boosts =
+      scala.collection.mutable.Map.empty[String, (String, Boolean, Double)]
+    var i = 0
+    var n = 0
+    // digits (optionally .digits) starting at j; -1 when not a boost
+    def numEnd(j: Int): Int = {
+      if (j >= query.length || !query.charAt(j).isDigit) return -1
+      var k = j
+      while (k < query.length && query.charAt(k).isDigit) k += 1
+      if (k + 1 < query.length && query.charAt(k) == '.' &&
+          query.charAt(k + 1).isDigit) {
+        k += 1
+        while (k < query.length && query.charAt(k).isDigit) k += 1
+      }
+      k
+    }
+    def claim(word: String, quoted: Boolean, numFrom: Int, numTo: Int): Unit = {
+      val sentinel = base + alphaSuffix(n)
+      n += 1
+      boosts(sentinel) =
+        (word.toLowerCase, quoted, query.substring(numFrom, numTo).toDouble)
+      sb.append('"').append(sentinel).append('"')
+    }
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (c == '"') {
+        val end = query.indexOf('"', i + 1)
+        if (end < 0) { sb.append(query.substring(i)); i = query.length }
+        else {
+          val k = if (end + 1 < query.length && query.charAt(end + 1) == '^')
+            numEnd(end + 2) else -1
+          if (k > 0) { claim(query.substring(i + 1, end), quoted = true,
+            end + 2, k); i = k }
+          else { sb.append(query.substring(i, end + 1)); i = end + 1 }
+        }
+      } else if (c.isLetter) {
+        var j = i
+        while (j < query.length && query.charAt(j).isLetter) j += 1
+        val k = if (j < query.length && query.charAt(j) == '^')
+          numEnd(j + 1) else -1
+        if (k > 0) { claim(query.substring(i, j), quoted = false, j + 1, k)
+          i = k }
+        else { sb.append(query.substring(i, j)); i = j }
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, boosts.toMap)
   }
 
   /** Replace `'...'~d` proximity phrases (Lucene's slop syntax over this

@@ -163,10 +163,10 @@ class FuzzySearchSpec extends SparkTestBase {
     assert(m4.size == 2 && m4.values.toSet == Set("stram", "strap"))
     assert(m4.keys.toSeq.distinct.length == 2 && !rw4.contains("~"))
     // a tilde inside a quoted phrase survives the combined rewrite
-    val (rwe, pm, fm, sm) =
+    val (rwe, pm, fm, sm, bm) =
       Searcher.rewriteExtended("'alpha ~beta' AND ~stram")
     assert(pm.values.toSeq == Seq("alpha ~beta") && fm.values.toSeq ==
-      Seq("stram") && sm.isEmpty && !rwe.contains("~"))
+      Seq("stram") && sm.isEmpty && bm.isEmpty && !rwe.contains("~"))
   }
 
   private def key(t: Turn): DocKey = DocKey(t.conv_id, t.turn_idx)

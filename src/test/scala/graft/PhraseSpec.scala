@@ -497,11 +497,11 @@ class PhraseSpec extends SparkTestBase {
     val (_, mc) = Searcher.rewriteSlop("graftslopqa 'a b'~1")
     assert(mc.keys.head.startsWith("graftslopqq"))
     // all three extension kinds together
-    val (rwe, pm, fm, sm) =
+    val (rwe, pm, fm, sm, bm) =
       Searcher.rewriteExtended("'alpha bravo'~2 OR 'c d' OR ~wordz")
     assert(sm.values.toSeq == Seq(("alpha bravo", 2)) &&
       pm.values.toSeq == Seq("c d") && fm.values.toSeq == Seq("wordz") &&
-      !rwe.contains("'") && !rwe.contains("~"))
+      bm.isEmpty && !rwe.contains("'") && !rwe.contains("~"))
   }
 
   test("slop phrases compose in the boolean count algebra") {
