@@ -1120,6 +1120,32 @@ object EntryQueries {
     // BM25 over the slop-extended boolean language: the slop term is ONE
     // virtual BM25 term (tf = near-pair count, df = near hit count) and
     // composes with the word's term score under AND
+    // query-time synonym expansion (the Solr synonym-filter posture):
+    // "customer" also matches its synonyms stream/vector as exact terms —
+    // cnt per doc = distinct matched words of the group + the AND'd term
+    "q_fts_syn_count" -> ((s, d) => {
+      val syn = s.createDataFrame(Seq(
+        ("customer", "stream"), ("customer", "vector"))).toDF("term", "synonym")
+      searcher(s, indexDirFull(s, d))
+        .searchCountSynonyms(syn, """"customer" AND "filter"""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the scoring sibling with ONE synonym so the two-operand per-doc sum
+    // stays commutative and the oracle bit-exact
+    "q_fts_syn_bm25" -> ((s, d) => {
+      val syn = s.createDataFrame(Seq(("customer", "stream")))
+        .toDF("term", "synonym")
+      val res = searcher(s, indexDirFull(s, d))
+        .searchBm25Synonyms(syn, "\"customer\"", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
     // term boosting (the Lucene ^N syntax as the language's 4th virtual-
     // term kind): "customer"^2 doubles that term's BM25 contribution,
     // composed under the reference OR algebra; counts ignore boosts

@@ -299,7 +299,7 @@ object CheckIndexMain {
   * stand in for the positional index dir.
   *
   * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related|facets]
-  *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--exact] [--min-char=N] [--config=<file>]
+  *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
   *         needs --corpus=, --terms picks the tf-idf seed terms)
@@ -312,7 +312,21 @@ object SearchMain {
       k: Int, conf: EngineConf, logLevel: Option[String],
       corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
       terms: Int = 5, width: Int = 5, where: Option[String] = None,
-      ordered: Boolean = false, facet: Option[String] = None)
+      ordered: Boolean = false, facet: Option[String] = None,
+      syn: Option[String] = None)
+
+  /** `--syn=w:s1,s2;w2:s3` inline synonym spec → (term, synonym) pairs.
+    * Malformed segments (no colon, empty sides) are skipped — the
+    * engine's malformed-input tolerance posture. */
+  private[graft] def parseSynSpec(spec: String): Seq[(String, String)] =
+    spec.split(';').toSeq.flatMap { seg =>
+      seg.split(':') match {
+        case Array(w, ss) if w.trim.nonEmpty =>
+          ss.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(s => (w.trim.toLowerCase, s.toLowerCase))
+        case _ => Nil
+      }
+    }
 
   /** Pure arg + config resolution — testable without a SparkSession. */
   def resolve(args: Array[String]): Either[String, Resolved] = {
@@ -352,7 +366,9 @@ object SearchMain {
             s.stripPrefix("--where=") },
           ordered = args.contains("--ordered"),
           facet = args.collectFirst { case s if s.startsWith("--facet=") =>
-            s.stripPrefix("--facet=") }))
+            s.stripPrefix("--facet=") },
+          syn = args.collectFirst { case s if s.startsWith("--syn=") =>
+            s.stripPrefix("--syn=") }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
@@ -374,10 +390,16 @@ object SearchMain {
           .filterOrElse(r => r.where.isEmpty ||
               r.mode == "count" || r.mode == "bm25",
             "--where applies to --mode=count|bm25 only")
+          // same posture for --syn: silent non-expansion would be worse
+          // than a usage error (it reads as "the synonym has no hits")
+          .filterOrElse(r => r.syn.isEmpty ||
+              ((r.mode == "count" || r.mode == "bm25") && r.where.isEmpty),
+            "--syn applies to --mode=count|bm25 only (without --where)")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
         "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related|facets] " +
         "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
         "[--facet=<metadata column, --mode=facets>] " +
+        "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
         "[--where=<sqlPredicate over the corpus columns>] " +
         "[--exact] [--min-char=N] [--config=<file>] " +
         "[--corpus=<parquet|gen:N|fs:dir>]")
@@ -421,6 +443,10 @@ object SearchMain {
 
     def runOne(q: String): Unit = {
       val t0 = System.nanoTime()
+      lazy val synDf = {
+        import spark.implicits._
+        parseSynSpec(r.syn.get).toDF("term", "synonym")
+      }
       val rows = mode match {
         case "count" if r.where.nonEmpty =>
           searcher.searchCountWhere(phraseCorpus.toDF(), q,
@@ -428,6 +454,10 @@ object SearchMain {
         case "bm25" if r.where.nonEmpty =>
           searcher.searchBm25Where(phraseCorpus.toDF(), q,
             r.where.get, k).collect()
+        case "count" if r.syn.nonEmpty =>
+          searcher.searchCountSynonyms(synDf, q).collect()
+        case "bm25" if r.syn.nonEmpty =>
+          searcher.searchBm25Synonyms(synDf, q, k).collect()
         case "bm25" => searcher.searchBm25(q, k).collect()
         case "phrase" => searcher.searchPhrase(phraseCorpus, q).collect()
         case "phrase-bm25" =>

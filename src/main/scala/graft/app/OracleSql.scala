@@ -1022,6 +1022,42 @@ object OracleSql {
 
     "q_fts_bm25" -> bm25Sql(),
 
+    // synonym expansion: "customer" matches {customer, stream, vector}
+    // as one group — v = distinct matched group words per doc; AND'd
+    // "filter" adds its own 1
+    "q_fts_syn_count" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok),
+      grp AS (SELECT doc_id, count(*)::BIGINT AS v FROM has
+              WHERE term IN ('customer', 'stream', 'vector') GROUP BY 1)
+      SELECT g.doc_id, (g.v + 1)::BIGINT AS cnt
+      FROM grp g
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      ORDER BY doc_id""",
+
+    // synonym BM25: per doc the customer and stream contributions sum
+    // (at most two operands — commutative, bit-exact)
+    "q_fts_syn_bm25" -> s"""
+      WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE term IN ('customer', 'stream') GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+             WHERE term IN ('customer', 'stream') GROUP BY 1),
+      contrib AS (SELECT t.doc_id, t.term,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS c
+          FROM tf t JOIN df f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      sc AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+
     // term boosting: ("customer"^2 OR "stream") — the customer
     // contribution is ONE dictionary term scaled by one IEEE multiply;
     // OR adds at most two operands (commutative), so ranks are bit-exact

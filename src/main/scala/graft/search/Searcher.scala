@@ -563,6 +563,97 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .limit(k)
   }
 
+  // ---- synonym expansion (engine extension) --------------------------------
+
+  /** Synonyms of the query's words, collected from `syn` — a (term,
+    * synonym) frame, one-way Solr-style expansion (no transitive
+    * closure). The scan pushes an isin over the QUERY's words (a handful)
+    * and the collect is bounded by synonyms-per-word × query length —
+    * synonym dictionaries are vocabulary-bounded, never corpus-scale.
+    * Only feasible synonyms survive (pure a-z; anything else can never
+    * be a dictionary term). */
+  private def collectSynonyms(syn: DataFrame, words: Seq[String])
+      : Map[String, Seq[String]] = {
+    if (words.isEmpty) return Map.empty
+    try {
+      syn.select(lower($"term").as("t"), lower($"synonym").as("s"))
+        .filter($"t".isin(words.distinct: _*))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .filter { case (_, s) =>
+          s != null && s.nonEmpty && s.forall(c => c >= 'a' && c <= 'z') }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => Map.empty
+    }
+  }
+
+  /** Matched dictionary words of every search word WITH synonym
+    * expansion: the word keeps its own semantics (wildcard/exact, quirks
+    * included) and each synonym joins as an EXACT dictionary term under
+    * the same term_idx; duplicates collapse (a synonym also caught by
+    * the word's prefix counts once — the Q6 distinct-matched-words
+    * invariant). Returns (matched frame, coarse postings predicate) —
+    * letter pruning and pushed predicates survive expansion because
+    * synonyms are exact equality conditions. A word the dictionary
+    * lookup rejects (the min-length quirk) can still match through its
+    * synonyms — expansion rescues it, the standard synonym-filter
+    * behavior. */
+  private def synMatched(searchWords: Seq[(String, Boolean)],
+      synMap: Map[String, Seq[String]]): (DataFrame, Option[Column]) = {
+    val conds = searchWords.zipWithIndex.flatMap { case ((t, e), i) =>
+      (matchCond(t, e).toSeq ++
+        synMap.getOrElse(t, Nil).flatMap(s => matchCond(s, isExact = true)))
+        .map(c => (i, c))
+    }
+    val branches = conds.map { case (i, c) => dict.filter(c)
+      .select(lit(i).as("term_idx"), $"term".as("word"), $"df") }
+    val matched =
+      if (branches.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(0).as("term_idx"), lit("").as("word"), lit(0L).as("df"))
+          .limit(0)
+      else branches.reduce(_ unionByName _)
+        .dropDuplicates("term_idx", "word")
+    val coarse =
+      if (conds.isEmpty) None else Some(conds.map(_._2).reduce(_ || _))
+    (matched, coarse)
+  }
+
+  /** Count-parity search with query-time synonym expansion: each query
+    * word also matches its synonyms from `syn` as exact terms, counts
+    * follow Q6 (distinct matched dictionary words per doc per search
+    * word), boolean structure untouched. */
+  def searchCountSynonyms(syn: DataFrame, query: String): DataFrame = {
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid) return emptyResult("cnt")
+    val synMap = collectSynonyms(syn, parsed.searchWords.map(_._1))
+    val (matched, coarse) = synMatched(parsed.searchWords, synMap)
+    val perTerm = matchedPostings(matched, coarse)
+      .groupBy($"term_idx", $"doc_id")
+      .agg(count(lit(1)).cast("double").as("v"))
+    val res = evalQuery(query, perTerm)
+    res.join(docs, Seq("doc_id"))
+      .select($"conv_id", $"turn_idx", $"v".cast("long").as("cnt"))
+      .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
+  }
+
+  /** BM25 sibling of [[searchCountSynonyms]]: every matched word —
+    * original or synonym — contributes its idf·tfnorm term score,
+    * summed per search word (the wildcard-expansion scoring shape),
+    * composed under the boolean algebra on the DataFrame path. */
+  def searchBm25Synonyms(syn: DataFrame, query: String, k: Int): DataFrame = {
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid || parsed.searchWords.isEmpty)
+      return emptyResult("score")
+    val synMap = collectSynonyms(syn, parsed.searchWords.map(_._1))
+    val (matched, coarse) = synMatched(parsed.searchWords, synMap)
+    val perTerm = matchedPostings(matched, coarse)
+      .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
+      .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
+    rankTopK(evalQuery(query, perTerm), k)
+  }
+
   // ---- related terms (query expansion, engine extension) --------------------
 
   /** Top-k terms co-occurring with an exact seed word ("related
