@@ -1199,6 +1199,13 @@ object EntryQueries {
         .select(col("term"), col("df"))
     }),
 
+    // "did you mean": dictionary words exactly one edit from the typo,
+    // ranked by corpus frequency (the Lucene spellchecker shape)
+    "q_fts_spell" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d)).didYouMean("custmer", k = 5)
+        .select(col("term"), col("df"))
+    }),
+
     // regex term search: docs containing any dictionary word matching the
     // pattern (vocabulary-sized dict scan — the documented no-prefix
     // posture), cnt = distinct matched words per doc

@@ -298,7 +298,7 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related|facets]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets]
   *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -396,7 +396,7 @@ object SearchMain {
               ((r.mode == "count" || r.mode == "bm25") && r.where.isEmpty),
             "--syn applies to --mode=count|bm25 only (without --where)")
       case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|regex|related|facets] " +
+        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets] " +
         "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
         "[--facet=<metadata column, --mode=facets>] " +
         "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
@@ -481,6 +481,12 @@ object SearchMain {
         case "suggest" =>
           // (term, "df", df): reuse the a:b -> v result printer
           searcher.suggest(q, k)
+            .select(org.apache.spark.sql.functions.col("term"),
+              org.apache.spark.sql.functions.lit("df"),
+              org.apache.spark.sql.functions.col("df")).collect()
+        case "spell" =>
+          // "did you mean": (term, "df", df) via the a:b -> v printer
+          searcher.didYouMean(q, k)
             .select(org.apache.spark.sql.functions.col("term"),
               org.apache.spark.sql.functions.lit("df"),
               org.apache.spark.sql.functions.col("df")).collect()

@@ -1167,6 +1167,17 @@ object OracleSql {
       SELECT term, df FROM d WHERE term LIKE 's%'
       ORDER BY df DESC, term LIMIT 5""",
 
+    // "did you mean": the oracle states the semantics directly —
+    // dictionary words at levenshtein distance EXACTLY 1 (the generated
+    // neighborhood probe must be extensionally identical; distance 0 =
+    // the input itself is excluded), df-ranked
+    "q_fts_spell" -> s"""
+      WITH $FtsTok,
+      d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+            GROUP BY 1)
+      SELECT term, df FROM d WHERE levenshtein(term, 'custmer') = 1
+      ORDER BY df DESC, term LIMIT 5""",
+
     "q_fts_regex" -> s"""
       WITH $FtsTok,
       has AS (SELECT DISTINCT doc_id, term FROM tok)

@@ -915,6 +915,27 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .orderBy($"df".desc, $"term").limit(k)
   }
 
+  /** "Did you mean" spell suggestion (the Lucene spellchecker shape):
+    * top-k dictionary words EXACTLY one edit from `word`, ranked by
+    * (df desc, term asc) — corpus frequency is the suggestion signal.
+    * The word itself is excluded (suggesting the input back is noise);
+    * the probe is the same bounded generated neighborhood as
+    * [[searchFuzzy]] (≤ 52n+27 exact keys, letter-pruned pushed isin —
+    * corpus-size-independent). */
+  def didYouMean(word: String, k: Int = 5): DataFrame = {
+    val empty = emptyDf(
+      "term" -> org.apache.spark.sql.types.StringType,
+      "df" -> org.apache.spark.sql.types.LongType)
+    if (k < 1) return empty
+    fuzzyMatched(word, maxEdits = 1) match {
+      case None => empty
+      case Some((matched, _)) =>
+        matched.filter($"word" =!= word)
+          .select($"word".as("term"), $"df")
+          .orderBy($"df".desc, $"term").limit(k)
+    }
+  }
+
   /** BM25-scored fuzzy search: every matched dictionary word scores as an
     * independent OR'd term (weight = idf — the [[searchBm25]] pure-OR
     * shape), evaluated by the same distributed block-max WAND. */

@@ -131,6 +131,35 @@ class FuzzySearchSpec extends SparkTestBase {
     assert(searcher.suggest("str", 0).isEmpty)
   }
 
+  test("didYouMean: df-ranked 1-edit dictionary neighbors, self excluded") {
+    val df = corpus.flatMap(t => Tokenizer.tokens(t.text).distinct
+        .map(tok => (tok, (t.conv_id, t.turn_idx))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    // independent edit-distance truth (not the engine's neighborhood)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def lev1(a: String, b: String): Boolean = lev(a, b) == 1
+    for (w <- Seq("stram", "stream", "strap")) {
+      val exp = df.filter { case (t, _) => lev1(w, t) }.toSeq
+        .sortBy { case (t, d) => (-d, t) }.take(5)
+      val got = searcher.didYouMean(w, 5).collect()
+        .map { case Row(t: String, d: Long) => (t, d) }.toSeq
+      assert(got == exp, s"word=$w")
+    }
+    // a word present in the dictionary never suggests itself
+    assert(!searcher.didYouMean("stream", 5).collect()
+      .map(_.getString(0)).contains("stream"))
+    assert(searcher.didYouMean("", 5).isEmpty)
+    assert(searcher.didYouMean("stram", 0).isEmpty)
+    assert(searcher.didYouMean("St4am", 5).isEmpty)
+  }
+
   test("searchFuzzyBm25 equals the exact OR query of the matched words") {
     // 'stram' fuzzy-matches exactly {stream, strap}: scoring through the
     // fuzzy WAND path must be row-identical (scores included) to the
