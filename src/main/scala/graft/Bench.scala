@@ -609,6 +609,43 @@ object Bench {
       IndexBuilder.deleteRecursive(java.nio.file.Paths.get(root))
       (sec, (r, er))
     }
+    // -- tombstone economy: delete ~1% of a fresh index's docs, then
+    // measure the tombstone-commit wall (Θ(deletes) by design — the
+    // index tables ride by reference), the masked-search overhead vs the
+    // clean index (one broadcast anti-join + the WAND skip list), and
+    // the compaction purge wall (Θ(index), the scheduled job). Own temp
+    // root: the shared catalog indexes must stay undeleted.
+    val tombstoneJson = {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-del")
+        .toString
+      val corpus = EntryQueries.docsCorpus(spark, sfDir)
+      IndexBuilder.build(spark, corpus, root)
+      def searchSec(): Double = {
+        val s = new Searcher(spark, new IndexStore(root))
+        val secs = (1 to 3).map { _ =>
+          timed(s.searchBm25("customer stream window", 10).count())._2 }
+        s.close()
+        secs.sorted.apply(1)
+      }
+      val cleanSec = searchSec()
+      val keys = corpus.toDF().select($"conv_id").distinct()
+        .orderBy($"conv_id")
+        .limit(math.max(1, (new IndexStore(root).currentMeta.numDocs
+          / 100).toInt))
+      val ((_, nDel), delSec) =
+        timed(graft.index.IndexDeleter.delete(spark, root, keys))
+      val maskedSec = searchSec()
+      val (_, purgeSec) = timed(graft.index.Compactor.compact(spark, root))
+      val purgedSec = searchSec()
+      IndexBuilder.deleteRecursive(java.nio.file.Paths.get(root))
+      f"""{"n_deleted":$nDel,"delete_sec":$delSec%.3f,""" +
+        f""""search_clean_sec":$cleanSec%.4f,""" +
+        f""""search_masked_sec":$maskedSec%.4f,""" +
+        f""""purge_sec":$purgeSec%.3f,"search_purged_sec":$purgedSec%.4f}"""
+    }
+    System.err.println(s"[bench] tombstone: $tombstoneJson")
+
     val times = mutable.LinkedHashMap.empty[String, Double]
     EntryQueries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (_, sec) = timed {
@@ -724,6 +761,7 @@ object Bench {
       s""""queries_per_sec":$qpsJson,""" +
       f""""fts_build_sec":$ftsBuildSec%.3f,"fts_merge_sec":$mergeSec%.3f,""" +
       f""""fts_merge_delta_postings_ratio":${deltaRatio._2}%.4f,""" +
+      s""""tombstone":$tombstoneJson,""" +
       s""""dedup_scale":$dedupScaleSummary,""" +
       scaleSummaries + "}"
     println(

@@ -16,7 +16,9 @@ object ExplainMain {
         "q_join_agg", "q_fts_dict", "q_fts_search_count", "q_sim_ann_brute",
         "q_dedup_minhash", "q_dedup_spans", "q_dedup_spans_inc",
         "q_dedup_survivors", "q_text_perplexity", "q_fts_fuzzy",
-        "q_fts_snippet", "q_fts_mlt", "q_sim_ann_pq", "q_fts_slop_bool")
+        "q_fts_snippet", "q_fts_mlt", "q_sim_ann_pq", "q_fts_slop_bool",
+        "q_fts_facets", "q_fts_del_count", "q_fts_del_bm25",
+        "q_fts_boost_bm25", "q_fts_syn_count", "q_fts_spell")
     val spark = Mains.session("graft-explain")
     names.foreach { n =>
       EntryQueries.all.get(n) match {

@@ -134,6 +134,43 @@ class PlanSpec extends SparkTestBase {
     searcher.close()
   }
 
+  test("synonym expansion keeps letter pruning and pushes exact synonyms") {
+    import spark.implicits._
+    val searcher = new Searcher(spark, new IndexStore(indexDir), conf)
+    val syn = Seq(("which", "would"), ("which", "there"))
+      .toDF("term", "synonym")
+    val plan = formatted(searcher.searchCountSynonyms(syn, "\"which\""))
+    // the word and each synonym arrive as pushed exact equalities on the
+    // letter-pruned dict scan — expansion must not degrade to a full scan
+    for (w <- Seq("which", "would", "there"))
+      assert(plan.contains(s"EqualTo(term,$w)"), s"missing $w:\n$plan")
+    assert(plan.contains("letter"), plan)
+    searcher.close()
+  }
+
+  test("tombstone masking: broadcast anti-join only when tombstones exist") {
+    import spark.implicits._
+    // the shared (tombstone-free) index: NO anti-join in the count plan —
+    // zero-delete indexes keep their plans byte-identical
+    val clean = new Searcher(spark, new IndexStore(indexDir), conf)
+    val cleanPlan = formatted(clean.searchCount("which"))
+    assert(!cleanPlan.contains("LeftAnti"), cleanPlan)
+    clean.close()
+    // a tombstoned copy: the doc-key resolution carries ONE broadcast
+    // anti-join against the (tiny) tombstone table; the postings-side
+    // pushed predicates survive untouched
+    val dir = tmpDir("graft-plan-del")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, 20, partitions = 4), dir, conf)
+    graft.index.IndexDeleter.delete(spark, dir,
+      Seq(TranscriptGen.convId(0L)).toDF("conv_id"))
+    val del = new Searcher(spark, new IndexStore(dir), conf)
+    val plan = formatted(del.searchCount("which"))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("StringStartsWith(term,which)"), plan)
+    del.close()
+  }
+
   test("shingle generation is map-side: zero exchanges before the join") {
     // r3 rewrote shingles from posexplode + per-doc window + post-explode
     // distinct (two shuffles) to a sliding array transform with
