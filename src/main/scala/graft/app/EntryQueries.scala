@@ -125,6 +125,16 @@ object EntryQueries {
       _ => new Searcher(spark, store))
   }
 
+  // point-in-time searchers live in their own cache: a pinned snapshot is
+  // immutable, so entries never need the current-version eviction above
+  // (which would close a pinned searcher on every current-version fetch)
+  private val asOfSearcherCache =
+    new ConcurrentHashMap[(String, Int), Searcher]()
+  private def searcherAt(spark: SparkSession, indexDir: String,
+      v: Int): Searcher =
+    asOfSearcherCache.computeIfAbsent((indexDir, v),
+      _ => new Searcher(spark, new IndexStore(indexDir), asOf = Some(v)))
+
   /** engine conv_id (zero-padded) back to the documents doc_id. */
   private def asDocId(c: org.apache.spark.sql.Column) =
     c.cast("long").as("doc_id")
@@ -914,6 +924,30 @@ object EntryQueries {
         .searchCount(""""customer" AND "filter" NOT "vector"""")
         .select(asDocId(col("conv_id")), col("cnt"))
         .orderBy(col("doc_id"))
+    }),
+
+    // point-in-time search (the Iceberg VERSION AS OF / Elasticsearch PIT
+    // posture): the merged index pinned to its FIRST snapshot answers as
+    // if the second batch was never indexed — hits restricted to the
+    // first-half corpus, per-doc counts unchanged
+    "q_fts_asof_count" -> ((s, d) => {
+      searcherAt(s, indexDirMerged(s, d), v = 1)
+        .searchCount(""""customer" AND "filter" NOT "vector"""")
+        .select(asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // point-in-time BM25: the pinned snapshot's COLLECTION STATS are the
+    // first build's (numDocs/avgdl/df over the first half only) — the
+    // oracle recomputes every statistic over that half, nothing stale
+    "q_fts_asof_bm25" -> ((s, d) => {
+      val res = searcherAt(s, indexDirMerged(s, d), v = 1)
+        .searchBm25("customer stream window", k = 20)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
     }),
 
     "q_fts_bm25_bool" -> ((s, d) => {

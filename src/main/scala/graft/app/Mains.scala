@@ -298,8 +298,11 @@ object CheckIndexMain {
   * (CLI flags override, reference Config.cpp:94-97), and `index_path` can
   * stand in for the positional index dir.
   *
+  * `--as-of=V` pins every query to committed snapshot version V —
+  * point-in-time search over the LSM store (see [[Searcher]]).
+  *
   * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets]
-  *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--exact] [--min-char=N] [--config=<file>]
+  *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--as-of=V] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
   *         needs --corpus=, --terms picks the tf-idf seed terms)
@@ -313,7 +316,7 @@ object SearchMain {
       corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
       terms: Int = 5, width: Int = 5, where: Option[String] = None,
       ordered: Boolean = false, facet: Option[String] = None,
-      syn: Option[String] = None)
+      syn: Option[String] = None, asOf: Option[Int] = None)
 
   /** `--syn=w:s1,s2;w2:s3` inline synonym spec → (term, synonym) pairs.
     * Malformed segments (no colon, empty sides) are skipped — the
@@ -329,7 +332,13 @@ object SearchMain {
     }
 
   /** Pure arg + config resolution — testable without a SparkSession. */
-  def resolve(args: Array[String]): Either[String, Resolved] = {
+  def resolve(args: Array[String]): Either[String, Resolved] =
+    // a non-numeric value in any numeric flag (--k=abc, --as-of=x) is a
+    // usage error, not a stack trace (the PipelineMain hygiene posture)
+    try resolveParsed(args)
+    catch { case _: NumberFormatException => Left(Usage) }
+
+  private def resolveParsed(args: Array[String]): Either[String, Resolved] = {
     val cfg = ConfigFile.fromArgs(args)
     val pos = args.filterNot(_.startsWith("--"))
     val (indexDirOpt, queryOpt) = pos.toSeq match {
@@ -368,7 +377,9 @@ object SearchMain {
           facet = args.collectFirst { case s if s.startsWith("--facet=") =>
             s.stripPrefix("--facet=") },
           syn = args.collectFirst { case s if s.startsWith("--syn=") =>
-            s.stripPrefix("--syn=") }))
+            s.stripPrefix("--syn=") },
+          asOf = args.collectFirst { case s if s.startsWith("--as-of=") =>
+            s.stripPrefix("--as-of=").stripPrefix("v").toInt }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
@@ -395,16 +406,19 @@ object SearchMain {
           .filterOrElse(r => r.syn.isEmpty ||
               ((r.mode == "count" || r.mode == "bm25") && r.where.isEmpty),
             "--syn applies to --mode=count|bm25 only (without --where)")
-      case _ => Left("usage: SearchMain <indexDir> <query|-i> " +
-        "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets] " +
-        "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
-        "[--facet=<metadata column, --mode=facets>] " +
-        "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
-        "[--where=<sqlPredicate over the corpus columns>] " +
-        "[--exact] [--min-char=N] [--config=<file>] " +
-        "[--corpus=<parquet|gen:N|fs:dir>]")
+      case _ => Left(Usage)
     }
   }
+
+  private val Usage: String = "usage: SearchMain <indexDir> <query|-i> " +
+    "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets] " +
+    "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
+    "[--facet=<metadata column, --mode=facets>] " +
+    "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
+    "[--where=<sqlPredicate over the corpus columns>] " +
+    "[--as-of=<snapshot version: point-in-time search>] " +
+    "[--exact] [--min-char=N] [--config=<file>] " +
+    "[--corpus=<parquet|gen:N|fs:dir>]"
 
   def main(args: Array[String]): Unit = {
     val r = resolve(args) match {
@@ -423,7 +437,13 @@ object SearchMain {
       System.err.println(s"no index snapshot at $indexDir")
       spark.stop(); sys.exit(1)
     }
-    val searcher = new Searcher(spark, store, conf)
+    val searcher =
+      try new Searcher(spark, store, conf, asOf = r.asOf)
+      catch { // out-of-range / gc'ed --as-of version: clean exit, no trace
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage)
+          spark.stop(); sys.exit(1); return
+      }
 
     // phrase modes confirm adjacency against the corpus text (the index is
     // positionless); resolve it once, lazily, so count/bm25 never pay it

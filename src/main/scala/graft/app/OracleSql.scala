@@ -1452,6 +1452,24 @@ object OracleSql {
       FROM (SELECT doc_id FROM has WHERE term = 'customer') a
       JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
       WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // point-in-time count: the merged index pinned to v1 indexes ONLY the
+    // first-half batch (doc_id <= max/2, the indexDirMerged split) — same
+    // count semantics, hit set restricted to that half
+    "q_fts_asof_count" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT a.doc_id, 2::BIGINT AS cnt
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+        AND a.doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+      ORDER BY doc_id""",
+
+    // point-in-time BM25: every statistic (numDocs, avgdl, df, tf) is the
+    // v1 snapshot's — i.e. computed over the first-half corpus only
+    "q_fts_asof_bm25" -> bm25Sql(
+      corpusPred = "doc_id <= (SELECT max(doc_id) // 2 FROM documents)")
   )
 }

@@ -14,19 +14,48 @@ import graft.tokenize.GraftPhraseCount
   * lookup with letter-partition pruning + parquet min/max file skipping (the
   * words_f jump-table analog) → postings join → explode/decode → per-term
   * doc aggregation → boolean evaluation as joins → ranked output.
+  *
+  * `asOf` pins the searcher to an OLDER committed snapshot version —
+  * point-in-time search over the LSM store (the Elasticsearch PIT /
+  * Iceberg `VERSION AS OF` posture, free by construction here: snapshots
+  * are immutable and a merge chain keeps its ancestors' table dirs live).
+  * Every query then answers exactly as the index did at that commit:
+  * tables, collection stats, AND the tombstone set are all the pinned
+  * version's (a delete committed later is invisible; one committed before
+  * masks as it did then). Constraints: the version must still be on disk
+  * ([[IndexStore.gc]] reclaims snapshots the CURRENT chain no longer
+  * references — pin-then-gc is the caller's hazard, as with Iceberg
+  * snapshot expiration) and must be ≤ CURRENT (newer dirs are uncommitted
+  * staging builds, not readable snapshots).
   */
 final class Searcher(spark: SparkSession, store: IndexStore,
-    conf: EngineConf = EngineConf.default) {
+    conf: EngineConf = EngineConf.default, asOf: Option[Int] = None) {
   import spark.implicits._
 
-  val meta: IndexMeta = store.currentMeta
+  /** The snapshot version every read below binds to. */
+  val version: Int = {
+    val cur = store.currentVersion.getOrElse(
+      throw new IllegalArgumentException(s"no index snapshot at ${store.root}"))
+    asOf match {
+      case None => cur
+      case Some(v) =>
+        require(v >= 1 && v <= cur,
+          s"as-of version v$v out of range (committed snapshots: v1..v$cur)")
+        require(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(store.snapshotDir(v), "meta.json")),
+          s"as-of version v$v was garbage-collected from ${store.root}")
+        v
+    }
+  }
+
+  val meta: IndexMeta = store.meta(version)
 
   // lazy vals: the layered-snapshot readers (parquet listing + schema +
   // layer masking plan) are built once per Searcher and reused across
   // queries — the long-lived-searcher/REPL reuse pattern
-  private lazy val dict: DataFrame = store.dict(spark)
-  private lazy val postings: DataFrame = store.postings(spark)
-  private lazy val docStats: DataFrame = store.docStats(spark)
+  private lazy val dict: DataFrame = store.dictAt(spark, version)
+  private lazy val postings: DataFrame = store.postingsAt(spark, version)
+  private lazy val docStats: DataFrame = store.docStatsAt(spark, version)
 
   // tombstone masking (the Lucene live-docs contract, [[graft.index
   // .IndexDeleter]]): deleted docs stop matching IMMEDIATELY — the doc-key
@@ -35,7 +64,8 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   // collection statistics (meta.numDocs/avgdl, per-term df) stay as-of the
   // snapshot until compaction purges. An index with no tombstones keeps
   // every plan byte-identical (None short-circuits all three).
-  private lazy val deletedIds: Option[DataFrame] = store.deletedIds(spark)
+  private lazy val deletedIds: Option[DataFrame] =
+    store.deletedIdsAt(spark, version)
 
   /** Tombstones as a sorted array for WAND's per-shard skip check —
     * bounded by deletes-since-compaction, collected once per Searcher. */
@@ -45,7 +75,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   }
 
   private lazy val docs: DataFrame = {
-    val base = store.docs(spark)
+    val base = store.docsAt(spark, version)
     deletedIds match {
       case None => base
       case Some(del) => base.join(broadcast(del), Seq("doc_id"), "left_anti")
