@@ -700,6 +700,27 @@ object Bench {
     }
     val p50Hot = latH.sorted.apply(latH.length / 2)
 
+    // -- batch-execution economy: the same 8 boolean count queries run
+    // sequentially (8 index passes, 8 actions) vs as ONE searchCountBatch
+    // (shared dict scan + shared postings decode, one action) — the
+    // amortization number behind the batch API's 100-TB claim
+    val batchJson = {
+      val batchQueries = Seq(
+        "(customer AND window)", "(stream NOT vector)", "(filter OR sort)",
+        "(table AND batch)", "(query OR merge)", "(group AND hash)",
+        "(slow OR window)", "(vector AND stream)")
+      def seqSec(): Double = timed(batchQueries.foreach(q =>
+        searcher.searchCount(q).count()))._2
+      def batchSec(): Double =
+        timed(searcher.searchCountBatch(batchQueries).count())._2
+      seqSec(); batchSec() // warm both paths
+      val s3 = Seq.fill(3)(seqSec()).sorted.apply(1)
+      val b3 = Seq.fill(3)(batchSec()).sorted.apply(1)
+      f"""{"n_queries":${batchQueries.length},"sequential_sec":$s3%.3f,""" +
+        f""""batch_sec":$b3%.3f,"speedup":${s3 / b3}%.2f}"""
+    }
+    System.err.println(s"[bench] batch economy: $batchJson")
+
     // -- concurrent-query throughput: N client threads firing the query
     // set against the ONE warmed searcher for a fixed window — the
     // service-shape metric (a search service cares about q/s under
@@ -762,6 +783,7 @@ object Bench {
       f""""fts_build_sec":$ftsBuildSec%.3f,"fts_merge_sec":$mergeSec%.3f,""" +
       f""""fts_merge_delta_postings_ratio":${deltaRatio._2}%.4f,""" +
       s""""tombstone":$tombstoneJson,""" +
+      s""""batch":$batchJson,""" +
       s""""dedup_scale":$dedupScaleSummary,""" +
       scaleSummaries + "}"
     println(

@@ -926,6 +926,51 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // keyset pagination: page 2 of the BM25 ranking via the previous
+    // page's last doc key (search_after — no OFFSET materialization);
+    // page 1's 10 rows are the only driver-side state
+    "q_fts_page2" -> ((s, d) => {
+      val sr = searcher(s, indexDirFull(s, d))
+      val q = "customer stream window"
+      val last = sr.searchBm25Page(q, 10).collect().last
+      val res = sr.searchBm25Page(q, 10,
+        Some((last.getString(0), last.getInt(1))))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      res.select(asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", (row_number().over(w) + 10).cast("long"))
+        .select(col("rnk"), col("doc_id"))
+        .orderBy(col("rnk"))
+    }),
+
+    // batch execution: three boolean queries answered in ONE index pass
+    // (shared dict scan, shared postings decode) — per-query results must
+    // equal the individual runs exactly
+    "q_fts_batch_count" -> ((s, d) => {
+      searcher(s, indexDirFull(s, d))
+        .searchCountBatch(Seq(
+          """"customer" AND "filter" NOT "vector"""",
+          """"stream"""",
+          """("window" OR "batch")"""))
+        .select(col("query_id"), asDocId(col("conv_id")), col("cnt"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // BM25 batch: three boolean-shaped rankings from ONE shared per-term
+    // frame; every query is at-most-two-operand (IEEE-commutative sums),
+    // so ranks mirror the oracle bit-for-bit
+    "q_fts_batch_bm25" -> ((s, d) => {
+      val res = searcher(s, indexDirFull(s, d)).searchBm25Batch(Seq(
+        """"customer" AND "filter"""",
+        """("window" OR "batch")""",
+        """"stream" NOT "vector""""), k = 20)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      res.select(col("query_id"), asDocId(col("conv_id")), col("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // point-in-time search (the Iceberg VERSION AS OF / Elasticsearch PIT
     // posture): the merged index pinned to its FIRST snapshot answers as
     // if the second batch was never indexed — hits restricted to the

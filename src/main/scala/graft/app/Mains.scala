@@ -301,7 +301,7 @@ object CheckIndexMain {
   * `--as-of=V` pins every query to committed snapshot version V —
   * point-in-time search over the LSM store (see [[Searcher]]).
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets]
   *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--as-of=V] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -316,7 +316,8 @@ object SearchMain {
       corpus: Option[String] = None, dist: Int = 3, edits: Int = 1,
       terms: Int = 5, width: Int = 5, where: Option[String] = None,
       ordered: Boolean = false, facet: Option[String] = None,
-      syn: Option[String] = None, asOf: Option[Int] = None)
+      syn: Option[String] = None, asOf: Option[Int] = None,
+      after: Option[(String, Int)] = None)
 
   /** `--syn=w:s1,s2;w2:s3` inline synonym spec → (term, synonym) pairs.
     * Malformed segments (no colon, empty sides) are skipped — the
@@ -379,7 +380,13 @@ object SearchMain {
           syn = args.collectFirst { case s if s.startsWith("--syn=") =>
             s.stripPrefix("--syn=") },
           asOf = args.collectFirst { case s if s.startsWith("--as-of=") =>
-            s.stripPrefix("--as-of=").stripPrefix("v").toInt }))
+            s.stripPrefix("--as-of=").stripPrefix("v").toInt },
+          after = args.collectFirst { case s if s.startsWith("--after=") =>
+            s.stripPrefix("--after=").split(',') match {
+              case Array(c, t) => (c, t.toInt)
+              case Array(c) => (c, 0)
+              case _ => throw new NumberFormatException("--after")
+            } }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
@@ -406,17 +413,23 @@ object SearchMain {
           .filterOrElse(r => r.syn.isEmpty ||
               ((r.mode == "count" || r.mode == "bm25") && r.where.isEmpty),
             "--syn applies to --mode=count|bm25 only (without --where)")
+          // --after pages the plain BM25 ranking only — silently ignoring
+          // it on other modes would read as a broken cursor
+          .filterOrElse(r => r.after.isEmpty || (r.mode == "bm25" &&
+              r.where.isEmpty && r.syn.isEmpty),
+            "--after applies to plain --mode=bm25 only")
       case _ => Left(Usage)
     }
   }
 
   private val Usage: String = "usage: SearchMain <indexDir> <query|-i> " +
-    "[--mode=count|countp|bm25|bm25p|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets] " +
+    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets] " +
     "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
     "[--facet=<metadata column, --mode=facets>] " +
     "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
     "[--where=<sqlPredicate over the corpus columns>] " +
     "[--as-of=<snapshot version: point-in-time search>] " +
+    "[--after=<conv[,turn] — keyset pagination cursor, --mode=bm25>] " +
     "[--exact] [--min-char=N] [--config=<file>] " +
     "[--corpus=<parquet|gen:N|fs:dir>]"
 
@@ -478,6 +491,8 @@ object SearchMain {
           searcher.searchCountSynonyms(synDf, q).collect()
         case "bm25" if r.syn.nonEmpty =>
           searcher.searchBm25Synonyms(synDf, q, k).collect()
+        case "bm25" if r.after.nonEmpty =>
+          searcher.searchBm25Page(q, k, r.after).collect()
         case "bm25" => searcher.searchBm25(q, k).collect()
         case "phrase" => searcher.searchPhrase(phraseCorpus, q).collect()
         case "phrase-bm25" =>
@@ -510,6 +525,14 @@ object SearchMain {
             .select(org.apache.spark.sql.functions.col("term"),
               org.apache.spark.sql.functions.lit("df"),
               org.apache.spark.sql.functions.col("df")).collect()
+        case "batch" =>
+          // query = "q1;q2;…": N queries, ONE index pass; rows print as
+          // <query_id>#<conv_id>:<turn> -> cnt via the a:b -> v printer
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          searcher.searchCountBatch(
+              q.split(';').toSeq.map(_.trim).filter(_.nonEmpty))
+            .select(concat(col("query_id"), lit("#"), col("conv_id")),
+              col("turn_idx"), col("cnt")).collect()
         case "regex" => searcher.searchRegex(q).collect()
         case "related" =>
           // (term, co_df, pmi): the a:b -> v printer fits

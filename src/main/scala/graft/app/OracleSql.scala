@@ -1454,6 +1454,69 @@ object OracleSql {
       WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
       ORDER BY doc_id""",
 
+    // keyset pagination: page 2 == ranks 11..20 of the same ranking
+    "q_fts_page2" -> s"""
+      SELECT rnk, doc_id FROM (${bm25Sql()}) sub
+      WHERE rnk > 10 ORDER BY rnk""",
+
+    // batch execution: each query_id's rows are exactly that query's
+    // individual count semantics (AND sums matched-word counts, exact OR
+    // counts the present group members, NOT erases)
+    "q_fts_batch_count" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT 0 AS query_id, a.doc_id, 2::BIGINT AS cnt
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+      UNION ALL
+      SELECT 1 AS query_id, doc_id, 1::BIGINT AS cnt
+      FROM has WHERE term = 'stream'
+      UNION ALL
+      SELECT 2 AS query_id, doc_id, count(*)::BIGINT AS cnt
+      FROM has WHERE term IN ('window', 'batch') GROUP BY doc_id
+      ORDER BY query_id, doc_id""",
+
+    // BM25 batch: per-query rankings over shared per-term contributions;
+    // AND adds two operands, OR sums at most two (commutative), NOT
+    // erases — ranks bit-exact
+    "q_fts_batch_bm25" -> s"""
+      WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE term IN ('customer','filter','window','batch','stream','vector')
+             GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+             WHERE term IN ('customer','filter','window','batch','stream','vector')
+             GROUP BY 1),
+      contrib AS (SELECT t.doc_id, t.term,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) *
+            ((t.tf * (1.2 + 1.0)) /
+             (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl)))) AS c
+          FROM tf t JOIN df f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      q0 AS (SELECT 0 AS query_id, a.doc_id, a.c + b.c AS score
+             FROM (SELECT doc_id, c FROM contrib WHERE term = 'customer') a
+             JOIN (SELECT doc_id, c FROM contrib WHERE term = 'filter') b
+             USING (doc_id)),
+      q1 AS (SELECT 1 AS query_id, doc_id, sum(c) AS score FROM contrib
+             WHERE term IN ('window', 'batch') GROUP BY doc_id),
+      q2 AS (SELECT 2 AS query_id, doc_id, c AS score FROM contrib
+             WHERE term = 'stream' AND doc_id NOT IN
+               (SELECT doc_id FROM contrib WHERE term = 'vector')),
+      allq AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1
+               UNION ALL SELECT * FROM q2),
+      ranked AS (SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rnk
+                 FROM allq)
+      SELECT query_id, rnk::BIGINT AS rnk, doc_id FROM ranked
+      WHERE rnk <= 20 ORDER BY query_id, rnk""",
+
     // point-in-time count: the merged index pinned to v1 indexes ONLY the
     // first-half batch (doc_id <= max/2, the indexDirMerged split) — same
     // count semantics, hit set restricted to that half
