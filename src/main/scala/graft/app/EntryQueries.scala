@@ -926,6 +926,23 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // score explanation: the per-word BM25 breakdown of the ranking's
+    // top-1 doc, from the same idf/tfnorm blocks the ranking used. The
+    // transcendental-derived columns round to 10 decimals on BOTH sides:
+    // Spark's Math.log and DuckDB's ln are each ≤1-ulp accurate but not
+    // correctly-rounded, so raw doubles differ in the 17th digit (the
+    // rank-based BM25 gates never see this; a value gate does)
+    "q_fts_explain" -> ((s, d) => {
+      val sr = searcher(s, indexDirFull(s, d))
+      val q = """"customer" "stream" "window""""
+      val top = sr.searchBm25(q, 1).collect().head
+      sr.explainScore(q, top.getString(0), top.getInt(1))
+        .select(col("word"), col("tf"), col("df"),
+          round(col("idf"), 10).as("idf"),
+          round(col("tfnorm"), 10).as("tfnorm"),
+          round(col("contribution"), 10).as("contribution"))
+    }),
+
     // keyset pagination: page 2 of the BM25 ranking via the previous
     // page's last doc key (search_after — no OFFSET materialization);
     // page 1's 10 rows are the only driver-side state

@@ -301,7 +301,7 @@ object CheckIndexMain {
   * `--as-of=V` pins every query to committed snapshot version V —
   * point-in-time search over the LSM store (see [[Searcher]]).
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain]
   *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--as-of=V] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -317,7 +317,7 @@ object SearchMain {
       terms: Int = 5, width: Int = 5, where: Option[String] = None,
       ordered: Boolean = false, facet: Option[String] = None,
       syn: Option[String] = None, asOf: Option[Int] = None,
-      after: Option[(String, Int)] = None)
+      after: Option[(String, Int)] = None, doc: Option[(String, Int)] = None)
 
   /** `--syn=w:s1,s2;w2:s3` inline synonym spec → (term, synonym) pairs.
     * Malformed segments (no colon, empty sides) are skipped — the
@@ -386,6 +386,12 @@ object SearchMain {
               case Array(c, t) => (c, t.toInt)
               case Array(c) => (c, 0)
               case _ => throw new NumberFormatException("--after")
+            } },
+          doc = args.collectFirst { case s if s.startsWith("--doc=") =>
+            s.stripPrefix("--doc=").split(':') match {
+              case Array(c, t) => (c, t.toInt)
+              case Array(c) => (c, 0)
+              case _ => throw new NumberFormatException("--doc")
             } }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
@@ -418,18 +424,22 @@ object SearchMain {
           .filterOrElse(r => r.after.isEmpty || (r.mode == "bm25" &&
               r.where.isEmpty && r.syn.isEmpty),
             "--after applies to plain --mode=bm25 only")
+          // explain needs the doc to explain, up front
+          .filterOrElse(r => r.mode != "explain" || r.doc.nonEmpty,
+            "--mode=explain needs --doc=<conv>[:turn]")
       case _ => Left(Usage)
     }
   }
 
   private val Usage: String = "usage: SearchMain <indexDir> <query|-i> " +
-    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets] " +
+    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain] " +
     "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
     "[--facet=<metadata column, --mode=facets>] " +
     "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
     "[--where=<sqlPredicate over the corpus columns>] " +
     "[--as-of=<snapshot version: point-in-time search>] " +
     "[--after=<conv[,turn] — keyset pagination cursor, --mode=bm25>] " +
+    "[--doc=<conv[:turn] — the doc to explain, --mode=explain>] " +
     "[--exact] [--min-char=N] [--config=<file>] " +
     "[--corpus=<parquet|gen:N|fs:dir>]"
 
@@ -533,6 +543,12 @@ object SearchMain {
               q.split(';').toSeq.map(_.trim).filter(_.nonEmpty))
             .select(concat(col("query_id"), lit("#"), col("conv_id")),
               col("turn_idx"), col("cnt")).collect()
+        case "explain" =>
+          // per-word BM25 breakdown of --doc: word:<tf> -> contribution
+          import org.apache.spark.sql.functions.col
+          val (dc, dt) = r.doc.get
+          searcher.explainScore(q, dc, dt)
+            .select(col("word"), col("tf"), col("contribution")).collect()
         case "regex" => searcher.searchRegex(q).collect()
         case "related" =>
           // (term, co_df, pmi): the a:b -> v printer fits

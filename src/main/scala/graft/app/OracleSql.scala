@@ -1454,6 +1454,39 @@ object OracleSql {
       WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
       ORDER BY doc_id""",
 
+    // score explanation: the top-1 doc's per-term breakdown; idf/tfnorm
+    // state the engine's formulas directly
+    "q_fts_explain" -> s"""
+      WITH $FtsTok,
+      st AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      alld AS (SELECT d.doc_id, coalesce(st.dl, 0) AS dl
+               FROM documents d LEFT JOIN st USING (doc_id)),
+      m AS (SELECT count(*)::DOUBLE AS nd,
+                   sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM alld),
+      tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+             WHERE term IN ('customer', 'stream', 'window') GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+             WHERE term IN ('customer', 'stream', 'window') GROUP BY 1),
+      parts AS (SELECT t.doc_id, t.term AS word, t.tf, f.df,
+          a.dl::DOUBLE AS dl,
+          ln(1.0 + (m.nd - f.df + 0.5) / (f.df + 0.5)) AS idf,
+          ((t.tf * (1.2 + 1.0)) /
+           (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (a.dl::DOUBLE / m.avgdl))))
+            AS tfnorm
+          FROM tf t JOIN df f USING (term)
+          JOIN alld a ON a.doc_id = t.doc_id CROSS JOIN m),
+      sc AS (SELECT doc_id,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                        list(idf * tfnorm ORDER BY word)),
+                      (x, y) -> x + y) AS score
+             FROM parts GROUP BY doc_id),
+      top1 AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id LIMIT 1)
+      SELECT word, tf, df, round(idf, 10) AS idf,
+             round(tfnorm, 10) AS tfnorm,
+             round(idf * tfnorm, 10) AS contribution
+      FROM parts WHERE doc_id = (SELECT doc_id FROM top1)
+      ORDER BY word""",
+
     // keyset pagination: page 2 == ranks 11..20 of the same ranking
     "q_fts_page2" -> s"""
       SELECT rnk, doc_id FROM (${bm25Sql()}) sub

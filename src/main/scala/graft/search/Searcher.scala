@@ -308,6 +308,45 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .getOrElse(emptyBatchResult("score"))
   }
 
+  /** Score explanation (the Lucene `explain` / Elasticsearch `_explain`
+    * posture): the per-matched-word BM25 breakdown of ONE document under a
+    * query — (word, tf, df, idf, tfnorm, contribution), contribution =
+    * idf·tfnorm, built from the SAME [[bm25Idf]]/[[bm25TfNorm]] blocks
+    * every scoring path uses, so an explanation can never drift from the
+    * ranking it explains. The plan is a normal query-shaped index read
+    * (letter-pruned dict scan + pushed postings predicates) filtered to
+    * the one doc post-decode — never a full postings pass; the doc key
+    * resolves with one bounded lookup. Unknown key, malformed query, or a
+    * doc matching no query word → empty (the tolerance posture). */
+  def explainScore(query: String, convId: String, turnIdx: Int): DataFrame = {
+    val empty = emptyDf(
+      "word" -> org.apache.spark.sql.types.StringType,
+      "tf" -> org.apache.spark.sql.types.DoubleType,
+      "df" -> org.apache.spark.sql.types.DoubleType,
+      "idf" -> org.apache.spark.sql.types.DoubleType,
+      "tfnorm" -> org.apache.spark.sql.types.DoubleType,
+      "contribution" -> org.apache.spark.sql.types.DoubleType)
+    val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
+    if (!parsed.valid || parsed.searchWords.isEmpty) return empty
+    val idRow = docs.filter($"conv_id" === convId && $"turn_idx" === turnIdx)
+      .select($"doc_id").collect()
+    if (idRow.isEmpty) return empty
+    val aId = idRow(0).getLong(0)
+    matchedPostings(matchedWords(parsed.searchWords),
+        coarsePred(parsed.searchWords))
+      .filter($"doc_id" === aId)
+      // a word matched by several search terms scores once per match;
+      // the human-facing breakdown dedupes to the distinct word level
+      .select($"word", $"tf".cast("double").as("tf"),
+        $"df".cast("double").as("df"), $"dl")
+      .distinct()
+      .withColumn("idf", bm25Idf($"df"))
+      .withColumn("tfnorm", bm25TfNorm($"tf"))
+      .withColumn("contribution", $"idf" * $"tfnorm")
+      .select($"word", $"tf", $"df", $"idf", $"tfnorm", $"contribution")
+      .orderBy($"word")
+  }
+
   private def emptyBatchResult(valCol: String): DataFrame = emptyDf(
     "query_id" -> org.apache.spark.sql.types.IntegerType,
     "conv_id" -> org.apache.spark.sql.types.StringType,
