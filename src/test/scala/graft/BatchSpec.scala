@@ -90,6 +90,41 @@ class BatchSpec extends SparkTestBase {
     s.close()
   }
 
+  test("seeded fuzz: batch == per-query across random boolean queries") {
+    val rnd = new scala.util.Random(0xBA7C4)
+    // vocab spanning every branch: shared prefixes, exact/wildcard, the
+    // min-char quirk (4-char words), hot terms, junk, a unique word
+    val vocab = Vector("which", "whichever", "would", "there", "search",
+      "assistant", "word", "cats", "zzzz", TranscriptGen.UniqueWord, "ab")
+    def word(): String = {
+      val w = vocab(rnd.nextInt(vocab.length))
+      rnd.nextInt(3) match {
+        case 0 => "\"" + w + "\"" // exact
+        case _ => w               // wildcard (min-char quirk may reject)
+      }
+    }
+    def query(): String = rnd.nextInt(6) match {
+      case 0 => word()
+      case 1 => s"(${word()} AND ${word()})"
+      case 2 => s"(${word()} OR ${word()})"
+      case 3 => s"(${word()} NOT ${word()})"
+      case 4 => s"((${word()} AND ${word()}) OR ${word()})"
+      case _ => "((((broken" + word() // malformed
+    }
+    val s = newSearcher
+    for (round <- 0 until 12) {
+      val qs = Seq.fill(1 + rnd.nextInt(5))(query())
+      val batch = asMap(s.searchCountBatch(qs).collect())
+      val singles = qs.zipWithIndex.flatMap { case (q, qi) =>
+        s.searchCount(q).collect().map {
+          case Row(c: String, t: Int, n: Long) => (qi, DocKey(c, t)) -> n
+        }
+      }.toMap
+      assert(batch === singles, s"round=$round qs=$qs")
+    }
+    s.close()
+  }
+
   test("duplicate queries get independent query_ids with identical rows") {
     val s = newSearcher
     val batch = asMap(s.searchCountBatch(Seq("which", "which")).collect())

@@ -66,6 +66,17 @@ class PaginationSpec extends SparkTestBase {
     assert(p2.head._3 <= p1.last._3 + 1e-9)
   }
 
+  test("seeded fuzz: page walks reproduce full rankings at random k") {
+    val rnd = new scala.util.Random(0x9A6E5)
+    val queries = Seq("which would", """("there" OR "search")""",
+      "(whichever AND would)", "assistant message which")
+    for (q <- queries) {
+      val full = rows(searcher.searchBm25(q, 100000, useWand = false))
+      val k = 1 + rnd.nextInt(math.max(1, full.size)) // 1..|hits|
+      assert(pageWalk(q, k) === full, s"q=$q k=$k")
+    }
+  }
+
   test("unknown cursor key, non-hit cursor, and bad inputs degrade to empty") {
     val q = "which would there"
     assert(searcher.searchBm25Page(q, 10, Some(("no-such-conv", 0)))
