@@ -127,13 +127,25 @@ object EntryQueries {
 
   // point-in-time searchers live in their own cache: a pinned snapshot is
   // immutable, so entries never need the current-version eviction above
-  // (which would close a pinned searcher on every current-version fetch)
+  // (which would close a pinned searcher on every current-version fetch).
+  // Bounded: each cached searcher pins its latest query's per-term frame,
+  // so past a small cap the oldest-inserted half is closed (the catalog
+  // itself uses exactly one (dir, version) pair — the cap is a guard for
+  // long-lived JVMs exploring many snapshots)
   private val asOfSearcherCache =
     new ConcurrentHashMap[(String, Int), Searcher]()
   private def searcherAt(spark: SparkSession, indexDir: String,
-      v: Int): Searcher =
+      v: Int): Searcher = {
+    if (asOfSearcherCache.size > 8) asOfSearcherCache.synchronized {
+      if (asOfSearcherCache.size > 8) {
+        asOfSearcherCache.forEach { (k, s) =>
+          if (asOfSearcherCache.remove(k, s)) s.close()
+        }
+      }
+    }
     asOfSearcherCache.computeIfAbsent((indexDir, v),
       _ => new Searcher(spark, new IndexStore(indexDir), asOf = Some(v)))
+  }
 
   /** engine conv_id (zero-padded) back to the documents doc_id. */
   private def asDocId(c: org.apache.spark.sql.Column) =

@@ -319,6 +319,18 @@ object SearchMain {
       syn: Option[String] = None, asOf: Option[Int] = None,
       after: Option[(String, Int)] = None, doc: Option[(String, Int)] = None)
 
+  /** `<conv>[<sep><turn>]` → (conv_id, turn_idx), via lastIndexOf like
+    * the mlt positional key — so a conv_id containing the separator stays
+    * addressable (only a NUMERIC suffix is claimed as the turn). */
+  private[graft] def parseDocKey(s: String, sep: Char): (String, Int) = {
+    val i = s.lastIndexOf(sep)
+    if (i < 0) (s, 0)
+    else s.substring(i + 1).toIntOption match {
+      case Some(t) => (s.substring(0, i), t)
+      case None => (s, 0)
+    }
+  }
+
   /** `--syn=w:s1,s2;w2:s3` inline synonym spec → (term, synonym) pairs.
     * Malformed segments (no colon, empty sides) are skipped — the
     * engine's malformed-input tolerance posture. */
@@ -382,17 +394,9 @@ object SearchMain {
           asOf = args.collectFirst { case s if s.startsWith("--as-of=") =>
             s.stripPrefix("--as-of=").stripPrefix("v").toInt },
           after = args.collectFirst { case s if s.startsWith("--after=") =>
-            s.stripPrefix("--after=").split(',') match {
-              case Array(c, t) => (c, t.toInt)
-              case Array(c) => (c, 0)
-              case _ => throw new NumberFormatException("--after")
-            } },
+            parseDocKey(s.stripPrefix("--after="), ',') },
           doc = args.collectFirst { case s if s.startsWith("--doc=") =>
-            s.stripPrefix("--doc=").split(':') match {
-              case Array(c, t) => (c, t.toInt)
-              case Array(c) => (c, 0)
-              case _ => throw new NumberFormatException("--doc")
-            } }))
+            parseDocKey(s.stripPrefix("--doc="), ':') }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt
@@ -558,12 +562,8 @@ object SearchMain {
           searcher.searchFacets(phraseCorpus.toDF(), q,
             r.facet.get, k).collect()
         case "mlt" =>
-          // query = <convId>[:turnIdx]
-          val (cid, tix) = q.lastIndexOf(':') match {
-            case -1 => (q, 0)
-            case i => (q.substring(0, i),
-              q.substring(i + 1).toIntOption.getOrElse(0))
-          }
+          // query = <convId>[:turnIdx] (same key grammar as --doc)
+          val (cid, tix) = parseDocKey(q, ':')
           searcher.moreLikeThis(phraseCorpus, cid, tix, r.terms, k).collect()
         case _ => searcher.searchCount(q).collect()
       }

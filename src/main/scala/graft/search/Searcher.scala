@@ -276,8 +276,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * position; a query that is invalid or has no hits contributes zero
     * rows (the reference's malformed-query tolerance, per query). */
   def searchCountBatch(queries: Seq[String]): DataFrame =
-    batchEval(queries, mp => mp.groupBy($"term_idx", $"doc_id")
-        .agg(count(lit(1)).cast("double").as("v")))
+    batchEval(queries, countAgg)
       .map(_.reduce(_ unionByName _)
         .join(docs, Seq("doc_id"))
         .select($"query_id", $"conv_id", $"turn_idx",
@@ -294,9 +293,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * read amortizes across the whole set. */
   def searchBm25Batch(queries: Seq[String], k: Int): DataFrame = {
     if (k < 1) return emptyBatchResult("score")
-    batchEval(queries, mp => mp
-        .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
-        .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v")))
+    batchEval(queries, bm25Agg)
       .map(_.map(f => maskHits(f)
           .orderBy($"v".desc, $"doc_id").limit(k))
         .reduce(_ unionByName _)
@@ -308,16 +305,53 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .getOrElse(emptyBatchResult("score"))
   }
 
+  /** The (doc_id, term_idx) pairs whose per-term values actually SURVIVE
+    * the query's boolean evaluation — the exact decomposition of
+    * [[DfAlgebra]]'s arithmetic: `or` keeps both sides' rows (their values
+    * sum), `and` keeps both sides' rows for docs present on BOTH sides,
+    * `not` erases the right side's docs entirely. A doc's score is
+    * precisely the sum of its retained pairs' values, so an explanation
+    * built on this set can never list a contribution the ranking
+    * discarded (e.g. a term NOT'd away in one branch while the doc is a
+    * hit through another). */
+  private def retainedTermPairs(parsed: QueryParser.Parsed,
+      perTerm: DataFrame): Option[DataFrame] = {
+    val alg = new ResultAlgebra[DataFrame] {
+      def empty: DataFrame = emptyDf(
+        "doc_id" -> org.apache.spark.sql.types.LongType,
+        "term_idx" -> org.apache.spark.sql.types.IntegerType)
+      def term(i: Int): DataFrame = perTerm.filter($"term_idx" === i)
+        .select($"doc_id", $"term_idx")
+      def or(a: DataFrame, x: DataFrame): DataFrame = a.unionByName(x)
+      def and(a: DataFrame, x: DataFrame): DataFrame =
+        a.join(x.select($"doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .unionByName(
+            x.join(a.select($"doc_id").distinct(), Seq("doc_id"),
+              "left_semi"))
+      def not(a: DataFrame, x: DataFrame): DataFrame =
+        a.join(x.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+    }
+    parsed.eval(alg)
+  }
+
   /** Score explanation (the Lucene `explain` / Elasticsearch `_explain`
     * posture): the per-matched-word BM25 breakdown of ONE document under a
     * query — (word, tf, df, idf, tfnorm, contribution), contribution =
     * idf·tfnorm, built from the SAME [[bm25Idf]]/[[bm25TfNorm]] blocks
     * every scoring path uses, so an explanation can never drift from the
-    * ranking it explains. The plan is a normal query-shaped index read
-    * (letter-pruned dict scan + pushed postings predicates) filtered to
-    * the one doc post-decode — never a full postings pass; the doc key
-    * resolves with one bounded lookup. Unknown key, malformed query, or a
-    * doc matching no query word → empty (the tolerance posture). */
+    * ranking it explains. The boolean structure is honored exactly like
+    * the ranking honors it, via [[retainedTermPairs]]: a document OUTSIDE
+    * the query's hit set explains to empty (Lucene's match=false), a word
+    * whose value the evaluation discarded (NOT'd away — even when the doc
+    * is a hit through another OR branch) never appears, and a word
+    * matched by several surviving search terms folds its multiplicity
+    * into the contribution (it scored once per match), so the
+    * contributions ALWAYS sum to the doc's actual score. The plan is a
+    * normal query-shaped index read (letter-pruned dict scan + pushed
+    * postings predicates) narrowed to the one doc by a one-row broadcast
+    * join — never a full postings pass, and no driver job at call time
+    * (the method stays lazy like every other Searcher API). Unknown key,
+    * malformed query, or a non-hit doc → empty (the tolerance posture). */
   def explainScore(query: String, convId: String, turnIdx: Int): DataFrame = {
     val empty = emptyDf(
       "word" -> org.apache.spark.sql.types.StringType,
@@ -328,21 +362,30 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       "contribution" -> org.apache.spark.sql.types.DoubleType)
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty) return empty
-    val idRow = docs.filter($"conv_id" === convId && $"turn_idx" === turnIdx)
-      .select($"doc_id").collect()
-    if (idRow.isEmpty) return empty
-    val aId = idRow(0).getLong(0)
-    matchedPostings(matchedWords(parsed.searchWords),
-        coarsePred(parsed.searchWords))
-      .filter($"doc_id" === aId)
-      // a word matched by several search terms scores once per match;
-      // the human-facing breakdown dedupes to the distinct word level
+    val mp = matchedPostings(matchedWords(parsed.searchWords),
+      coarsePred(parsed.searchWords))
+    val retained = retainedTermPairs(parsed, countAgg(mp)) match {
+      case None => return empty
+      case Some(r) => r
+    }
+    // the doc key as a one-row broadcast; tombstone-masked docs are not
+    // hits, so a deleted doc explains to empty like the ranking treats it
+    val cursorId = docs
+      .filter($"conv_id" === convId && $"turn_idx" === turnIdx)
+      .select($"doc_id".as("a_id"))
+    val mine = retained
+      .join(broadcast(cursorId), $"doc_id" === $"a_id")
+      .select($"doc_id", $"term_idx")
+    mp.join(broadcast(mine), Seq("term_idx", "doc_id"))
       .select($"word", $"tf".cast("double").as("tf"),
         $"df".cast("double").as("df"), $"dl")
-      .distinct()
+      // one row per distinct word; a word retained under several search
+      // terms scored once per term — fold that into the contribution
+      .groupBy($"word", $"tf", $"df", $"dl")
+      .agg(count(lit(1)).cast("double").as("times"))
       .withColumn("idf", bm25Idf($"df"))
       .withColumn("tfnorm", bm25TfNorm($"tf"))
-      .withColumn("contribution", $"idf" * $"tfnorm")
+      .withColumn("contribution", $"idf" * $"tfnorm" * $"times")
       .select($"word", $"tf", $"df", $"idf", $"tfnorm", $"contribution")
       .orderBy($"word")
   }
@@ -392,10 +435,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     if (!parsed.valid) return emptyResult("cnt")
     val mp = matchedPostings(matchedWords(parsed.searchWords),
       coarsePred(parsed.searchWords))
-    // per search word: docs counted once per matched dictionary word (Q6)
-    val perTerm = mp.groupBy($"term_idx", $"doc_id")
-      .agg(count(lit(1)).cast("double").as("v"))
-    val res = evalQuery(query, perTerm)
+    val res = evalQuery(query, countAgg(mp))
     res.join(docs, Seq("doc_id"))
       .select($"conv_id", $"turn_idx", $"v".cast("long").as("cnt"))
       .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
@@ -473,8 +513,20 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * shape cannot drift between them (the same reason [[bm25Idf]]/
     * [[bm25TfNorm]] are centralized). */
   private def bm25PerTerm(searchWords: Seq[(String, Boolean)]): DataFrame =
-    matchedPostings(matchedWords(searchWords), coarsePred(searchWords))
-      .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
+    bm25Agg(matchedPostings(matchedWords(searchWords),
+      coarsePred(searchWords)))
+
+  /** The two per-term aggregations over a matched-postings frame — ONE
+    * definition each, shared by the single-query paths ([[searchCount]],
+    * [[bm25PerTerm]]) and the batch paths ([[searchCountBatch]],
+    * [[searchBm25Batch]]), so batch results cannot drift from the
+    * single-query results they must equal. */
+  private def countAgg(mp: DataFrame): DataFrame =
+    // per search word: docs counted once per matched dictionary word (Q6)
+    mp.groupBy($"term_idx", $"doc_id")
+      .agg(count(lit(1)).cast("double").as("v"))
+  private def bm25Agg(mp: DataFrame): DataFrame =
+    mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
 
   private def searchBm25Df(parsed: QueryParser.Parsed, query: String,
@@ -490,40 +542,43 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * a filter on the scored frame, so page depth costs nothing extra —
     * every page is one scoring pass + its own top-k.
     *
-    * The cursor is the doc KEY only; the cursor doc's score is re-derived
-    * from this query's own scored frame (one bounded lookup), so the walk
-    * is bit-stable by construction — the caller never round-trips a
-    * floating-point score, and pages cannot shift even though the WAND
-    * top-k path may differ from the DataFrame-algebra path by 1 ULP (the
-    * summation-order artifact this API exists to be immune to: all pages
-    * of a walk score through the SAME algebra path; WAND stays the
-    * one-shot top-k engine). A cursor key absent from the index or the
-    * hit set returns empty (the malformed-input tolerance). */
+    * The cursor is the doc KEY only; the cursor doc's score re-derives
+    * from this query's own scored frame INSIDE the page's single action (a
+    * broadcast-join chain, no driver collect — the method stays lazy like
+    * every other Searcher API), so the walk is bit-stable by construction:
+    * the cursor comparison and the page read the same materialization, the
+    * caller never round-trips a floating-point score, and pages cannot
+    * shift even though the WAND top-k path may differ from the
+    * DataFrame-algebra path by 1 ULP (the summation-order artifact this
+    * API exists to be immune to: all pages of a walk score through the
+    * SAME algebra path; WAND stays the one-shot top-k engine). A cursor
+    * key absent from the index or the hit set returns empty (the
+    * malformed-input tolerance). */
   def searchBm25Page(query: String, k: Int,
       after: Option[(String, Int)] = None): DataFrame = {
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || k < 1) return emptyResult("score")
-    val scored = maskHits(evalQuery(query, bm25PerTerm(parsed.searchWords)))
+    val scored = evalQuery(query, bm25PerTerm(parsed.searchWords))
     val pageBase = after match {
       case None => scored
       case Some((aConv, aTurn)) =>
         // doc_id is assigned in (conv_id, turn_idx) order, so the internal
-        // tie-break key resolves from the caller-visible cursor with ONE
-        // bounded key lookup (pushed equality predicates, ≤ 1 row)
-        val idRow = docs.filter($"conv_id" === aConv && $"turn_idx" === aTurn)
-          .select($"doc_id").collect()
-        if (idRow.isEmpty) return emptyResult("score")
-        val aId = idRow(0).getLong(0)
-        val sRow = scored.filter($"doc_id" === aId).select($"v").collect()
-        if (sRow.isEmpty) return emptyResult("score")
-        val aScore = sRow(0).getDouble(0)
-        scored.filter($"v" < aScore || ($"v" === aScore && $"doc_id" > aId))
+        // tie-break key resolves from the caller-visible cursor by a
+        // pushed-equality docs lookup (≤ 1 row, broadcast); the cursor's
+        // own score rides a second one-row broadcast off the SAME scored
+        // frame — an absent key or non-hit cursor makes the inner join
+        // empty, which is exactly the documented empty result
+        val cursorId = docs
+          .filter($"conv_id" === aConv && $"turn_idx" === aTurn)
+          .select($"doc_id".as("a_id"))
+        val cursor = scored.join(broadcast(cursorId),
+            $"doc_id" === $"a_id")
+          .select($"v".as("a_v"), $"a_id")
+        scored.join(broadcast(cursor),
+            $"v" < $"a_v" || ($"v" === $"a_v" && $"doc_id" > $"a_id"))
+          .select($"doc_id", $"v")
     }
-    pageBase.orderBy($"v".desc, $"doc_id").limit(k)
-      .join(docs, Seq("doc_id"))
-      .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
-      .orderBy($"score".desc, $"doc_id")
-      .drop("doc_id")
+    rankTopK(pageBase, k)
   }
 
   private def emptyResult(valCol: String): DataFrame = emptyDf(

@@ -70,6 +70,39 @@ class ExplainSpec extends SparkTestBase {
     }
   }
 
+  test("boolean structure: NOT'd docs are empty, erased branches vanish") {
+    def score(q: String): Map[(String, Int), Double] =
+      searcher.searchBm25(q, 100000).collect().map {
+        case Row(c: String, t: Int, s: Double) => (c, t) -> s
+      }.toMap
+    val qNot = """("which" NOT "would")"""
+    // a doc holding BOTH words is not a hit → empty (Lucene match=false)
+    val both = truth.collect {
+      case (k, tf) if tf.contains("which") && tf.contains("would") => k
+    }.minBy(identity)
+    assert(explain(qNot, both._1, both._2).isEmpty)
+    // a which-only doc is a hit: the breakdown lists ONLY the positive
+    // word and reproduces the ranking's score
+    val only = truth.collect {
+      case (k, tf) if tf.contains("which") && !tf.contains("would") => k
+    }.minBy(identity)
+    val rows = explain(qNot, only._1, only._2)
+    assert(rows.map(_._1) === Seq("which"))
+    assert(rows.map(_._6).sum === score(qNot)(only))
+    // mixed tree: a doc erased from one branch but a hit through the OR —
+    // the erased branch's word must NOT appear, and the sum still matches
+    val qMix = """(("which" NOT "would") OR "there")"""
+    val all3 = truth.collect {
+      case (k, tf) if tf.contains("which") && tf.contains("would") &&
+        tf.contains("there") => k
+    }
+    assert(all3.nonEmpty, "fixture lacks a which+would+there doc")
+    val k3 = all3.minBy(identity)
+    val rows3 = explain(qMix, k3._1, k3._2)
+    assert(rows3.map(_._1) === Seq("there"))
+    assert(rows3.map(_._6).sum === score(qMix)(k3))
+  }
+
   test("unknown doc, malformed query, and no-match docs are empty") {
     assert(explain(""""which"""", "no-such-conv", 0).isEmpty)
     assert(explain("((((broken", TranscriptGen.convId(0L), 0).isEmpty)
