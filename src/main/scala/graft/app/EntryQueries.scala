@@ -938,6 +938,11 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // index vocabulary statistics: per-letter term counts, Σdf, and the
+    // hottest term (tie: alphabetical) — dictionary-only analytics
+    "q_fts_dict_stats" -> ((s, d) =>
+      searcher(s, indexDirFull(s, d)).dictStats()),
+
     // score explanation: the per-word BM25 breakdown of the ranking's
     // top-1 doc, from the same idf/tfnorm blocks the ranking used. The
     // transcendental-derived columns round to 10 decimals on BOTH sides:

@@ -20,7 +20,8 @@ object ExplainMain {
         "q_fts_facets", "q_fts_del_count", "q_fts_del_bm25",
         "q_fts_boost_bm25", "q_fts_syn_count", "q_fts_spell",
         "q_fts_asof_count", "q_fts_asof_bm25", "q_fts_batch_count",
-        "q_fts_batch_bm25", "q_fts_page2", "q_fts_explain")
+        "q_fts_batch_bm25", "q_fts_page2", "q_fts_explain",
+        "q_fts_dict_stats")
     val spark = Mains.session("graft-explain")
     names.foreach { n =>
       EntryQueries.all.get(n) match {

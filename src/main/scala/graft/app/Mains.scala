@@ -301,7 +301,7 @@ object CheckIndexMain {
   * `--as-of=V` pins every query to committed snapshot version V —
   * point-in-time search over the LSM store (see [[Searcher]]).
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats]
   *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--as-of=V] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -436,7 +436,7 @@ object SearchMain {
   }
 
   private val Usage: String = "usage: SearchMain <indexDir> <query|-i> " +
-    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain] " +
+    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats] " +
     "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
     "[--facet=<metadata column, --mode=facets>] " +
     "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
@@ -553,6 +553,11 @@ object SearchMain {
           val (dc, dt) = r.doc.get
           searcher.explainScore(q, dc, dt)
             .select(col("word"), col("tf"), col("contribution")).collect()
+        case "stats" =>
+          // index vocabulary analytics (query ignored): letter:n -> Σdf
+          import org.apache.spark.sql.functions.col
+          searcher.dictStats()
+            .select(col("letter"), col("n_terms"), col("sum_df")).collect()
         case "regex" => searcher.searchRegex(q).collect()
         case "related" =>
           // (term, co_df, pmi): the a:b -> v printer fits

@@ -1454,6 +1454,24 @@ object OracleSql {
       WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
       ORDER BY doc_id""",
 
+    // index vocabulary statistics: per-letter aggregates over the same
+    // tokenization, hottest term tied alphabetically
+    "q_fts_dict_stats" -> s"""
+      WITH $FtsTok,
+      t AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+            GROUP BY 1),
+      lt AS (SELECT substr(term, 1, 1) AS letter, term, df FROM t),
+      agg AS (SELECT letter, count(*)::BIGINT AS n_terms,
+                     sum(df)::BIGINT AS sum_df
+              FROM lt GROUP BY 1),
+      top AS (SELECT letter, term AS top_term, df AS top_df,
+                     row_number() OVER (PARTITION BY letter
+                       ORDER BY df DESC, term) AS rn
+              FROM lt)
+      SELECT a.letter, a.n_terms, a.sum_df, t.top_term, t.top_df
+      FROM agg a JOIN top t ON a.letter = t.letter AND t.rn = 1
+      ORDER BY a.letter""",
+
     // score explanation: the top-1 doc's per-term breakdown; idf/tfnorm
     // state the engine's formulas directly
     "q_fts_explain" -> s"""

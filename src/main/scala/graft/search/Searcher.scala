@@ -1169,6 +1169,22 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       .orderBy($"df".desc, $"term").limit(k)
   }
 
+  /** Index vocabulary statistics (the Lucene terms-enum / `_cat/indices`
+    * analytics view), per letter partition: term count, posting entries
+    * (Σdf), and the hottest term with its df — the operational answer to
+    * "what does this index hold and where is the skew". Dictionary-only
+    * (vocabulary-sized, postings never read); one aggregation over the
+    * letter-partitioned dict scan, so the partition column doubles as the
+    * grouping key. */
+  def dictStats(): DataFrame =
+    dict.groupBy($"letter")
+      // hottest term, tie → first alphabetically: min over (-df, term)
+      .agg(count(lit(1)).as("n_terms"), sum($"df").as("sum_df"),
+        min(struct((-$"df").as("ndf"), $"term")).as("top"))
+      .select($"letter", $"n_terms", $"sum_df",
+        $"top.term".as("top_term"), (-$"top.ndf").as("top_df"))
+      .orderBy($"letter")
+
   /** "Did you mean" spell suggestion (the Lucene spellchecker shape):
     * top-k dictionary words EXACTLY one edit from `word`, ranked by
     * (df desc, term asc) — corpus frequency is the suggestion signal.

@@ -103,6 +103,26 @@ class ExplainSpec extends SparkTestBase {
     assert(rows3.map(_._6).sum === score(qMix)(k3))
   }
 
+  test("dictStats == brute-force per-letter aggregates") {
+    // reuses this suite's truth fixture: the dictionary is exactly the
+    // distinct kept words, df = docs containing each word
+    val words = truth.values.flatMap(_.keys).toSet
+    val byLetter = words.groupBy(_.substring(0, 1))
+    val got = searcher.dictStats().collect().map {
+      case Row(l: String, n: Long, s: Long, tt: String, td: Long) =>
+        l -> ((n, s, tt, td))
+    }.toMap
+    assert(got.keySet === byLetter.keySet)
+    for ((l, ws) <- byLetter) {
+      val dfs = ws.map(w => w -> dfOf(w)).toSeq
+      val (n, s, tt, td) = got(l)
+      assert(n === ws.size.toLong, l)
+      assert(s === dfs.map(_._2).sum, l)
+      val top = dfs.minBy { case (w, d) => (-d, w) }
+      assert((tt, td) === top, l)
+    }
+  }
+
   test("unknown doc, malformed query, and no-match docs are empty") {
     assert(explain(""""which"""", "no-such-conv", 0).isEmpty)
     assert(explain("((((broken", TranscriptGen.convId(0L), 0).isEmpty)
