@@ -938,6 +938,18 @@ object EntryQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // reverse search (percolate): three registered queries compiled into
+    // one map-side projection over the raw corpus — membership must equal
+    // the indexed search path's hit sets
+    "q_fts_percolate" -> ((s, d) => {
+      graft.search.Percolator.matches(docsCorpus(s, d), Seq(
+          """"customer" AND "filter" NOT "vector"""",
+          """"stream"""",
+          """("window" OR "batch")"""))
+        .select(col("query_id"), asDocId(col("conv_id")))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // index vocabulary statistics: per-letter term counts, Σdf, and the
     // hottest term (tie: alphabetical) — dictionary-only analytics
     "q_fts_dict_stats" -> ((s, d) =>

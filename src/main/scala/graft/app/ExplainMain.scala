@@ -21,7 +21,7 @@ object ExplainMain {
         "q_fts_boost_bm25", "q_fts_syn_count", "q_fts_spell",
         "q_fts_asof_count", "q_fts_asof_bm25", "q_fts_batch_count",
         "q_fts_batch_bm25", "q_fts_page2", "q_fts_explain",
-        "q_fts_dict_stats")
+        "q_fts_dict_stats", "q_fts_percolate")
     val spark = Mains.session("graft-explain")
     names.foreach { n =>
       EntryQueries.all.get(n) match {

@@ -301,7 +301,7 @@ object CheckIndexMain {
   * `--as-of=V` pins every query to committed snapshot version V —
   * point-in-time search over the LSM store (see [[Searcher]]).
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats|percolate]
   *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--as-of=V] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -405,9 +405,10 @@ object SearchMain {
               r.mode != "countp" && r.mode != "bm25p" &&
               r.mode != "mlt" && r.mode != "snippet" &&
               r.mode != "related" && r.mode != "facets" &&
+              r.mode != "percolate" &&
               r.where.isEmpty ||
               r.corpus.nonEmpty,
-            "phrase/near/countp/bm25p/mlt/snippet/related/facets modes and --where need " +
+            "phrase/near/countp/bm25p/mlt/snippet/related/facets/percolate modes and --where need " +
               "--corpus=<parquet|gen:N|fs:dir>")
           // facets needs the facet column name up front — failing the
           // invocation beats an empty result that reads as "no hits"
@@ -436,7 +437,7 @@ object SearchMain {
   }
 
   private val Usage: String = "usage: SearchMain <indexDir> <query|-i> " +
-    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats] " +
+    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats|percolate] " +
     "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
     "[--facet=<metadata column, --mode=facets>] " +
     "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
@@ -553,6 +554,14 @@ object SearchMain {
           val (dc, dt) = r.doc.get
           searcher.explainScore(q, dc, dt)
             .select(col("word"), col("tf"), col("contribution")).collect()
+        case "percolate" =>
+          // reverse search over --corpus (the index is not read): query =
+          // "q1;q2;…", rows print <conv>:<turn> -> query_id
+          import org.apache.spark.sql.functions.col
+          graft.search.Percolator.matches(phraseCorpus,
+              q.split(';').toSeq.map(_.trim).filter(_.nonEmpty), conf)
+            .select(col("conv_id"), col("turn_idx"), col("query_id"))
+            .collect()
         case "stats" =>
           // index vocabulary analytics (query ignored): letter:n -> Σdf
           import org.apache.spark.sql.functions.col

@@ -1454,6 +1454,23 @@ object OracleSql {
       WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
       ORDER BY doc_id""",
 
+    // reverse search: each query_id's rows are exactly the docs whose
+    // kept-word set satisfies that registered query
+    "q_fts_percolate" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok)
+      SELECT 0 AS query_id, a.doc_id
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+      UNION ALL
+      SELECT 1 AS query_id, doc_id FROM has WHERE term = 'stream'
+      UNION ALL
+      SELECT 2 AS query_id, doc_id FROM
+        (SELECT DISTINCT doc_id FROM has
+         WHERE term IN ('window', 'batch'))
+      ORDER BY query_id, doc_id""",
+
     // index vocabulary statistics: per-letter aggregates over the same
     // tokenization, hottest term tied alphabetically
     "q_fts_dict_stats" -> s"""
