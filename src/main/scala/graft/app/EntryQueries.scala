@@ -950,6 +950,46 @@ object EntryQueries {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // streaming percolation: a bounded id-ordered documents slice replays
+    // in three micro-batches through the alerting loop; percolation is
+    // stateless, so the appended alerts must equal the batch percolate
+    // over the same slice regardless of batch boundaries
+    "q_fts_percolate_stream" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val all = docsCorpus(s, d)
+        .filter(col("conv_id") < f"${300L}%012d")
+        .orderBy(col("conv_id")).collect()
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Turn]
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-qsperc").toString
+      val q = graft.streaming.StreamingPercolator.start(
+        source.toDS(), Seq(
+          """"customer" AND "filter" NOT "vector"""",
+          """"stream"""",
+          """("window" OR "batch")"""),
+        s"$root/alerts", s"$root/ckpt")
+      try {
+        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+          source.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val res = s.read.parquet(s"$root/alerts")
+        .select(col("query_id"), asDocId(col("conv_id")))
+        .orderBy(col("query_id"), col("doc_id"))
+        .collect()
+      IndexBuilder.deleteRecursive(java.nio.file.Paths.get(root))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(res.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
     // index vocabulary statistics: per-letter term counts, Σdf, and the
     // hottest term (tie: alphabetical) — dictionary-only analytics
     "q_fts_dict_stats" -> ((s, d) =>

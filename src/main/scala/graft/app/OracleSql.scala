@@ -1471,6 +1471,23 @@ object OracleSql {
          WHERE term IN ('window', 'batch'))
       ORDER BY query_id, doc_id""",
 
+    // streaming percolation: batch-boundary-independent — the alerts are
+    // exactly the batch percolate over the replayed slice
+    "q_fts_percolate_stream" -> s"""
+      WITH $FtsTok,
+      has AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id < 300)
+      SELECT 0 AS query_id, a.doc_id
+      FROM (SELECT doc_id FROM has WHERE term = 'customer') a
+      JOIN (SELECT doc_id FROM has WHERE term = 'filter') f USING (doc_id)
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'vector')
+      UNION ALL
+      SELECT 1 AS query_id, doc_id FROM has WHERE term = 'stream'
+      UNION ALL
+      SELECT 2 AS query_id, doc_id FROM
+        (SELECT DISTINCT doc_id FROM has
+         WHERE term IN ('window', 'batch'))
+      ORDER BY query_id, doc_id""",
+
     // index vocabulary statistics: per-letter aggregates over the same
     // tokenization, hottest term tied alphabetically
     "q_fts_dict_stats" -> s"""

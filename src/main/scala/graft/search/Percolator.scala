@@ -40,6 +40,16 @@ object Percolator {
     * match nothing. */
   def matches(corpus: Dataset[Turn], queries: Seq[String],
       conf: EngineConf = EngineConf.default): DataFrame = {
+    import corpus.sparkSession.implicits._
+    matchesUnsorted(corpus, queries, conf)
+      .orderBy($"conv_id", $"turn_idx", $"query_id")
+  }
+
+  /** [[matches]] without the presentation sort — STATELESS, so it runs
+    * unchanged on a STREAMING Dataset[Turn] (append mode, no state store,
+    * no watermark): the percolation form of an alerting loop. */
+  def matchesUnsorted(corpus: Dataset[Turn], queries: Seq[String],
+      conf: EngineConf = EngineConf.default): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.tokenize.GraftFunctions.register(spark)
@@ -73,6 +83,5 @@ object Percolator {
           array(preds.map { case (qi, p) =>
             when(p, lit(qi)).otherwise(lit(null).cast("int")) }: _*),
           c => c.isNotNull)).as("query_id"))
-      .orderBy($"conv_id", $"turn_idx", $"query_id")
   }
 }

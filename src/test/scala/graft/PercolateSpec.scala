@@ -94,6 +94,33 @@ class PercolateSpec extends SparkTestBase {
     assert(exchanges <= 2, plan) // rangepartitioning prints once per node
   }
 
+  test("streaming percolation == batch percolate, any batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = TranscriptGen.local(NConvs)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.model.Turn]
+    val root = tmpDir("graft-perc-stream")
+    val qs = Queries.take(5)
+    val q = graft.streaming.StreamingPercolator.start(
+      source.toDS(), qs, s"$root/alerts", s"$root/ckpt", conf)
+    try {
+      // deliberately uneven batch boundaries
+      Seq(all.take(7), all.slice(7, 200), all.drop(200)).foreach { chunk =>
+        source.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/alerts").collect().map {
+      case Row(c: String, t: Int, qi: Int) => (qi, DocKey(c, t))
+    }.toSet
+    val batch = Percolator.matches(corpus, qs, conf).collect().map {
+      case Row(c: String, t: Int, qi: Int) => (qi, DocKey(c, t))
+    }.toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("no valid queries → empty with the right schema") {
     assert(Percolator.matches(corpus, Seq("((((broken", ""), conf)
       .collect().isEmpty)
