@@ -129,21 +129,24 @@ object EntryQueries {
   // immutable, so entries never need the current-version eviction above
   // (which would close a pinned searcher on every current-version fetch).
   // Bounded: each cached searcher pins its latest query's per-term frame,
-  // so past a small cap the oldest-inserted half is closed (the catalog
-  // itself uses exactly one (dir, version) pair — the cap is a guard for
-  // long-lived JVMs exploring many snapshots)
+  // so past a small cap every entry EXCEPT the one being requested is
+  // closed — a crude full-flush guard for long-lived JVMs exploring many
+  // snapshots (the catalog itself uses exactly one (dir, version) pair;
+  // a closed searcher handed out earlier degrades to recompute, never to
+  // wrong results — Spark recomputes unpersisted frames)
   private val asOfSearcherCache =
     new ConcurrentHashMap[(String, Int), Searcher]()
   private def searcherAt(spark: SparkSession, indexDir: String,
       v: Int): Searcher = {
+    val key = (indexDir, v)
     if (asOfSearcherCache.size > 8) asOfSearcherCache.synchronized {
       if (asOfSearcherCache.size > 8) {
         asOfSearcherCache.forEach { (k, s) =>
-          if (asOfSearcherCache.remove(k, s)) s.close()
+          if (k != key && asOfSearcherCache.remove(k, s)) s.close()
         }
       }
     }
-    asOfSearcherCache.computeIfAbsent((indexDir, v),
+    asOfSearcherCache.computeIfAbsent(key,
       _ => new Searcher(spark, new IndexStore(indexDir), asOf = Some(v)))
   }
 
@@ -964,23 +967,26 @@ object EntryQueries {
         .MemoryStream[Turn]
       val root = java.nio.file.Files
         .createTempDirectory("graft-qsperc").toString
-      val q = graft.streaming.StreamingPercolator.start(
-        source.toDS(), Seq(
-          """"customer" AND "filter" NOT "vector"""",
-          """"stream"""",
-          """("window" OR "batch")"""),
-        s"$root/alerts", s"$root/ckpt")
-      try {
-        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
-          source.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      val res = s.read.parquet(s"$root/alerts")
-        .select(col("query_id"), asDocId(col("conv_id")))
-        .orderBy(col("query_id"), col("doc_id"))
-        .collect()
-      IndexBuilder.deleteRecursive(java.nio.file.Paths.get(root))
+      // the whole replay under ONE try/finally on the temp root: a replay
+      // or read failure must not leak alerts+checkpoint state per run
+      val res = try {
+        val q = graft.streaming.StreamingPercolator.start(
+          source.toDS(), Seq(
+            """"customer" AND "filter" NOT "vector"""",
+            """"stream"""",
+            """("window" OR "batch")"""),
+          s"$root/alerts", s"$root/ckpt")
+        try {
+          all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+            source.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(s"$root/alerts")
+          .select(col("query_id"), asDocId(col("conv_id")))
+          .orderBy(col("query_id"), col("doc_id"))
+          .collect()
+      } finally IndexBuilder.deleteRecursive(java.nio.file.Paths.get(root))
       import scala.jdk.CollectionConverters._
       s.createDataFrame(res.toSeq.asJava,
         org.apache.spark.sql.types.StructType(Seq(

@@ -319,14 +319,22 @@ object SearchMain {
       syn: Option[String] = None, asOf: Option[Int] = None,
       after: Option[(String, Int)] = None, doc: Option[(String, Int)] = None)
 
-  /** `<conv>[<sep><turn>]` → (conv_id, turn_idx), via lastIndexOf like
-    * the mlt positional key — so a conv_id containing the separator stays
-    * addressable (only a NUMERIC suffix is claimed as the turn). */
-  private[graft] def parseDocKey(s: String, sep: Char): (String, Int) = {
+  /** `<conv>[<sep><turn>]` → (conv_id, turn_idx) via lastIndexOf, so a
+    * conv_id containing the separator stays addressable (give it an
+    * explicit `<sep>turn` suffix; only a NUMERIC suffix is claimed as the
+    * turn). `strict` (the CLI-flag posture: failing the invocation beats
+    * an empty result that reads as "no hits") throws on a non-numeric
+    * suffix — a typo'd `--after=conv,4x` is a usage error, not an unknown
+    * key; the lenient form (the mlt REPL query, where a throw would kill
+    * the session) treats it as a turn-less key. */
+  private[graft] def parseDocKey(s: String, sep: Char,
+      strict: Boolean = false): (String, Int) = {
     val i = s.lastIndexOf(sep)
     if (i < 0) (s, 0)
     else s.substring(i + 1).toIntOption match {
       case Some(t) => (s.substring(0, i), t)
+      case None if strict =>
+        throw new NumberFormatException(s"doc key '$s': non-numeric turn")
       case None => (s, 0)
     }
   }
@@ -394,9 +402,9 @@ object SearchMain {
           asOf = args.collectFirst { case s if s.startsWith("--as-of=") =>
             s.stripPrefix("--as-of=").stripPrefix("v").toInt },
           after = args.collectFirst { case s if s.startsWith("--after=") =>
-            parseDocKey(s.stripPrefix("--after="), ',') },
+            parseDocKey(s.stripPrefix("--after="), ',', strict = true) },
           doc = args.collectFirst { case s if s.startsWith("--doc=") =>
-            parseDocKey(s.stripPrefix("--doc="), ':') }))
+            parseDocKey(s.stripPrefix("--doc="), ':', strict = true) }))
           // phrase modes need the corpus at the first query; catching it
           // here fails the INVOCATION instead of killing a warmed REPL
           // mid-session at the user's first prompt

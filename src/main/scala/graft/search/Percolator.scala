@@ -74,8 +74,12 @@ object Percolator {
         }
     }
     if (preds.isEmpty)
+      // filter(false), not limit(0): limit is unsupported on STREAMING
+      // frames, and this path must keep the all-invalid-queries contract
+      // ("matches nothing") for the streaming alerting loop too
       return corpus.toDF()
-        .select($"conv_id", $"turn_idx", lit(0).as("query_id")).limit(0)
+        .select($"conv_id", $"turn_idx", lit(0).as("query_id"))
+        .filter(lit(false))
     corpus.toDF()
       .withColumn("w", words)
       .select($"conv_id", $"turn_idx",

@@ -362,8 +362,13 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       "contribution" -> org.apache.spark.sql.types.DoubleType)
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty) return empty
-    val mp = matchedPostings(matchedWords(parsed.searchWords),
-      coarsePred(parsed.searchWords))
+    // persist the matched-postings frame: the retention algebra reads it
+    // once per term leaf plus twice per AND/NOT node, and the word join
+    // reads it again — without the cache each read would re-scan
+    // dict+postings (the same economy every other query path gets from
+    // cacheSwap)
+    val mp = cacheSwap(matchedPostings(matchedWords(parsed.searchWords),
+      coarsePred(parsed.searchWords)))
     val retained = retainedTermPairs(parsed, countAgg(mp)) match {
       case None => return empty
       case Some(r) => r
@@ -564,11 +569,15 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       case Some((aConv, aTurn)) =>
         // doc_id is assigned in (conv_id, turn_idx) order, so the internal
         // tie-break key resolves from the caller-visible cursor by a
-        // pushed-equality docs lookup (≤ 1 row, broadcast); the cursor's
-        // own score rides a second one-row broadcast off the SAME scored
-        // frame — an absent key or non-hit cursor makes the inner join
-        // empty, which is exactly the documented empty result
-        val cursorId = docs
+        // pushed-equality docs lookup (≤ 1 row, broadcast) — against the
+        // UNMASKED doc table: a boundary doc tombstoned mid-walk must
+        // still resolve so the walk continues (results stay masked by
+        // rankTopK; a compaction PURGE removes the doc's postings, so the
+        // cursor then reads as absent — the documented empty). The
+        // cursor's own score rides a second one-row broadcast off the
+        // SAME scored frame — an absent key or non-hit cursor makes the
+        // inner join empty, which is exactly the documented empty result
+        val cursorId = store.docsAt(spark, version)
           .filter($"conv_id" === aConv && $"turn_idx" === aTurn)
           .select($"doc_id".as("a_id"))
         val cursor = scored.join(broadcast(cursorId),

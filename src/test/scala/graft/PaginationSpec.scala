@@ -77,6 +77,33 @@ class PaginationSpec extends SparkTestBase {
     }
   }
 
+  test("a tombstoned boundary doc still works as a cursor") {
+    import spark.implicits._
+    // own index: the shared one must stay tombstone-free
+    val dir = tmpDir("graft-page-del")
+    IndexBuilder.build(spark,
+      TranscriptGen.dataset(spark, 40, partitions = 4), dir, conf)
+    val clean = new Searcher(spark, new IndexStore(dir), conf)
+    val q = "which would there"
+    val full = rows(clean.searchBm25(q, 100000, useWand = false))
+    val p1 = rows(clean.searchBm25Page(q, 10))
+    val (bc, bt, _) = p1.last
+    clean.close()
+    // delete the boundary doc's conversation mid-walk
+    graft.index.IndexDeleter.delete(spark, dir, Seq(bc).toDF("conv_id"))
+    val masked = new Searcher(spark, new IndexStore(dir), conf)
+    val p2After = rows(masked.searchBm25Page(q, 10, Some((bc, bt))))
+    // the walk continues: the cursor resolves through the UNMASKED doc
+    // table; the page itself masks. Survivors keep their exact scores
+    // (the stale-stats tombstone contract), so the page equals the
+    // pre-delete ranking after the cursor, minus the deleted conv
+    val cut = full.indexWhere(r => r._1 == bc && r._2 == bt)
+    assert(cut >= 0)
+    assert(p2After === full.drop(cut + 1).filter(_._1 != bc).take(10))
+    assert(p2After.nonEmpty)
+    masked.close()
+  }
+
   test("unknown cursor key, non-hit cursor, and bad inputs degrade to empty") {
     val q = "which would there"
     assert(searcher.searchBm25Page(q, 10, Some(("no-such-conv", 0)))

@@ -121,6 +121,26 @@ class PercolateSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming with only invalid queries runs and alerts nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.model.Turn]
+    val root = tmpDir("graft-perc-empty")
+    // limit(0) would be rejected by the streaming analyzer — the
+    // all-invalid path must still start and simply produce no alerts
+    val q = graft.streaming.StreamingPercolator.start(
+      source.toDS(), Seq("((((broken", ""), s"$root/alerts",
+      s"$root/ckpt", conf)
+    try {
+      source.addData(TranscriptGen.local(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val n = try spark.read.parquet(s"$root/alerts").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(n === 0L)
+  }
+
   test("no valid queries → empty with the right schema") {
     assert(Percolator.matches(corpus, Seq("((((broken", ""), conf)
       .collect().isEmpty)
