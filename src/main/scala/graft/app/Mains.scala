@@ -301,7 +301,7 @@ object CheckIndexMain {
   * `--as-of=V` pins every query to committed snapshot version V —
   * point-in-time search over the LSM store (see [[Searcher]]).
   *
-  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats|percolate]
+  * Usage: SearchMain <indexDir> <query | -i> [--mode=count|countp|bm25|bm25p|batch|batch-bm25|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats|percolate]
   *        [--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] [--facet=<col>] [--syn=w:s1,s2;w2:s3] [--as-of=V] [--exact] [--min-char=N] [--config=<file>]
   *        (conv: rollup of count hits by conversation, prints
   *         conv:n_turns -> total_cnt; mlt: query is <convId>[:turnIdx],
@@ -445,7 +445,7 @@ object SearchMain {
   }
 
   private val Usage: String = "usage: SearchMain <indexDir> <query|-i> " +
-    "[--mode=count|countp|bm25|bm25p|batch|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats|percolate] " +
+    "[--mode=count|countp|bm25|bm25p|batch|batch-bm25|phrase|phrase-bm25|near|nearall|fuzzy|fuzzy-bm25|conv|mlt|snippet|suggest|spell|regex|related|facets|explain|stats|percolate] " +
     "[--k=10] [--dist=3] [--ordered] [--edits=1] [--terms=5] [--width=5] " +
     "[--facet=<metadata column, --mode=facets>] " +
     "[--syn=<w:s1,s2;w2:s3 inline synonym spec, --mode=count|bm25>] " +
@@ -556,6 +556,13 @@ object SearchMain {
               q.split(';').toSeq.map(_.trim).filter(_.nonEmpty))
             .select(concat(col("query_id"), lit("#"), col("conv_id")),
               col("turn_idx"), col("cnt")).collect()
+        case "batch-bm25" =>
+          // the scoring sibling: per-query top-k from one shared frame
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          searcher.searchBm25Batch(
+              q.split(';').toSeq.map(_.trim).filter(_.nonEmpty), k)
+            .select(concat(col("query_id"), lit("#"), col("conv_id")),
+              col("turn_idx"), col("score")).collect()
         case "explain" =>
           // per-word BM25 breakdown of --doc: word:<tf> -> contribution
           import org.apache.spark.sql.functions.col
