@@ -65,9 +65,45 @@ object EntryQueries {
     * rest) whose result must equal the full build on disjoint batches. */
   private val idxCache = new ConcurrentHashMap[String, String]()
 
+  /** Catalog fixture scratch space: tmpfs when the host has it (the
+    * fast-local-storage posture a production cluster gets from NVMe
+    * shuffle/scratch dirs — guide §6 I/O layout; the sandbox's /tmp is a
+    * high-variance virtio disk), falling back to java.io.tmpdir. Every
+    * dir is registered for deletion at JVM exit so repeated runs cannot
+    * strand state in RAM-backed tmpfs. */
+  private def tmpFixtureDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try IndexBuilder.deleteRecursive(p) catch { case _: Throwable => () }))
+    p.toString
+  }
+
+  /** Recursive snapshot-directory copy (layer paths inside manifests are
+    * relative, so a copied tree is a valid identical snapshot). Lets the
+    * tombstone fixtures derive from an ALREADY-BUILT index instead of
+    * re-running the full build per fixture — file I/O instead of a
+    * corpus-wide Spark job. */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(s).iterator().asScala.foreach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def indexDirFull(spark: SparkSession, dir: String): String =
     idxCache.computeIfAbsent(s"full:$dir", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-qidx").toString
+      val out = tmpFixtureDir("graft-qidx")
       IndexBuilder.build(spark, docsCorpus(spark, dir), out)
       out
     })
@@ -75,7 +111,7 @@ object EntryQueries {
   def indexDirMerged(spark: SparkSession, dir: String): String =
     idxCache.computeIfAbsent(s"merged:$dir", _ => {
       import spark.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft-qidxm").toString
+      val out = tmpFixtureDir("graft-qidxm")
       val corpus = docsCorpus(spark, dir)
       val mid = t(spark, dir, "documents").agg(max(col("doc_id")))
         .head().getLong(0) / 2
@@ -171,7 +207,7 @@ object EntryQueries {
 
   def indexDirConv(spark: SparkSession, dir: String): String =
     idxCache.computeIfAbsent(s"conv:$dir", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-qidxc").toString
+      val out = tmpFixtureDir("graft-qidxc")
       IndexBuilder.build(spark, convCorpus(spark, dir), out)
       out
     })
@@ -183,25 +219,37 @@ object EntryQueries {
       .select(format_string("%012d", col("doc_id")).as("conv_id"))
 
   /** Full index with [[delKeys]] tombstoned (stats stale — the Lucene
-    * live-docs contract the oracles mirror). */
-  def indexDirDeleted(spark: SparkSession, dir: String): String =
+    * live-docs contract the oracles mirror). Derived by COPYING the
+    * already-built full snapshot and committing tombstones on the copy:
+    * the build is deterministic, so delete(copy(full)) is identical to
+    * delete(fresh build) while paying file I/O instead of a second
+    * corpus-wide build (guide §1.2: remove work, don't tune it). The
+    * full dir resolves BEFORE the computeIfAbsent body — nested
+    * computeIfAbsent on one ConcurrentHashMap risks a recursive-update
+    * abort. */
+  def indexDirDeleted(spark: SparkSession, dir: String): String = {
+    val full = indexDirFull(spark, dir)
     idxCache.computeIfAbsent(s"del:$dir", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-qidxd").toString
-      IndexBuilder.build(spark, docsCorpus(spark, dir), out)
+      val out = tmpFixtureDir("graft-qidxd")
+      copyTree(full, out)
       IndexDeleter.delete(spark, out, delKeys(spark, dir))
       out
     })
+  }
 
   /** [[indexDirDeleted]] then compacted: tombstones purged, stats
-    * recomputed — the snapshot equals a fresh build over the live docs. */
-  def indexDirDelCompact(spark: SparkSession, dir: String): String =
+    * recomputed — the snapshot equals a fresh build over the live docs.
+    * Same copy derivation: compact(copy(deleted)) ≡ compact(build+delete)
+    * on the deterministic snapshot content. */
+  def indexDirDelCompact(spark: SparkSession, dir: String): String = {
+    val del = indexDirDeleted(spark, dir)
     idxCache.computeIfAbsent(s"delc:$dir", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-qidxdc").toString
-      IndexBuilder.build(spark, docsCorpus(spark, dir), out)
-      IndexDeleter.delete(spark, out, delKeys(spark, dir))
+      val out = tmpFixtureDir("graft-qidxdc")
+      copyTree(del, out)
       Compactor.compact(spark, out)
       out
     })
+  }
 
   // ---- catalog -------------------------------------------------------------
 
@@ -450,20 +498,27 @@ object EntryQueries {
         .orderBy(col("doc_id")).as[(Long, String)].collect()
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-qsdedup").toString
+      val root = tmpFixtureDir("graft-qsdedup")
       // checkpoint lives UNDER root so the single recursive delete below
       // cleans every run artifact (repeated gate runs were accumulating
       // unbounded /tmp state)
-      val q = graft.streaming.StreamingDedup.start(s,
-        source.toDF().toDF("doc_id", "text"), root, s"$root/ckpt",
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      // 8 shuffle partitions for the replay (the q_events_sessions_stream
+      // convention, restored after): each micro-batch's joins/dedups and
+      // parquet appends over a 300-row harness slice otherwise fan out to
+      // 32 near-empty tasks and files per batch
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
-          source.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        val q = graft.streaming.StreamingDedup.start(s,
+          source.toDF().toDF("doc_id", "text"), root, s"$root/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        try {
+          all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+            source.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       // materialize the bounded verdict slice BEFORE deleting the state
       // dirs (the returned frame outlives this function)
       val rows = s.read.parquet(s"$root/verdicts")
@@ -491,18 +546,23 @@ object EntryQueries {
         .orderBy(col("vec_id")).as[(Long, Seq[Float])].collect()
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Seq[Float])]
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-qsemstream").toString
-      val q = graft.streaming.StreamingDedup.startSemantic(s,
-        source.toDF().toDF("vec_id", "embedding"), root, s"$root/ckpt",
-        cents, minCos = 0.42,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      val root = tmpFixtureDir("graft-qsemstream")
+      // 8 shuffle partitions for the replay (the q_events_sessions_stream
+      // convention, restored after) — same rationale as q_dedup_stream
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
-          source.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        val q = graft.streaming.StreamingDedup.startSemantic(s,
+          source.toDF().toDF("vec_id", "embedding"), root, s"$root/ckpt",
+          cents, minCos = 0.42,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        try {
+          all.grouped(math.max(1, (all.length + 2) / 3)).foreach { chunk =>
+            source.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       val rows = s.read.parquet(s"$root/verdicts")
         .dropDuplicates("batch_id", "vec_id")
         .select(col("vec_id"), col("is_new"))
@@ -965,8 +1025,7 @@ object EntryQueries {
         .orderBy(col("conv_id")).collect()
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Turn]
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-qsperc").toString
+      val root = tmpFixtureDir("graft-qsperc")
       // the whole replay under ONE try/finally on the temp root: a replay
       // or read failure must not leak alerts+checkpoint state per run
       val res = try {

@@ -40,6 +40,10 @@ object Compactor {
     val done = store.completedStages(v)
     val P = conf.shufflePartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
+    // scale-adaptive shuffle width (the IndexBuilder pEff rationale):
+    // compaction is Θ(index), so size the shuffles to the index being
+    // squashed — oldMeta.numDocs is already on the driver, no extra job
+    val pEff = math.min(P, math.max(1, (store.meta(oldV).numDocs / 2000L).toInt))
 
     def stage(name: String)(f: => Unit): Unit =
       store.instrumentedStage(spark, v, name, done) { f; -1L }
@@ -72,7 +76,7 @@ object Compactor {
 
     stage("docs") {
       dropDeleted(store.docsAt(spark, oldV))
-        .repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+        .repartitionByRange(pEff, $"doc_id").sortWithinPartitions($"doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     }
 
@@ -88,7 +92,7 @@ object Compactor {
           base.join(fresh.select($"doc_id"), Seq("doc_id"), "left_anti")
             .unionByName(fresh)
       }
-      out.repartitionByRange(P, $"doc_id").sortWithinPartitions($"doc_id")
+      out.repartitionByRange(pEff, $"doc_id").sortWithinPartitions($"doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")
     }
 
@@ -97,7 +101,53 @@ object Compactor {
       if (fix.isEmpty && deleted.isEmpty) {
         // pure squash: masked-union rows already carry dense part
         // numbering per term — rewrite as one layer, no decode
-        IndexBuilder.writeParts(cur, s"$dir/postings", P)
+        IndexBuilder.writeParts(cur, s"$dir/postings", pEff)
+      } else if (fix.isEmpty) {
+        // tombstone-only purge: decode-filter-re-encode each part IN
+        // PLACE (the Lucene live-docs merge move). Removal can only
+        // SHRINK a part, so doc ranges stay disjoint and ordered and the
+        // per-task buffer stays bounded by the part itself — no need to
+        // explode every posting into a corpus-wide (term, doc) shuffle
+        // and re-aggregate it (the fix-rewrite path below pays that
+        // because fresh tokens must interleave into existing parts; a
+        // pure purge never does). One map-side pass + a part-row-sized
+        // renumber window replace the exploded exchange (guide §2.3:
+        // shuffle bytes ~posting-rows → ~part-rows). Parts whose postings
+        // were all tombstoned drop out; a term losing every part loses
+        // its dict row in the dict stage below, exactly like the rewrite
+        // path. Tombstones are Θ(deletes-since-compaction) by the
+        // [[IndexDeleter]] contract — the sorted-array broadcast is the
+        // same bounded shape the WAND skip list ships.
+        val delArr = deleted.get.select($"doc_id").as[Long]
+          .collect().sorted
+        val delB = spark.sparkContext.broadcast(delArr)
+        val filtered = cur
+          .select($"term", $"part", $"bytes")
+          .as[(String, Int, Array[Byte])]
+          .mapPartitions { it =>
+            val del = delB.value
+            it.flatMap { case (term, part, bytes) =>
+              val ps = Codec.decodeAll(bytes).filter(p =>
+                java.util.Arrays.binarySearch(del, p.docId) < 0)
+              if (ps.isEmpty) Iterator.empty
+              else {
+                var maxTf = 0
+                ps.foreach(p => if (p.tf > maxTf) maxTf = p.tf)
+                Iterator((term, part, ps.head.docId, ps.last.docId,
+                  ps.length.toLong, maxTf,
+                  Codec.encode(ps, conf.blockSize)))
+              }
+            }
+          }
+          .toDF("term", "opart", "first_doc", "last_doc", "df", "max_tf",
+            "bytes")
+        val renumbered = filtered
+          .withColumn("part",
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"term").orderBy($"opart")) - 1))
+          .select(substring($"term", 1, 1).as("letter"), $"term", $"part",
+            $"first_doc", $"last_doc", $"df", $"max_tf", $"bytes")
+        IndexBuilder.writeParts(renumbered, s"$dir/postings", pEff)
       } else {
         // decode everything, drop rows of fixed AND tombstoned docs,
         // union fixed docs' fresh tokens, re-encode — the one
@@ -128,8 +178,8 @@ object Compactor {
             t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
           .toMap
         IndexBuilder.writeParts(
-          IndexBuilder.encodeParts(spark, tokens, span, hot, conf, P),
-          s"$dir/postings", P)
+          IndexBuilder.encodeParts(spark, tokens, span, hot, conf, pEff),
+          s"$dir/postings", pEff)
       }
     }
 
@@ -137,7 +187,7 @@ object Compactor {
       spark.read.parquet(s"$dir/postings")
         .groupBy($"letter", $"term")
         .agg(sum($"df").as("df"), count(lit(1)).cast("int").as("parts"))
-        .repartitionByRange(math.max(1, P / 4), $"term")
+        .repartitionByRange(math.max(1, pEff / 4), $"term")
         .sortWithinPartitions($"term")
         .write.mode(SaveMode.Overwrite).partitionBy("letter")
         .parquet(s"$dir/dict")

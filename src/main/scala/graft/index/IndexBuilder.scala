@@ -90,6 +90,19 @@ object IndexBuilder {
       -1L
     }
     val prep = spark.read.parquet(s"$dir/_prep")
+    // parquet footer row count (no scan) — shared by the hot-terms skip
+    // check and the scale-adaptive shuffle width below
+    val prepRows = prep.count()
+    // Scale-adaptive width for the batch-proportional stages (guide §2:
+    // derive partitioning from input size, never a constant tuned for one
+    // mode; §6: small files hurt twice). At bench/cluster scale (≥ ~64k
+    // docs) this IS P — the scaling study's postings shuffle is untouched;
+    // a small build (the per-catalog fixture indexes, tiny merges) stops
+    // paying 32 near-empty sort tasks per stage and writing 32 near-empty
+    // files per table that every later query must list and open. Explicit
+    // repartitionByRange(N, …) pins N against AQE coalescing, so the
+    // adaptivity has to happen here, at plan-build time.
+    val pEff = math.min(P, math.max(1, (prepRows / 2000L).toInt))
 
     // -- stages docs / doc_stats / hot_terms — three INDEPENDENT reads of
     // _prep (two column projections + the sampled skew pre-pass), none of
@@ -113,14 +126,17 @@ object IndexBuilder {
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       val bodies: Seq[(String, () => Unit)] = Seq(
+        // coalesce(pEff): identity at scale (pEff = P = _prep's partition
+        // count), one output file instead of 32 near-empty ones for small
+        // builds — these tables are scanned by EVERY later query
         ("docs", () =>
-          prep.select($"doc_id", $"conv_id", $"turn_idx")
+          prep.select($"doc_id", $"conv_id", $"turn_idx").coalesce(pEff)
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")),
         ("doc_stats", () =>
-          prep.select($"doc_id", $"word_count", $"dl")
+          prep.select($"doc_id", $"word_count", $"dl").coalesce(pEff)
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_stats")),
         ("hot_terms", () =>
-          if (prep.count() > conf.maxPostingsPerPart / 2)
+          if (prepRows > conf.maxPostingsPerPart / 2)
             prep.select($"text")
               .sample(withReplacement = false, sampleRate, 42L)
               .as[String]
@@ -134,51 +150,75 @@ object IndexBuilder {
         (name, Future { val t0 = System.nanoTime(); body()
           (System.nanoTime() - t0) / 1000000L })
       }
+      // -- stage: postings — tokenize fused into the map side of the one
+      // term shuffle (no token materialization round-trip), then salted
+      // sort-based streaming encode. Runs CONCURRENTLY with docs/doc_stats
+      // (it reads only _prep and _hot_terms, chained after the hot_terms
+      // future): the short projection stages used to serialize ~0.3-0.9 s
+      // of wall in front of the dominant stage at BOTH scaling levels — a
+      // pure Amdahl term (guide §2.6: overlap independent jobs). Its
+      // shuffle metrics keep their own tap; the only concurrent shuffle is
+      // hot_terms' 2% sample aggregate (noise against the term shuffle,
+      // noted here for the skew-evidence reader).
+      // maxDocId needs NO job: prep assigns dense ids 0..N-1 by
+      // construction (zipWithIndex — the docs_ids_dense invariant
+      // IndexCheck asserts), so max = prepRows - 1, and -1 for an empty
+      // corpus falls out of the same arithmetic.
+      val hotFut = launched.collectFirst { case ("hot_terms", f) => f }
+      val postingsFut: Option[Future[(Long, Map[String, Any])]] =
+        if (done.contains("postings")) None
+        else Some(Future {
+          hotFut.foreach(f => Await.result(f, Duration.Inf))
+          val tap = new graft.util.TaskMetricsTap
+          spark.sparkContext.addSparkListener(tap)
+          val t0 = System.nanoTime()
+          try {
+            val hotPath = java.nio.file.Paths.get(s"$dir/_hot_terms")
+            val hotHasData = java.nio.file.Files.isDirectory(hotPath) && {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.list(hotPath).iterator().asScala
+                .exists(_.getFileName.toString.endsWith(".parquet"))
+            }
+            val hot: Map[String, Int] =
+              if (!hotHasData) Map.empty
+              else spark.read.parquet(s"$dir/_hot_terms")
+                .as[(String, Long)].collect()
+                .map { case (t, dfS) =>
+                  t -> math.max(1, math.ceil(
+                    dfS * (1.0 / sampleRate) / conf.maxPostingsPerPart).toInt) }
+                .toMap
+            val tokens = prep.select($"doc_id", $"text").as[(Long, String)]
+              .flatMap { case (id, text) =>
+                val st = Tokenizer.stats(text)
+                st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
+              }
+              .toDF("term", "doc_id", "tf", "dl")
+            val parts = encodeParts(spark, tokens, prepRows, hot, conf, pEff)
+            writeParts(parts, s"$dir/postings", pEff)
+            val millis = (System.nanoTime() - t0) / 1000000L
+            tap.drain()
+            (millis, tap.metricsMap)
+          } finally spark.sparkContext.removeSparkListener(tap)
+        })
       // settle ALL futures before letting a failure unwind: an orphaned
       // sibling job still writing into the snapshot dir would race a
       // same-JVM resume's overwrite of that path
       val settled = launched.map { case (name, fut) =>
         (name, scala.util.Try(Await.result(fut, Duration.Inf))) }
+      val postingsSettled = postingsFut.map(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)))
       settled.foreach {
         case (name, scala.util.Success(millis)) =>
           store.recordStage(v, name, -1L, millis)
         case _ => () // failed stage: no record — the resume re-runs it
       }
-      settled.collectFirst { case (_, scala.util.Failure(e)) => throw e }
-    }
-    val docs = spark.read.parquet(s"$dir/docs")
-
-    // -- stage: postings — tokenize fused into the map side of the one
-    // term shuffle (no token materialization round-trip), then salted
-    // sort-based streaming encode.
-    stage("postings") {
-      // Option: an EMPTY corpus has no max (a first build may legitimately
-      // see zero docs; -1 makes the span 0)
-      val maxDocId = docs.agg(max($"doc_id")).as[Option[Long]].head()
-        .getOrElse(-1L)
-      val hotPath = java.nio.file.Paths.get(s"$dir/_hot_terms")
-      val hotHasData = java.nio.file.Files.isDirectory(hotPath) && {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(hotPath).iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".parquet"))
+      postingsSettled.foreach {
+        case scala.util.Success((millis, metrics)) =>
+          store.recordStage(v, "postings", -1L, millis, metrics)
+        case _ => ()
       }
-      val hot: Map[String, Int] =
-        if (!hotHasData) Map.empty
-        else spark.read.parquet(s"$dir/_hot_terms")
-          .as[(String, Long)].collect()
-          .map { case (t, dfS) =>
-            t -> math.max(1, math.ceil(
-              dfS * (1.0 / sampleRate) / conf.maxPostingsPerPart).toInt) }
-          .toMap
-      val tokens = prep.select($"doc_id", $"text").as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val st = Tokenizer.stats(text)
-          st.tf.iterator.map { case (term, tf) => (term, id, tf, st.dl) }
-        }
-        .toDF("term", "doc_id", "tf", "dl")
-      val parts = encodeParts(spark, tokens, maxDocId + 1, hot, conf, P)
-      writeParts(parts, s"$dir/postings", P)
-      -1L
+      settled.collectFirst { case (_, scala.util.Failure(e)) => throw e }
+      postingsSettled.collect { case scala.util.Failure(e) => throw e }
     }
 
     // -- stage: dict — the words.index analog; letter partitions + parquet
@@ -189,7 +229,7 @@ object IndexBuilder {
       val postings = spark.read.parquet(s"$dir/postings")
       postings.groupBy($"letter", $"term")
         .agg(sum($"df").as("df"), count(lit(1)).cast("int").as("parts"))
-        .repartitionByRange(math.max(1, P / 4), $"term")
+        .repartitionByRange(math.max(1, pEff / 4), $"term")
         .sortWithinPartitions($"term")
         .write.mode(SaveMode.Overwrite).partitionBy("letter")
         .parquet(s"$dir/dict")

@@ -159,6 +159,11 @@ object IndexMerger {
       return oldMeta
     }
 
+    // scale-adaptive shuffle width for the Θ(batch) stages (the
+    // IndexBuilder pEff rationale): a 2% merge batch must not pay P
+    // near-empty sort tasks and write P near-empty delta files per table
+    val pEff = math.min(P, math.max(1, (batchRows / 2000L).toInt))
+
     // -- docs delta: ONLY the fresh docs; old docs ride along by reference
     stage("docs") {
       batchPrep.filter($"is_new")
@@ -201,8 +206,8 @@ object IndexMerger {
             t -> math.ceil(df.toDouble / conf.maxPostingsPerPart).toInt }
           .toMap
       IndexBuilder.writeParts(
-        IndexBuilder.encodeParts(spark, tokens, span, hot, conf, P),
-        s"$dir/_segment", P)
+        IndexBuilder.encodeParts(spark, tokens, span, hot, conf, pEff),
+        s"$dir/_segment", pEff)
     }
 
     // -- postings delta: batch parts whose terms never touch the old id
@@ -271,7 +276,7 @@ object IndexMerger {
 
       val delta =
         if (nAffected == 0) appended else appended.unionByName(regrouped)
-      IndexBuilder.writeParts(delta, s"$dir/postings", P)
+      IndexBuilder.writeParts(delta, s"$dir/postings", pEff)
       if (nAffected > 0)
         affected.repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/replaced_terms")

@@ -122,18 +122,29 @@ object Dedup {
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val joinable = hotShingleCap match {
       case Some(cap) =>
+        // the hot set is COLLECTED once (bounded: shingles over a
+        // corpus-relative df cap are boilerplate-sized by construction)
+        // and re-used as a local relation — the earlier hot.count() +
+        // broadcast(hot) pair ran the full shingle-df aggregation TWICE
+        // (once for the eager log count, once rebuilding the broadcast),
+        // doubling the capped path's heaviest job (guide §2.4: don't
+        // recompute a subtree two consumers can share)
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
+        val hotLocal = hot.collect()
         // no silent caps: dropping hot shingles bounds the worst join key
         // but can lose pairs whose ONLY shared shingles are hot — log what
         // was excluded so a recall investigation has the number
-        val nHot = hot.count()
-        if (nHot > 0)
+        if (hotLocal.nonEmpty) {
           org.apache.log4j.Logger.getLogger(getClass)
-            .warn(s"jaccardPairs: dropped $nHot shingles with df > $cap " +
-              "from pair generation (skew cap); pairs sharing only hot " +
-              "shingles are not candidates")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+            .warn(s"jaccardPairs: dropped ${hotLocal.length} shingles " +
+              s"with df > $cap from pair generation (skew cap); pairs " +
+              "sharing only hot shingles are not candidates")
+          import scala.jdk.CollectionConverters._
+          val hotDf = df.sparkSession.createDataFrame(
+            hotLocal.toSeq.asJava, hot.schema)
+          sh.join(broadcast(hotDf), Seq("shingle"), "left_anti")
+        } else sh
       case None => sh
     }
     val a = joinable.select(col(id).as("id_a"), col("shingle"))
@@ -243,13 +254,20 @@ object Dedup {
             .filter(col("df") + col("bdf") > cap).select("shingle"))
           .unionByName(batchDf.filter(col("df") > cap).select("shingle"))
           .distinct()
-        val nHot = hot.count()
-        if (nHot > 0)
+        // collect-once like [[jaccardPairs]]' cap: the count + two
+        // broadcast(hot) sites would otherwise evaluate the 3-way union
+        // THREE times (bounded: the combined-df-over-cap set)
+        val hotLocal = hot.collect()
+        if (hotLocal.nonEmpty)
           org.apache.log4j.Logger.getLogger(getClass)
-            .warn(s"jaccardPairsIncremental: dropped $nHot shingles with " +
-              s"combined df > $cap from pair generation (skew cap)")
-        (bs.join(broadcast(hot), Seq("shingle"), "left_anti"),
-          baseSets.join(broadcast(hot), Seq("shingle"), "left_anti"))
+            .warn(s"jaccardPairsIncremental: dropped ${hotLocal.length} " +
+              s"shingles with combined df > $cap from pair generation " +
+              "(skew cap)")
+        import scala.jdk.CollectionConverters._
+        val hotDf = batch.sparkSession.createDataFrame(
+          hotLocal.toSeq.asJava, hot.schema)
+        (bs.join(broadcast(hotDf), Seq("shingle"), "left_anti"),
+          baseSets.join(broadcast(hotDf), Seq("shingle"), "left_anti"))
       case None => (bs, baseSets)
     }
     val probe = if (broadcastShingles) broadcast(joinableB) else joinableB

@@ -82,8 +82,15 @@ object ImageIoCodec extends MediaCodec {
   override def featureDim: Int = FeatureDim
 
   private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    // explicit memory-backed ImageInputStream: ImageIO.read(InputStream)
+    // consults the global useCache flag (default true) and then spools
+    // every payload through a FileCacheImageInputStream TEMP FILE — one
+    // disk file create/write/delete per decoded row (guide §1.2 step 2:
+    // per-task work; measured as the dominant q_mm_decode cost). The
+    // payload is already fully in memory, so the disk spool buys nothing.
     val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
     require(img != null, "undecodable image payload")
     img
   }
@@ -195,7 +202,12 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      // memory-backed ImageOutputStream for the same reason as
+      // [[ImageIoCodec.read]]: the OutputStream overload of ImageIO.write
+      // otherwise spools each encoded PNG through a disk-cache temp file
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      javax.imageio.ImageIO.write(img, "png", ios)
+      ios.close()
       MediaRow(docId, "image", bos.toByteArray, w, h)
     }
   }

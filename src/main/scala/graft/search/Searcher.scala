@@ -100,7 +100,12 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   // missing blocks), so correctness never depends on the lock, only
   // resource hygiene does
   private val cacheLock = new Object
-  private var cachedPerTerm: Option[DataFrame] = None
+  // keyed by the query that built it: a REPEAT of the same query (the
+  // pagination walk, a REPL re-issue, a service's hot query) reuses the
+  // persisted frame instead of rebuilding and re-persisting an identical
+  // one — the second searchBm25Page call of a page walk was re-running
+  // the whole dict+postings scoring pass it had just materialized
+  private var cachedPerTerm: Option[(String, DataFrame)] = None
   // a search() racing close() could otherwise persist a fresh per-term
   // frame and swap it in AFTER close() drained the cache, leaking one
   // persisted frame on a closed Searcher — the swap checks this flag
@@ -141,7 +146,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * [[warm]] (r3 review: routing this through close() silently unpersisted
     * the dictionary on the FIRST query, defeating the REPL warm path). */
   private[search] def dropPerTerm(): Unit = cacheLock.synchronized {
-    cachedPerTerm.foreach(_.unpersist(blocking = false))
+    cachedPerTerm.foreach(_._2.unpersist(blocking = false))
     cachedPerTerm = None
   }
 
@@ -149,7 +154,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * when done with the Searcher. */
   def close(): Unit = cacheLock.synchronized {
     isClosed = true
-    cachedPerTerm.foreach(_.unpersist(blocking = false))
+    cachedPerTerm.foreach(_._2.unpersist(blocking = false))
     cachedPerTerm = None
     if (dictWarmed) { dict.unpersist(blocking = false); dictWarmed = false }
     if (docsWarmed) { docs.unpersist(blocking = false); docsWarmed = false }
@@ -238,24 +243,32 @@ final class Searcher(spark: SparkSession, store: IndexStore,
   /** Persist `df` as THE query-scoped cached frame: the previous one
     * unpersists exactly once, whichever thread replaced it (a racing job
     * on it just recomputes); a swap against a closed Searcher releases the
-    * fresh frame instead of storing it. */
-  private def cacheSwap(df: DataFrame): DataFrame = {
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    * fresh frame instead of storing it. `key` identifies the query that
+    * built `df`: when the current cached frame carries the same key, it
+    * IS this frame (per-term construction is deterministic against this
+    * Searcher's pinned snapshot), so it is returned as-is — repeat
+    * queries skip both the rebuild and the persist/unpersist churn. */
+  private def cacheSwap(key: String, df: => DataFrame): DataFrame =
     cacheLock.synchronized {
-      if (isClosed) cached.unpersist(blocking = false)
-      else {
-        cachedPerTerm.foreach(_.unpersist(blocking = false))
-        cachedPerTerm = Some(cached)
+      cachedPerTerm match {
+        case Some((k, c)) if k == key && !isClosed => c
+        case _ =>
+          val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+          if (isClosed) cached.unpersist(blocking = false)
+          else {
+            cachedPerTerm.foreach(_._2.unpersist(blocking = false))
+            cachedPerTerm = Some((key, cached))
+          }
+          cached
       }
     }
-    cached
-  }
 
-  private def evalQuery(query: String, perTermValue: DataFrame): DataFrame = {
+  private def evalQuery(key: String, query: String,
+      perTermValue: => DataFrame): DataFrame = {
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || parsed.searchWords.isEmpty)
       return new DfAlgebra(_ => null).empty
-    val cached = cacheSwap(perTermValue)
+    val cached = cacheSwap(key, perTermValue)
     val alg = new DfAlgebra(i => cached.filter($"term_idx" === i)
       .select($"doc_id", $"v"))
     parsed.eval(alg).getOrElse(new DfAlgebra(_ => null).empty)
@@ -276,7 +289,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * position; a query that is invalid or has no hits contributes zero
     * rows (the reference's malformed-query tolerance, per query). */
   def searchCountBatch(queries: Seq[String]): DataFrame =
-    batchEval(queries, countAgg)
+    batchEval("cnt", queries, countAgg)
       .map(_.reduce(_ unionByName _)
         .join(docs, Seq("doc_id"))
         .select($"query_id", $"conv_id", $"turn_idx",
@@ -293,7 +306,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * read amortizes across the whole set. */
   def searchBm25Batch(queries: Seq[String], k: Int): DataFrame = {
     if (k < 1) return emptyBatchResult("score")
-    batchEval(queries, bm25Agg)
+    batchEval("bm25", queries, bm25Agg)
       .map(_.map(f => maskHits(f)
           .orderBy($"v".desc, $"doc_id").limit(k))
         .reduce(_ unionByName _)
@@ -367,8 +380,9 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     // reads it again — without the cache each read would re-scan
     // dict+postings (the same economy every other query path gets from
     // cacheSwap)
-    val mp = cacheSwap(matchedPostings(matchedWords(parsed.searchWords),
-      coarsePred(parsed.searchWords)))
+    val mp = cacheSwap(s"explain:$query",
+      matchedPostings(matchedWords(parsed.searchWords),
+        coarsePred(parsed.searchWords)))
     val retained = retainedTermPairs(parsed, countAgg(mp)) match {
       case None => return empty
       case Some(r) => r
@@ -409,7 +423,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     * evaluate each query's boolean tree against it. None ⇔ no query
     * contributes anything. Each returned frame is
     * (query_id, doc_id, v) for one input query. */
-  private def batchEval(queries: Seq[String],
+  private def batchEval(kind: String, queries: Seq[String],
       perTermOf: DataFrame => DataFrame): Option[Seq[DataFrame]] = {
     if (queries.isEmpty) return None
     val parsedAll =
@@ -420,7 +434,8 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val allWords = parsedAll.filter(_.valid).flatMap(_.searchWords)
     if (allWords.isEmpty) return None
     val mp = matchedPostings(matchedWords(allWords), coarsePred(allWords))
-    val cached = cacheSwap(perTermOf(mp))
+    val cached = cacheSwap(
+      s"batch:$kind:${queries.mkString("\u0001")}", perTermOf(mp))
     val frames = parsedAll.zipWithIndex.flatMap { case (p, qi) =>
       if (!p.valid || p.searchWords.isEmpty) None
       else {
@@ -440,7 +455,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     if (!parsed.valid) return emptyResult("cnt")
     val mp = matchedPostings(matchedWords(parsed.searchWords),
       coarsePred(parsed.searchWords))
-    val res = evalQuery(query, countAgg(mp))
+    val res = evalQuery(s"cnt:$query", query, countAgg(mp))
     res.join(docs, Seq("doc_id"))
       .select($"conv_id", $"turn_idx", $"v".cast("long").as("cnt"))
       .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
@@ -536,7 +551,8 @@ final class Searcher(spark: SparkSession, store: IndexStore,
 
   private def searchBm25Df(parsed: QueryParser.Parsed, query: String,
       k: Int): DataFrame =
-    rankTopK(evalQuery(query, bm25PerTerm(parsed.searchWords)), k)
+    rankTopK(evalQuery(s"bm25:$query", query,
+      bm25PerTerm(parsed.searchWords)), k)
 
   /** Keyset pagination over the BM25 ranking (the Elasticsearch
     * `search_after` posture): page 1 with `after = None`, then each next
@@ -563,7 +579,11 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       after: Option[(String, Int)] = None): DataFrame = {
     val parsed = QueryParser.parse("(" + query + ")", conf.exactMatch)
     if (!parsed.valid || k < 1) return emptyResult("score")
-    val scored = evalQuery(query, bm25PerTerm(parsed.searchWords))
+    // key shared with searchBm25Df: both build the identical bm25
+    // per-term frame, so page 2 of a walk (and a one-shot ranking that
+    // preceded it) reuses the page-1 materialization
+    val scored = evalQuery(s"bm25:$query", query,
+      bm25PerTerm(parsed.searchWords))
     val pageBase = after match {
       case None => scored
       case Some((aConv, aTurn)) =>
@@ -778,7 +798,8 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     filteredKeys(meta, whereSql) match {
       case None => emptyResult("score")
       case Some(keys) =>
-        evalQuery(query, bm25PerTerm(parsed.searchWords))
+        evalQuery(s"bm25:$query", query,
+          bm25PerTerm(parsed.searchWords))
           .join(docs, Seq("doc_id"))
           .join(keys, Seq("conv_id", "turn_idx"))
           .orderBy($"v".desc, $"doc_id").limit(k)
@@ -895,7 +916,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val perTerm = matchedPostings(matched, coarse)
       .groupBy($"term_idx", $"doc_id")
       .agg(count(lit(1)).cast("double").as("v"))
-    val res = evalQuery(query, perTerm)
+    val res = evalQuery(s"syncnt:$synMap:$query", query, perTerm)
     res.join(docs, Seq("doc_id"))
       .select($"conv_id", $"turn_idx", $"v".cast("long").as("cnt"))
       .orderBy($"cnt".desc, $"conv_id", $"turn_idx")
@@ -914,7 +935,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val perTerm = matchedPostings(matched, coarse)
       .withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
-    rankTopK(evalQuery(query, perTerm), k)
+    rankTopK(evalQuery(s"synbm25:$synMap:$query", query, perTerm), k)
   }
 
   // ---- related terms (query expansion, engine extension) --------------------
@@ -1272,7 +1293,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
     val perTerm = mp.groupBy($"term_idx", $"doc_id")
       .agg(count(lit(1)).cast("double").as("v"))
     if (parsed.searchWords.isEmpty) return emptyResult("cnt")
-    val cached = cacheSwap(perTerm)
+    val cached = cacheSwap(s"phrcnt:$query", perTerm)
     // a standalone word's count frame (the boost branch cannot read the
     // cached per-term frame — its inner word was masked from the lookup):
     // same Q6 semantics as the main pipeline, one pruned scan
@@ -1350,7 +1371,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       coarsePred(lookupWords))
     val perTerm = mp.withColumn("c", bm25Idf($"df") * bm25TfNorm($"tf"))
       .groupBy($"term_idx", $"doc_id").agg(sum($"c").as("v"))
-    val cached = cacheSwap(perTerm)
+    val cached = cacheSwap(s"phrbm25:$query", perTerm)
     // a standalone word's BM25 frame for the boost branch (its inner word
     // is masked from the cached lookup) — same formula blocks as the main
     // pipeline, so the scaled contribution cannot drift
@@ -1418,7 +1439,7 @@ final class Searcher(spark: SparkSession, store: IndexStore,
       k: Int): DataFrame = phraseCounts(corpus, phraseRaw) match {
     case None => emptyResult("score")
     case Some(raw) =>
-      val hits = cacheSwap(raw) // df-agg + scoring both read it
+      val hits = cacheSwap(s"phrasebm25:$phraseRaw", raw) // df-agg + scoring both read it
       virtualTermScore(hits)
         .select($"conv_id", $"turn_idx", $"v".as("score"), $"doc_id")
         .orderBy($"score".desc, $"doc_id").limit(k).drop("doc_id")
