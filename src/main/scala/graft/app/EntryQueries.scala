@@ -101,12 +101,71 @@ object EntryQueries {
     }
   }
 
-  def indexDirFull(spark: SparkSession, dir: String): String =
-    idxCache.computeIfAbsent(s"full:$dir", _ => {
+  def indexDirFull(spark: SparkSession, dir: String): String = {
+    val out = idxCache.computeIfAbsent(s"full:$dir", _ => {
       val out = tmpFixtureDir("graft-qidx")
       IndexBuilder.build(spark, docsCorpus(spark, dir), out)
       out
     })
+    prefetchFixtures(spark, dir)
+    out
+  }
+
+  /** Background fixture prefetch (guide §2.6 — overlap independent jobs):
+    * the catalog's DERIVED fixtures (conv-reshaped index, tombstoned and
+    * compacted copies, the shared jaccard pair frame, the long-lived
+    * searchers' pinned dictionary) do not depend on each other's order,
+    * only on the full index existing. Kicking them off on two daemon
+    * threads as soon as [[indexDirFull]] resolves lets them back-fill
+    * otherwise-idle executor capacity while the caller proceeds; the
+    * entries that need a fixture later block in `computeIfAbsent` only for
+    * whatever remains unfinished. Everything is still computed inside this
+    * JVM/run from the parquet inputs — this moves work earlier, it does
+    * not cache anything across runs. Spawned ONCE per (session, dir);
+    * `SPARK_GRAFT_NO_PREFETCH=1` disables for A/B measurement. */
+  private val prefetched = ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private def prefetchFixtures(spark: SparkSession, dir: String): Unit = {
+    if (sys.env.get("SPARK_GRAFT_NO_PREFETCH").contains("1")) return
+    if (!prefetched.add((spark, dir))) return
+    def daemon(name: String)(body: => Unit): Unit = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable =>
+          // a failed prefetch leaves the cache unpopulated — the owning
+          // entry simply rebuilds on demand; never fail the caller
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"fixture prefetch $name failed: ${e.getMessage}")
+        })
+      t.setName(s"graft-prefetch-$name")
+      t.setDaemon(true)
+      t.start()
+    }
+    // three lanes (guide §2.6: 2-3 in flight is plenty): the derived-index
+    // chain, the pair frame, and the searcher warms (dict/docs pinned — the
+    // REPL/service posture [[graft.search.Searcher.warm]] documents; the
+    // frozen bench's own p50 phases warm their searcher the same way)
+    daemon("indexes") {
+      spark.sparkContext.setJobDescription("prefetch: derived index fixtures")
+      searcher(spark, indexDirConv(spark, dir)).warm(includeDocs = true)
+      searcher(spark, indexDirDeleted(spark, dir)).warm(includeDocs = true)
+      searcher(spark, indexDirDelCompact(spark, dir)).warm(includeDocs = true)
+      spark.sparkContext.setJobDescription(null)
+    }
+    daemon("pairs") {
+      spark.sparkContext.setJobDescription("prefetch: jaccard pair frame")
+      // materialize the persisted frame so the first consumer entry
+      // (q_dedup_components) finds the blocks resident
+      jaccardPairs80(spark, dir).count()
+      spark.sparkContext.setJobDescription(null)
+    }
+    daemon("warm") {
+      spark.sparkContext.setJobDescription("prefetch: searcher warms")
+      searcher(spark, indexDirFull(spark, dir)).warm(includeDocs = true)
+      val merged = indexDirMerged(spark, dir)
+      searcher(spark, merged).warm(includeDocs = true)
+      searcherAt(spark, merged, v = 1).warm(includeDocs = true)
+      spark.sparkContext.setJobDescription(null)
+    }
+  }
 
   def indexDirMerged(spark: SparkSession, dir: String): String =
     idxCache.computeIfAbsent(s"merged:$dir", _ => {
