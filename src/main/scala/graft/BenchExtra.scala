@@ -70,21 +70,43 @@ object BenchExtra {
           System.err.println(s"[extra] explained $name")
         }
       case None =>
+        // per-entry job accounting: how much of an entry's wall is Spark
+        // jobs at all (vs driver-side planning/collect), and how many
+        // job launches it pays — the fixed-cost diagnosis of guide §1
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val jobNanos = new java.util.concurrent.atomic.AtomicLong
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              starts.put(j.jobId, System.nanoTime())
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val t0 = starts.remove(j.jobId)
+              if (t0 != 0L) {
+                jobs.incrementAndGet()
+                jobNanos.addAndGet(System.nanoTime() - t0)
+              }
+            }
+          })
         val times = mutable.LinkedHashMap.empty[String, Seq[Double]]
         selected.foreach { name =>
           spark.sparkContext.setJobDescription(name)
           val secs = (1 to repeat).map { _ =>
-            timed {
+            jobs.set(0); jobNanos.set(0L)
+            val (_, s) = timed {
               val df = EntryQueries.all(name)(spark, sfDir)
               if (sink == "noop")
                 df.write.format("noop").mode("overwrite").save()
               else df.count()
-            }._2
+            }
+            System.err.println(f"[extra] $name%-28s $s%.3f " +
+              f"jobs=${jobs.get} jobSec=${jobNanos.get / 1e9}%.3f")
+            s
           }
           spark.sparkContext.setJobDescription(null)
           times(name) = secs
-          System.err.println(f"[extra] $name%-28s " +
-            secs.map(s => f"$s%.3f").mkString(" "))
         }
         val total = times.values.map(_.head).sum
         val qs = times.map { case (k, v) =>

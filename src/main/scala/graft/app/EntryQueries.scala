@@ -564,9 +564,15 @@ object EntryQueries {
       // 8 shuffle partitions for the replay (the q_events_sessions_stream
       // convention, restored after): each micro-batch's joins/dedups and
       // parquet appends over a 300-row harness slice otherwise fan out to
-      // 32 near-empty tasks and files per batch
+      // 32 near-empty tasks and files per batch. AQE is off for the same
+      // replay window: each foreachBatch exchange otherwise materializes
+      // as its own stage job (~12 jobs per 100-row micro-batch measured),
+      // and AQE's runtime re-planning buys nothing at micro-batch size —
+      // production streams over real batch volumes keep it on.
       val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val q = graft.streaming.StreamingDedup.start(s,
           source.toDF().toDF("doc_id", "text"), root, s"$root/ckpt",
@@ -577,7 +583,10 @@ object EntryQueries {
             q.processAllAvailable()
           }
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
       // materialize the bounded verdict slice BEFORE deleting the state
       // dirs (the returned frame outlives this function)
       val rows = s.read.parquet(s"$root/verdicts")
@@ -606,10 +615,12 @@ object EntryQueries {
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Seq[Float])]
       val root = tmpFixtureDir("graft-qsemstream")
-      // 8 shuffle partitions for the replay (the q_events_sessions_stream
-      // convention, restored after) — same rationale as q_dedup_stream
+      // 8 shuffle partitions + AQE off for the replay (the q_dedup_stream
+      // convention, restored after) — same micro-batch-size rationale
       val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val q = graft.streaming.StreamingDedup.startSemantic(s,
           source.toDF().toDF("vec_id", "embedding"), root, s"$root/ckpt",
@@ -621,7 +632,10 @@ object EntryQueries {
             q.processAllAvailable()
           }
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
       val rows = s.read.parquet(s"$root/verdicts")
         .dropDuplicates("batch_id", "vec_id")
         .select(col("vec_id"), col("is_new"))

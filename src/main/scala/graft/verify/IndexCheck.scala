@@ -32,10 +32,15 @@ object IndexCheck {
 
   /** Run all checks on the current snapshot; returns (check, violations).
     *
-    * The result is ONE DataFrame whose plan unions a 1-row aggregate per
-    * check — the caller's single action runs every check in one Spark job
-    * (shared scans, parallel stages) instead of 16 sequential count jobs
-    * (r1: 4.4 s of the bench was this query's job-launch serialization). */
+    * The result is ONE DataFrame whose plan runs one multi-column
+    * aggregate per INPUT (a check over the docs table shares its scan
+    * with every other docs check), exploded back to (check_name,
+    * violations) rows — the caller's single action runs every check with
+    * one pass per table (r1: 4.4 s of the bench was 16 sequential count
+    * jobs; r6: the 16-branch union still paid one scan + exchange +
+    * AQE stage job PER CHECK — 28 jobs for one action. Grouping by input
+    * is the guide §2.4 shared-scan move and reads each snapshot table
+    * once at any corpus scale). */
   def run(spark: SparkSession, store: IndexStore): DataFrame = {
     import spark.implicits._
     val docs = store.docs(spark)
@@ -44,64 +49,70 @@ object IndexCheck {
     val posts = store.postings(spark)
     val meta = store.currentMeta
 
-    def one(name: String, violations: org.apache.spark.sql.Column,
-        df: DataFrame): DataFrame =
-      df.agg(coalesce(violations, lit(0L)).cast("long").as("violations"))
-        .select(lit(name).as("check_name"), $"violations")
+    /** One multi-column aggregate over `df`, exploded to one
+      * (check_name, violations) row per check — N checks, one scan. */
+    def multi(df: DataFrame, checks: (String, org.apache.spark.sql.Column)*)
+        : DataFrame = {
+      val aggs = checks.zipWithIndex.map { case ((_, c), i) =>
+        coalesce(c, lit(0L)).cast("long").as(s"_c$i") }
+      val pairs = checks.zipWithIndex.flatMap { case ((n, _), i) =>
+        Seq(lit(n), col(s"_c$i")) }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(map(pairs: _*)).as(Seq("check_name", "violations")))
+    }
 
-    def cnt(name: String, df: DataFrame): DataFrame =
-      one(name, count(lit(1)), df)
-
-    // -- docs: one scan feeds three aggregates
-    val docsChecks = Seq(
-      one("docs_duplicate_ids", count(lit(1)) - countDistinct($"doc_id"), docs),
-      one("docs_duplicate_keys",
-        count(lit(1)) - countDistinct($"conv_id", $"turn_idx"), docs),
-      one("docs_ids_dense",
-        // coalesce: an EMPTY docs table is vacuously dense (max is null)
+    // -- docs: ONE scan feeds all three aggregates
+    val docsChecks = multi(docs,
+      "docs_duplicate_ids" -> (count(lit(1)) - countDistinct($"doc_id")),
+      "docs_duplicate_keys" ->
+        (count(lit(1)) - countDistinct($"conv_id", $"turn_idx")),
+      // coalesce: an EMPTY docs table is vacuously dense (max is null)
+      "docs_ids_dense" ->
         when(count(lit(1)) === coalesce(max($"doc_id") + 1, lit(0L)), 0L)
-          .otherwise(1L), docs))
+          .otherwise(1L))
 
-    // -- doc_stats: the referential join and the bounds in one pass
-    val statsChecks = Seq(
-      one("doc_stats_missing_or_orphan",
-        sum(when($"conv_id".isNull || $"word_count".isNull, 1L).otherwise(0L)),
-        docs.join(stats, Seq("doc_id"), "full_outer")),
-      one("doc_stats_bounds",
-        sum(when($"word_count" < 0 || $"dl" < $"word_count", 1L).otherwise(0L)),
-        stats))
+    // -- doc_stats: the referential join and the bounds, one pass each
+    val statsJoinChecks = multi(
+      docs.join(stats, Seq("doc_id"), "full_outer"),
+      "doc_stats_missing_or_orphan" ->
+        sum(when($"conv_id".isNull || $"word_count".isNull, 1L).otherwise(0L)))
+    val statsChecks = multi(stats,
+      "doc_stats_bounds" ->
+        sum(when($"word_count" < 0 || $"dl" < $"word_count", 1L).otherwise(0L)))
 
-    // -- dict: one scan, four aggregates (incl. the letter consistency the
-    // reference's words_f validation covers, app/Index/Index_Check.cpp:121-180
-    // — a letter/term mismatch would silently break partition pruning)
-    val dictChecks = Seq(
-      one("dict_term_charset_or_length",
+    // -- dict: one scan, three aggregates; the letter consistency the
+    // reference's words_f validation covers (app/Index/Index_Check.cpp:
+    // 121-180 — a letter/term mismatch would silently break partition
+    // pruning) spans dict ∪ postings, so it keeps its own pass
+    val dictChecks = multi(dict,
+      "dict_term_charset_or_length" ->
         sum(when(!$"term".rlike("^[a-z]+$") ||
-          length($"term") < 4 || length($"term") > 19, 1L).otherwise(0L)), dict),
-      one("dict_duplicate_terms",
-        count(lit(1)) - countDistinct($"term"), dict),
-      one("dict_nonpositive_df",
-        sum(when($"df" <= 0, 1L).otherwise(0L)), dict),
-      one("letter_term_consistency",
-        sum(when($"letter" =!= substring($"term", 1, 1), 1L).otherwise(0L)),
-        dict.select($"letter", $"term")
-          .unionByName(posts.select($"letter", $"term"))))
+          length($"term") < 4 || length($"term") > 19, 1L).otherwise(0L)),
+      "dict_duplicate_terms" -> (count(lit(1)) - countDistinct($"term")),
+      "dict_nonpositive_df" -> sum(when($"df" <= 0, 1L).otherwise(0L)))
+    val letterChecks = multi(
+      dict.select($"letter", $"term")
+        .unionByName(posts.select($"letter", $"term")),
+      "letter_term_consistency" ->
+        sum(when($"letter" =!= substring($"term", 1, 1), 1L).otherwise(0L)))
 
-    // -- postings: one windowed pass covers ordering, numbering, ranges
+    // -- postings: one windowed pass covers ordering + numbering; the
+    // range bound rides the plain scan
     val partW = Window.partitionBy($"term").orderBy($"part")
     val partsOrdered = posts
       .withColumn("prev_last", lag($"last_doc", 1).over(partW))
       .withColumn("rn", row_number().over(partW) - 1)
-    val postChecks = Seq(
-      one("postings_part_range_overlap",
+    val postChecks = multi(partsOrdered,
+      "postings_part_range_overlap" ->
         sum(when($"first_doc" > $"last_doc" ||
           ($"prev_last".isNotNull && $"prev_last" >= $"first_doc"), 1L)
-          .otherwise(0L)), partsOrdered),
-      one("postings_part_numbering",
-        sum(when($"part" =!= $"rn", 1L).otherwise(0L)), partsOrdered),
-      one("postings_doc_range",
+          .otherwise(0L)),
+      "postings_part_numbering" ->
+        sum(when($"part" =!= $"rn", 1L).otherwise(0L)))
+    val rangeChecks = multi(posts,
+      "postings_doc_range" ->
         sum(when($"first_doc" < 0 || $"last_doc" > meta.maxDocId, 1L)
-          .otherwise(0L)), posts))
+          .otherwise(0L)))
 
     // -- postings payloads: the one decode pass (heavy, stays its own scan)
     val decodeBad = posts.select($"term", $"part", $"first_doc", $"last_doc",
@@ -117,23 +128,22 @@ object IndexCheck {
           ps.forall(p => p.tf > 0 && p.dl >= 0)
         if (ok) 0L else 1L
       }.toDF("bad")
-    val decodeChecks = Seq(one("postings_decode_mismatch", sum($"bad"),
-      decodeBad))
+    val decodeChecks = multi(decodeBad,
+      "postings_decode_mismatch" -> sum($"bad"))
 
     // -- referential dict <-> postings: one full-outer aggregate pass
     val refJoin = posts.groupBy($"term").agg(sum($"df").as("pdf"))
       .join(dict.select($"term", $"df"), Seq("term"), "full_outer")
-    val refChecks = Seq(
-      one("dict_without_parts",
-        sum(when($"pdf".isNull, 1L).otherwise(0L)), refJoin),
-      one("parts_without_dict",
-        sum(when($"df".isNull, 1L).otherwise(0L)), refJoin),
-      one("dict_df_vs_parts_df",
+    val refChecks = multi(refJoin,
+      "dict_without_parts" -> sum(when($"pdf".isNull, 1L).otherwise(0L)),
+      "parts_without_dict" -> sum(when($"df".isNull, 1L).otherwise(0L)),
+      "dict_df_vs_parts_df" ->
         sum(when($"pdf".isNotNull && $"df".isNotNull && $"pdf" =!= $"df", 1L)
-          .otherwise(0L)), refJoin))
+          .otherwise(0L)))
 
-    (docsChecks ++ statsChecks ++ dictChecks ++ postChecks ++ decodeChecks ++
-      refChecks).reduce(_ unionByName _)
+    Seq(docsChecks, statsJoinChecks, statsChecks, dictChecks, letterChecks,
+      postChecks, rangeChecks, decodeChecks, refChecks)
+      .reduce(_ unionByName _)
   }
 
   /** True iff every check passes. */
