@@ -680,57 +680,32 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** Mersenne prime 2^31 - 1 for the universal-hash permutations. */
-  val MinhashP: Long = 2147483647L
-
-  private def permA(i: Int): Long = ((i + 1) * 2654435761L) % MinhashP match {
-    case 0L => 1L
-    case a => a
-  }
-  private def permB(i: Int): Long = ((i + 1) * 1099511628211L) % MinhashP
+  /** Mersenne prime 2^31 - 1 for the universal-hash permutations (THE
+    * definition lives with the native kernel, [[GraftMinhash.P]]). */
+  val MinhashP: Long = GraftMinhash.P
 
   /** MinHash signatures: (id, band, bucket) — one row per band, where
     * bucket is a rolling hash of the band's r per-permutation minima.
     * Deterministic in (numHashes, bands); signature size is fixed per doc.
     *
-    * Shape at scale: each (id, shingle-hash) row maps to ONE fixed-width
-    * signature array; signatures combine by elementwise min through typed
-    * partial aggregation (`reduceGroups` — map-side combine, no 64× row
-    * explosion, no unbounded buffers); the banded bucket rows explode only
-    * from the final per-doc signature. */
+    * Shape at scale: the WHOLE banded signature is one native codegen
+    * pass per doc ([[GraftMinhash]] — shingle enumeration, per-shingle
+    * fphash, per-permutation minima and band rolling hashes fused into
+    * the scan projection), bit-identical to the exploded form it
+    * replaces (GraftMinhashSpec pins the equality). ZERO shuffles: the
+    * r5 shape exploded one 64-long signature row per shingle and
+    * combined them through a typed `groupByKey.reduceGroups` — a full
+    * shuffle of the shingle stream that at 100 TB moved the corpus's
+    * token volume once per dedup run; now nothing leaves the scan but
+    * `bands` longs per doc. */
   def minhashBands(df: DataFrame, numHashes: Int = 64, bands: Int = 16,
       n: Int = 3, id: String = "doc_id", text: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val r = numHashes / bands
-    val as = Array.tabulate(numHashes)(permA)
-    val bs = Array.tabulate(numHashes)(permB)
-    graft.tokenize.GraftFunctions.register(spark)
-    val sigs = shingles(df, n, id, text)
-      .select(col(id).cast("long"), TextStats.fingerprintCol(col("shingle")))
-      .as[(Long, Long)]
-      .map { case (docId, s) =>
-        val sig = new Array[Long](numHashes)
-        var i = 0
-        while (i < numHashes) { sig(i) = (as(i) * s + bs(i)) % MinhashP; i += 1 }
-        (docId, sig)
-      }
-      .groupByKey(_._1)
-      .reduceGroups { (x, y) =>
-        val m = new Array[Long](numHashes)
-        var i = 0
-        while (i < numHashes) { m(i) = math.min(x._2(i), y._2(i)); i += 1 }
-        (x._1, m)
-      }
-    sigs.flatMap { case (docId, (_, sig)) =>
-      (0 until bands).iterator.map { b =>
-        var bucket = 0L
-        var i = b * r
-        while (i < (b + 1) * r) { bucket = (bucket * 31 + sig(i)) % MinhashP; i += 1 }
-        (docId, b, bucket)
-      }
-    }.toDF(id, "band", "bucket")
+    graft.tokenize.GraftFunctions.register(df.sparkSession)
+    df.select(col(id).cast("long").as(id),
+        posexplode(call_function("graft_minhash_bands", col(text),
+          lit(numHashes), lit(bands), lit(n))))
+      .select(col(id), col("pos").as("band"), col("col").as("bucket"))
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified: candidates from band-bucket

@@ -99,7 +99,9 @@ object GraftFunctions {
     ("graft_despan", graft.pipeline.GraftDespan.info,
       graft.pipeline.GraftDespan.builder _),
     ("graft_hashvec", graft.pipeline.GraftHashVec.info,
-      graft.pipeline.GraftHashVec.builder _))
+      graft.pipeline.GraftHashVec.builder _),
+    ("graft_minhash_bands", graft.pipeline.GraftMinhash.info,
+      graft.pipeline.GraftMinhash.builder _))
 
   /** Imperative registration for an already-running session. */
   def register(spark: SparkSession): Unit =
