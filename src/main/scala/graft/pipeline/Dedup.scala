@@ -839,19 +839,26 @@ object Dedup {
     // positive sig sharing the same low chunk — silently breaking the
     // pigeonhole guarantee
     val banded = simhashBandKeys(sig, bits, id)
-      .select(col(id), col("chunk"), col("key"))
-    val l = banded.select(col("chunk"), col("key"), col(id).as("id_a"))
-    val r = banded.select(col("chunk"), col("key"), col(id).as("id_b"))
-    val cands = l.join(r, Seq("chunk", "key"))
+    // signatures RIDE the band self-join (16 extra bytes a row), so
+    // hamming evaluates inside the join projection and the distinct —
+    // the only exchange after the join — sees ONLY passing pairs. The
+    // r5 shape distinct'ed the full band-collision candidate set and
+    // then re-joined the signature table twice; on a zipfian corpus the
+    // collision set is the flood (31-bit banding at 5k docs), so
+    // filter-before-distinct shrinks that exchange by the rejection
+    // rate and drops both verify joins. Same rows out: hamming is a
+    // function of the pair, so distinct∘filter ≡ filter∘distinct.
+    val l = banded.select(col("chunk"), col("key"), col(id).as("id_a"),
+      col("simhash").as("sig_a"))
+    val r = banded.select(col("chunk"), col("key"), col(id).as("id_b"),
+      col("simhash").as("sig_b"))
+    l.join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sa = sig.select(col(id).as("id_a"), col("simhash").as("sig_a"))
-    val sb = sig.select(col(id).as("id_b"), col("simhash").as("sig_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("hamming",
         bit_count(expr("sig_a ^ sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Band keys of a signature frame: (id, chunk, key, simhash). */
@@ -903,10 +910,13 @@ object Dedup {
         col("base_sig").as("sig_a"), col("batch_sig").as("sig_b"))
     intra.select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .unionByName(cross)
-      .distinct() // several chunks can collide for one pair
+      // hamming BEFORE the distinct (several chunks can collide for one
+      // pair): the distinct exchange then carries only passing pairs —
+      // the simhashPairs filter-before-distinct move, same rows out
       .withColumn("hamming",
         bit_count(expr("sig_a ^ sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 }
