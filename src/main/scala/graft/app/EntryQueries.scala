@@ -62,8 +62,36 @@ object EntryQueries {
 
   /** Lazily-built (once per JVM per sf dir) index over the documents corpus:
     * full build, and a two-batch build (half + incremental merge of the
-    * rest) whose result must equal the full build on disjoint batches. */
-  private val idxCache = new ConcurrentHashMap[String, String]()
+    * rest) whose result must equal the full build on disjoint batches.
+    *
+    * Memoized FUTURES, not values: a multi-second index build inside
+    * `ConcurrentHashMap.computeIfAbsent` would run while holding the
+    * key's bin lock, so with the prefetch lanes building fixtures
+    * concurrently, an entry needing a DIFFERENT fixture that hashes to
+    * the same bin could block behind an unrelated build. The future
+    * inserts instantly; the build runs outside any map lock; waiters on
+    * the SAME fixture still block exactly until it is ready. */
+  private val idxCache =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Build-once fixture memo: first caller runs `body` (outside the map
+    * lock), everyone else waits on the future. A failed build clears the
+    * slot so a later caller can retry instead of caching the failure. */
+  private def fixtureOnce(key: String)(body: => String): String = {
+    val mine = new java.util.concurrent.CompletableFuture[String]()
+    val cur = idxCache.putIfAbsent(key, mine)
+    val fut = if (cur == null) {
+      try mine.complete(body)
+      catch { case e: Throwable =>
+        mine.completeExceptionally(e)
+        idxCache.remove(key, mine)
+        throw e
+      }
+      mine
+    } else cur
+    try fut.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+  }
 
   /** Catalog fixture scratch space: tmpfs when the host has it (the
     * fast-local-storage posture a production cluster gets from NVMe
@@ -102,11 +130,11 @@ object EntryQueries {
   }
 
   def indexDirFull(spark: SparkSession, dir: String): String = {
-    val out = idxCache.computeIfAbsent(s"full:$dir", _ => {
+    val out = fixtureOnce(s"full:$dir") {
       val out = tmpFixtureDir("graft-qidx")
       IndexBuilder.build(spark, docsCorpus(spark, dir), out)
       out
-    })
+    }
     prefetchFixtures(spark, dir)
     out
   }
@@ -175,7 +203,7 @@ object EntryQueries {
   }
 
   def indexDirMerged(spark: SparkSession, dir: String): String =
-    idxCache.computeIfAbsent(s"merged:$dir", _ => {
+    fixtureOnce(s"merged:$dir") {
       import spark.implicits._
       val out = tmpFixtureDir("graft-qidxm")
       val corpus = docsCorpus(spark, dir)
@@ -185,7 +213,7 @@ object EntryQueries {
       IndexBuilder.build(spark, corpus.filter(_.conv_id <= midKey), out)
       IndexMerger.merge(spark, corpus.filter(_.conv_id > midKey), out)
       out
-    })
+    }
 
   /** Uncapped exact jaccard pair list over the documents table, persisted
     * once per (session, sf dir): BOTH cluster-family entries (components,
@@ -272,11 +300,11 @@ object EntryQueries {
   }
 
   def indexDirConv(spark: SparkSession, dir: String): String =
-    idxCache.computeIfAbsent(s"conv:$dir", _ => {
+    fixtureOnce(s"conv:$dir") {
       val out = tmpFixtureDir("graft-qidxc")
       IndexBuilder.build(spark, convCorpus(spark, dir), out)
       out
-    })
+    }
 
   /** The tombstone gate set: docs with doc_id % 10 == 3 (deterministic,
     * ~10% of the corpus) deleted at conversation granularity. */
@@ -290,17 +318,17 @@ object EntryQueries {
     * the build is deterministic, so delete(copy(full)) is identical to
     * delete(fresh build) while paying file I/O instead of a second
     * corpus-wide build (guide §1.2: remove work, don't tune it). The
-    * full dir resolves BEFORE the computeIfAbsent body — nested
-    * computeIfAbsent on one ConcurrentHashMap risks a recursive-update
-    * abort. */
+    * full dir resolves BEFORE the memo body (dependency order made
+    * explicit; the future memo itself never holds a map lock during a
+    * build). */
   def indexDirDeleted(spark: SparkSession, dir: String): String = {
     val full = indexDirFull(spark, dir)
-    idxCache.computeIfAbsent(s"del:$dir", _ => {
+    fixtureOnce(s"del:$dir") {
       val out = tmpFixtureDir("graft-qidxd")
       copyTree(full, out)
       IndexDeleter.delete(spark, out, delKeys(spark, dir))
       out
-    })
+    }
   }
 
   /** [[indexDirDeleted]] then compacted: tombstones purged, stats
@@ -309,12 +337,12 @@ object EntryQueries {
     * on the deterministic snapshot content. */
   def indexDirDelCompact(spark: SparkSession, dir: String): String = {
     val del = indexDirDeleted(spark, dir)
-    idxCache.computeIfAbsent(s"delc:$dir", _ => {
+    fixtureOnce(s"delc:$dir") {
       val out = tmpFixtureDir("graft-qidxdc")
       copyTree(del, out)
       Compactor.compact(spark, out)
       out
-    })
+    }
   }
 
   // ---- catalog -------------------------------------------------------------
