@@ -187,8 +187,8 @@ object EntryQueries {
     }
     daemon("warm") {
       spark.sparkContext.setJobDescription("prefetch: searcher warms")
-      val sf = searcher(spark, indexDirFull(spark, dir))
-      sf.warm(includeDocs = true)
+      val full = indexDirFull(spark, dir)
+      searcher(spark, full).warm(includeDocs = true)
       // one throwaway query per query-path FAMILY: the index-warmer
       // posture (Lucene/Elasticsearch warmers) — a long-lived engine
       // compiles its query shapes once, off the timed path. Whole-stage
@@ -197,23 +197,32 @@ object EntryQueries {
       // so a same-shaped warm query IS a cache hit for the real query
       // that follows. Warm words are tokenizer-feasible (pure a-z,
       // length ≥ 4) but absent from the corpus: every plan builds and
-      // compiles, every action touches ~no rows. Failures are
-      // swallowed by the lane's catch — warming can never break a query
-      sf.searchBm25("graftwarm", 1).count()
-      sf.searchCount("graftwarm").count()
-      val corpus = docsCorpus(spark, dir)
-      sf.searchCountWithPhrases(corpus, """'warma wordb' AND "warmc"""")
-        .count()
-      sf.searchBm25WithPhrases(corpus, """'warma wordb' AND "warmc"""",
-        k = 1).count()
-      val syn = spark.createDataFrame(Seq(("warma", "warmb")))
-        .toDF("term", "synonym")
-      sf.searchCountSynonyms(syn, "\"warma\"").count()
-      sf.searchBm25Synonyms(syn, "\"warma\"", k = 1).count()
-      sf.searchCountBatch(Seq("warma", "(warmb OR warmc)")).count()
-      sf.searchBm25Batch(Seq("warma", "(warmb OR warmc)"), k = 1).count()
-      sf.searchBm25Page("warma warmb", 1, Some(("", -1))).count()
-      sf.searchNear(corpus, "warma warmb", d = 2).count()
+      // compiles, every action touches ~no rows. The warms run on a
+      // PRIVATE Searcher, closed after: each query swaps the searcher's
+      // latest-query per-term cache, and churning the SHARED instance's
+      // cache would unpersist a concurrently-running entry's frame
+      // mid-action (measured: the early fts entries recomputed their
+      // shared frames per consumer branch, 1.8 s → 6.6 s). The compile
+      // cache being warmed is JVM-global, so a private instance warms
+      // it just as well. Failures are swallowed by the lane's catch
+      val sw = new Searcher(spark, new IndexStore(full))
+      try {
+        sw.searchBm25("graftwarm", 1).count()
+        sw.searchCount("graftwarm").count()
+        val corpus = docsCorpus(spark, dir)
+        sw.searchCountWithPhrases(corpus, """'warma wordb' AND "warmc"""")
+          .count()
+        sw.searchBm25WithPhrases(corpus, """'warma wordb' AND "warmc"""",
+          k = 1).count()
+        val syn = spark.createDataFrame(Seq(("warma", "warmb")))
+          .toDF("term", "synonym")
+        sw.searchCountSynonyms(syn, "\"warma\"").count()
+        sw.searchBm25Synonyms(syn, "\"warma\"", k = 1).count()
+        sw.searchCountBatch(Seq("warma", "(warmb OR warmc)")).count()
+        sw.searchBm25Batch(Seq("warma", "(warmb OR warmc)"), k = 1).count()
+        sw.searchBm25Page("warma warmb", 1, Some(("", -1))).count()
+        sw.searchNear(corpus, "warma warmb", d = 2).count()
+      } finally sw.close()
       val merged = indexDirMerged(spark, dir)
       searcher(spark, merged).warm(includeDocs = true)
       searcherAt(spark, merged, v = 1).warm(includeDocs = true)
