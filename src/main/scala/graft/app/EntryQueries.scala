@@ -143,11 +143,12 @@ object EntryQueries {
     * the catalog's DERIVED fixtures (conv-reshaped index, tombstoned and
     * compacted copies, the shared jaccard pair frame, the long-lived
     * searchers' pinned dictionary) do not depend on each other's order,
-    * only on the full index existing. Kicking them off on two daemon
-    * threads as soon as [[indexDirFull]] resolves lets them back-fill
-    * otherwise-idle executor capacity while the caller proceeds; the
-    * entries that need a fixture later block in `computeIfAbsent` only for
-    * whatever remains unfinished. Everything is still computed inside this
+    * only on the full index existing. Kicking them off on three daemon
+    * lanes as soon as [[indexDirFull]] resolves lets them back-fill
+    * otherwise-idle executor capacity while the caller proceeds; an
+    * entry that needs a fixture first waits on its [[fixtureOnce]]
+    * future only for whatever remains unfinished. Everything is still
+    * computed inside this
     * JVM/run from the parquet inputs — this moves work earlier, it does
     * not cache anything across runs. Spawned ONCE per (session, dir);
     * `SPARK_GRAFT_NO_PREFETCH=1` disables for A/B measurement. */
