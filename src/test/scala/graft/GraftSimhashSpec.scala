@@ -55,6 +55,41 @@ class GraftSimhashSpec extends SparkTestBase {
       == Seq(2L))
   }
 
+  test("pairs: filter-before-distinct equals the legacy distinct-then-" +
+      "verify form, with no duplicate pairs") {
+    // the r6 restructure: signatures ride the band join and hamming
+    // filters BEFORE the candidate distinct — same rows out as the r5
+    // shape (distinct candidates, then two signature joins, then filter)
+    def legacyPairs(bits: Int): Set[(Long, Long, Long)] = {
+      val sig = Dedup.simhash(texts, bits = bits)
+      val chunks = if (bits == 64) Seq((0, 16), (16, 16), (32, 16), (48, 16))
+                   else Seq((0, 8), (8, 8), (16, 8), (24, 7))
+      val banded = chunks.zipWithIndex.map { case ((off, len), bi) =>
+        sig.select(col("doc_id"), lit(bi).as("chunk"),
+          shiftrightunsigned(col("simhash"), off)
+            .bitwiseAND(lit((1L << len) - 1)).as("key"))
+      }.reduce(_ unionByName _)
+      val l = banded.select(col("chunk"), col("key"), col("doc_id").as("id_a"))
+      val r = banded.select(col("chunk"), col("key"), col("doc_id").as("id_b"))
+      val cands = l.join(r, Seq("chunk", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sa = sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+      val sb = sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+      cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    for (bits <- Seq(31, 64)) {
+      val rows = Dedup.simhashPairs(texts, maxHamming = 3, bits = bits)
+        .as[(Long, Long, Long)].collect()
+      assert(rows.length == rows.toSet.size, s"dup pairs at bits=$bits")
+      assert(rows.toSet == legacyPairs(bits), s"bits=$bits")
+    }
+  }
+
   test("64-bit: identical texts hamming 0, found by banded pairs") {
     val pairs = Dedup.simhashPairs(texts, maxHamming = 3, bits = 64)
       .as[(Long, Long, Long)].collect()
